@@ -1,0 +1,198 @@
+"""PageRank — unnormalized delta-push power iteration (headline algorithm #1).
+
+Semantics match the reference exactly (``PageRank.java:444-517``; conformance
+fixtures FIXTURES.md §1-2):
+
+- init: every score and delta = ``alpha = 1 - damping``,
+- per iteration: each vertex with pending delta pushes ``delta / outdeg`` to
+  each out-neighbor; receivers sum; ``inc = damping * sum``;
+  ``score += inc; delta = inc``,
+- no dangling-mass redistribution (pushed mass is absorbed; pr-wiki fixture),
+  isolated / no-inlink vertices stay at ``alpha``,
+- stop after ``iterations`` rounds (reference: fixed count, no convergence
+  test, ``PageRank.java:160-164``) or — our extension per the north rule —
+  when the global max delta < ``tol`` (default 1e-6).
+
+Execution: P ``PageRankShard`` actors (state/shards.py).  Two exchange modes:
+
+- ``exchange='direct'`` (default): BSP all-to-all of per-shard pre-aggregated
+  Arrow tables via ``num_returns=P`` object refs — P^2 small objects per
+  round, each shipped once through the object store, receivers reduce with
+  ``np.bincount``.  This is the same data movement as a hash shuffle without
+  per-iteration DAG overhead.
+- ``exchange='groupby'``: the message tables become a Dataset
+  (``from_arrow_refs``, zero-copy) which is combined with
+  ``groupby('dst').aggregate(Sum)`` and routed back to shards by a
+  ``map_batches`` stage — the literal north-star formulation, kept for
+  parity/benchmarking.
+
+Float64 end-to-end (the reference's x100_000 int fixed-point exists only to
+avoid atomic doubles; shard-owned state does not need it).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..pipelines.graph_build import BuiltGraph
+from ..state.checkpoint import CheckpointManager
+from ..state.shards import PageRankShard, make_shard_actors
+
+
+@dataclass
+class PageRankResult:
+    scores: rd.Dataset  # {vid: int64, score: float64}
+    ran_iterations: int
+    converged: bool
+    max_delta: float
+    nodes: int
+    metrics: dict = field(default_factory=dict)
+
+
+def _exchange_direct(actors, P):
+    if P == 1:
+        out = actors[0].push.remote()
+        return [ray.get(actors[0].apply.remote(out))]
+    outs = [a.push.options(num_returns=P).remote() for a in actors]
+    acks = [
+        actors[p].apply.remote(*[outs[q][p] for q in range(P)]) for p in range(P)
+    ]
+    return ray.get(acks)
+
+
+class _RouteApply:
+    """Dataset-exchange apply stage: route aggregated rows to owning shards."""
+
+    def __init__(self, actors, bounds):
+        self.actors = actors
+        self.bounds = np.asarray(bounds)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dst = batch["dst"].to_numpy()
+        part = np.searchsorted(self.bounds, dst, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        sorted_t = batch.take(pa.array(order))
+        part_sorted = part[order]
+        cuts = np.searchsorted(part_sorted, np.arange(len(self.bounds) - 1))
+        acks = []
+        for p in range(len(self.bounds) - 1):
+            end = cuts[p + 1] if p + 1 < len(self.bounds) - 1 else len(part_sorted)
+            chunk = sorted_t.slice(cuts[p], end - cuts[p])
+            if chunk.num_rows:
+                acks.append(self.actors[p].apply_block.remote(chunk))
+        ray.get(acks)
+        return pa.table({"routed": pa.array([batch.num_rows], pa.int64())})
+
+
+def _exchange_groupby(actors, P, bounds):
+    from ray.data.aggregate import Sum
+
+    refs = [a.push_all.remote() for a in actors]
+    msgs = rd.from_arrow_refs(refs)
+    agg = msgs.groupby("dst").aggregate(Sum("contrib", alias_name="contrib"))
+    routed = agg.map_batches(
+        _RouteApply(actors, bounds), batch_format="pyarrow", batch_size=65536, concurrency=1
+    )
+    routed.count()  # drive the pipeline
+    return ray.get([a.finish_iteration.remote() for a in actors])
+
+
+def pagerank(
+    graph: BuiltGraph,
+    *,
+    damping: float = 0.85,
+    iterations: int | None = None,
+    tol: float | None = 1e-6,
+    max_iterations: int = 200,
+    exchange: str = "direct",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> PageRankResult:
+    t0 = time.perf_counter()
+    actors = make_shard_actors(PageRankShard, graph, actor_kwargs={"damping": damping})
+    ray.get([a.ready.remote() for a in actors])
+    P = graph.P
+
+    ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
+    start_iter = 0
+    if resume and ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
+            start_iter = m["iteration"] + 1
+    load_s = time.perf_counter() - t0
+
+    n_iter = iterations if iterations is not None else max_iterations
+    max_delta = float("inf")
+    converged = False
+    it = start_iter - 1
+    t1 = time.perf_counter()
+    for it in range(start_iter, n_iter):
+        if exchange == "direct":
+            deltas = _exchange_direct(actors, P)
+        else:
+            deltas = _exchange_groupby(actors, P, graph.bounds)
+        max_delta = max(deltas) if deltas else 0.0
+        if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
+            files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+            ckpt.commit_iteration(
+                it, files, {"max_delta": max_delta, "bounds": graph.bounds.tolist(), "algo": "pagerank"}
+            )
+        if iterations is None and tol is not None and max_delta < tol:
+            converged = True
+            break
+    compute_s = time.perf_counter() - t1
+
+    scores = rd.from_arrow_refs([a.scores_table.remote() for a in actors])
+    ran = it - start_iter + 1
+    return PageRankResult(
+        scores=scores,
+        ran_iterations=ran,
+        converged=converged or (iterations is not None),
+        max_delta=max_delta,
+        nodes=graph.n_vertices,
+        metrics={
+            "loadMillis": int(load_s * 1000),
+            "computeMillis": int(compute_s * 1000),
+            "edges_processed": graph.n_edges * max(0, ran),
+            "edges_per_sec": (graph.n_edges * max(0, ran)) / compute_s if compute_s > 0 else 0.0,
+            "exchange": exchange,
+            "p": P,
+        },
+    )
+
+
+def pagerank_scores_with_keys(graph: BuiltGraph, result: PageRankResult) -> rd.Dataset:
+    """Join scores back to (repo, path) keys — the reference's write-back
+    (``Exporter.java:112-117``) as a Dataset join + write."""
+    verts = graph.vertices_ds()
+    joined = result.scores.join(verts, "inner", max(1, graph.P), on=("vid",), right_on=("vid",))
+    return joined
+
+
+def pagerank_oracle(
+    n: int, src: np.ndarray, dst: np.ndarray, *, damping=0.85, iterations=None, tol=None, max_iterations=200
+) -> np.ndarray:
+    """Independent NumPy reference with identical semantics (tests, FIXTURES.md §10.2)."""
+    alpha = 1.0 - damping
+    score = np.full(n, alpha)
+    delta = score.copy()
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    n_iter = iterations if iterations is not None else max_iterations
+    for _ in range(n_iter):
+        coef = np.divide(delta, outdeg, out=np.zeros_like(delta), where=outdeg > 0)
+        sums = np.bincount(dst, weights=coef[src], minlength=n)
+        inc = damping * sums
+        score += inc
+        delta = inc
+        if iterations is None and tol is not None and (inc.max(initial=0.0) < tol):
+            break
+    return score

@@ -1,0 +1,58 @@
+"""Iteration checkpointing with per-partition lineage.
+
+The reference has no checkpointing (single JVM, ``SURVEY.md §4.1``); the north
+rule requires a killed job to resume mid-algorithm.  Protocol:
+
+- each shard writes its vertex-state Parquet atomically
+  (``iter=<k>.part=<p>.parquet``, temp + rename — ``shards.py save_state``),
+- the driver then atomically swaps ``manifest.json`` naming the completed
+  iteration, the partitioning (bounds), convergence delta and the state files
+  — a manifest only ever points at fully-written iterations,
+- resume: read manifest, rebuild shard actors from the (immutable) partitioned
+  edge Parquet, load the named state files, continue the loop.
+
+Old iterations are pruned (keep last 2) so checkpoint size is O(2 x V).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, algo: str, keep: int = 2):
+        self.dir = os.path.join(ckpt_dir, algo)
+        os.makedirs(self.dir, exist_ok=True)
+        self.keep = keep
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.dir, "manifest.json")
+
+    def latest(self) -> dict | None:
+        if not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def commit_iteration(self, iteration: int, files: list[str], meta: dict):
+        m = {"iteration": iteration, "files": sorted(files), **meta}
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self.manifest_path)
+        self._prune(iteration)
+
+    def _prune(self, current_iteration: int):
+        for f in glob.glob(os.path.join(self.dir, "iter=*.parquet")):
+            it = int(os.path.basename(f).split(".")[0].split("=")[1])
+            if it <= current_iteration - self.keep:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+    def state_dir(self) -> str:
+        return self.dir

@@ -61,6 +61,25 @@ class BuiltGraph:
     def vertices_ds(self) -> rd.Dataset:
         return rd.read_parquet(self.vertices_dir)
 
+    @property
+    def edges_rev_dir(self) -> str:
+        return os.path.join(self.workdir, "edges_rev")
+
+    def ensure_reverse_layout(self) -> str:
+        """Write (once) the edge table re-partitioned by *destination* vid.
+
+        Same shard ownership (identical ``bounds``) so a shard's forward and
+        reverse partitions cover the same local vertex range — needed by
+        pull-direction algorithms (label propagation INCOMING/BOTH, reverse
+        CSR of SURVEY.md §7.2 step C).
+        """
+        marker = os.path.join(self.edges_rev_dir, "_DONE")
+        if not os.path.exists(marker):
+            partition_edges(self.edges_ds(), self.bounds, self.edges_rev_dir, key="dst")
+            with open(marker, "w") as f:
+                f.write("ok")
+        return self.edges_rev_dir
+
     def edges_ds(self, columns=None) -> rd.Dataset:
         # default: hide the Hive partition column (string-typed on read-back)
         if columns is None:
@@ -113,12 +132,13 @@ def degree_balanced_bounds(src_sample: np.ndarray, n_vertices: int, P: int) -> n
     return cuts.astype(np.int64)
 
 
-def partition_edges(edges: rd.Dataset, bounds: np.ndarray, out_dir: str):
-    """Tag each edge with its source shard and write Hive-partitioned Parquet."""
+def partition_edges(edges: rd.Dataset, bounds: np.ndarray, out_dir: str, key: str = "src"):
+    """Tag each edge with its owning shard (by ``key`` endpoint) and write
+    Hive-partitioned Parquet."""
     b = bounds  # captured; tiny array, serialized with the task closure
 
     def tag(t: pa.Table) -> pa.Table:
-        part = np.searchsorted(b, t["src"].to_numpy(), side="right") - 1
+        part = np.searchsorted(b, t[key].to_numpy(), side="right") - 1
         return t.append_column("part", pa.array(part.astype(np.int64)))
 
     if edges.count() == 0:

@@ -1,0 +1,150 @@
+"""Label propagation (headline algorithm #3) — synchronous, deterministic.
+
+Reference: ``LabelPropagation.java`` (async, randomized visit order, weighted
+votes ``relWeight(u,t) * nodeWeight(t)``, seeds from a node property with the
+node id as default, configurable direction, converged when no label changed).
+Distributed here as a driver loop over ``LabelPropShard`` actors
+(state/shards.py) with boundary-label exchange per phase; determinism
+conventions documented on the shard class.
+
+Seeds/weights ride in on the sidecar node-props table (FIXTURES.md §0):
+``node_props_to_vids`` -> ``{vid, partition, weight}`` -> routed to owning
+shards by vid range.  Seed routing streams through ``map_batches`` so no
+O(V) table ever lands on the driver.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..state.shards import LabelPropShard, make_shard_actors
+from .graph_build import BuiltGraph
+
+
+@dataclass
+class LabelPropResult:
+    labels: rd.Dataset  # {vid: int64, label: int64}
+    ran_iterations: int
+    did_converge: bool
+    nodes: int
+    metrics: dict = field(default_factory=dict)
+
+
+class _RouteSeeds:
+    """map_batches stage: send each seed row to its owning shard."""
+
+    def __init__(self, actors, bounds):
+        self.actors = actors
+        self.bounds = np.asarray(bounds)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vid = batch["vid"].to_numpy()
+        part = np.searchsorted(self.bounds, vid, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        t = batch.take(pa.array(order))
+        ps = part[order]
+        acks = []
+        for p in np.unique(ps):
+            sel = np.flatnonzero(ps == p)
+            acks.append(self.actors[p].set_seeds.remote(t.slice(sel[0], len(sel))))
+        ray.get(acks)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+
+def _transpose_exchange(refs_per_shard, P):
+    """[shard q -> tuple of P refs] -> per-receiver lists."""
+    if P == 1:
+        return [[refs_per_shard[0]]]
+    return [[refs_per_shard[q][p] for q in range(P)] for p in range(P)]
+
+
+def label_propagation(
+    graph: BuiltGraph,
+    *,
+    seeds: rd.Dataset | None = None,  # {vid, partition, weight}
+    direction: str = "OUTGOING",
+    max_iterations: int = 10,
+) -> LabelPropResult:
+    t0 = time.perf_counter()
+    rev_dir = None
+    if direction in ("INCOMING", "BOTH"):
+        rev_dir = graph.ensure_reverse_layout()
+    actors = make_shard_actors(
+        LabelPropShard,
+        graph,
+        actor_kwargs={"rev_edges_dir": rev_dir, "direction": direction},
+    )
+    P = graph.P
+    ray.get([a.ready.remote() for a in actors])
+
+    # handshake: who needs whose labels
+    if P > 1:
+        needs = [a.needed_vids.options(num_returns=P).remote() for a in actors]
+        ray.get(
+            [actors[q].register_requests.remote(*[needs[p][q] for p in range(P)]) for q in range(P)]
+        )
+    else:
+        ray.get(actors[0].register_requests.remote(actors[0].needed_vids.remote()))
+
+    # seeds (optional; default label=vid, weight=1 set at shard init)
+    if seeds is not None:
+        seeds.map_batches(
+            _RouteSeeds(actors, graph.bounds), batch_format="pyarrow", batch_size=65536, concurrency=1
+        ).count()
+
+    # static voter node-weights exchange
+    wrefs = [
+        a.serve_nodeweights.options(num_returns=P).remote() if P > 1 else a.serve_nodeweights.remote()
+        for a in actors
+    ]
+    ray.get(
+        [actors[p].set_voter_weights.remote(*chunks) for p, chunks in enumerate(_transpose_exchange(wrefs, P))]
+    )
+    load_s = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    ran = 0
+    converged = False
+    for it in range(max_iterations):
+        total_changed = 0
+        for parity in (0, 1):  # red/black phases; labels re-served between phases
+            lrefs = [
+                a.serve_labels.options(num_returns=P).remote() if P > 1 else a.serve_labels.remote()
+                for a in actors
+            ]
+            changed = ray.get(
+                [
+                    actors[p].step.remote(parity, *chunks)
+                    for p, chunks in enumerate(_transpose_exchange(lrefs, P))
+                ]
+            )
+            total_changed += sum(changed)
+        ran = it + 1
+        if total_changed == 0:
+            converged = True
+            break
+    compute_s = time.perf_counter() - t1
+
+    labels = rd.from_arrow_refs([a.labels_table.remote() for a in actors])
+    return LabelPropResult(
+        labels=labels,
+        ran_iterations=ran,
+        did_converge=converged,
+        nodes=graph.n_vertices,
+        metrics={
+            "loadMillis": int(load_s * 1000),
+            "computeMillis": int(compute_s * 1000),
+            "direction": direction,
+            "p": P,
+        },
+    )
+
+
+def labels_with_keys(graph: BuiltGraph, labels: rd.Dataset) -> rd.Dataset:
+    return labels.join(graph.vertices_ds(), "inner", max(1, graph.P), on=("vid",))

@@ -208,6 +208,156 @@ class PageRankShard(EdgeShardBase):
         return self.part
 
 
+class LabelPropShard:
+    """Synchronous label-propagation state for one vertex range.
+
+    Semantics per the reference ``LabelPropagation.java:260-289``: a vertex
+    adopts the argmax-weight label among its neighbors' votes along the
+    configured direction, vote weight = ``relWeight(u,t) * nodeWeight(t)``;
+    a vertex with no votes keeps its label.  Deviations (pinned for
+    determinism; the reference is async + randomized and only its *converged*
+    fixtures are asserted, ``LabelPropagation420Test.java:154-158``):
+
+    - ties break to the smallest label (reference: hash-map iteration order),
+    - updates are synchronous in two deterministic phases per iteration
+      (vertices with even vid, then odd vid — red/black Gauss-Seidel), which
+      breaks the two-cycles plain Jacobi iteration oscillates on.
+
+    Voter labels live on remote shards: at init each shard registers which of
+    its voters' vids it needs from each peer (fixed sets — the graph does not
+    change), then each round ships exactly those boundary labels
+    (``serve_labels`` with ``num_returns=P``).
+    """
+
+    OUTGOING, INCOMING, BOTH = "OUTGOING", "INCOMING", "BOTH"
+
+    def __init__(self, part, bounds, edges_dir, rev_edges_dir=None, direction="OUTGOING"):
+        self.part = int(part)
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.P = len(self.bounds) - 1
+        self.lo = int(self.bounds[part])
+        self.hi = int(self.bounds[part + 1])
+        self.n_local = self.hi - self.lo
+
+        us, ts, ws = [], [], []
+        if direction in (self.OUTGOING, self.BOTH):
+            t = _read_partition(edges_dir, part, ["src", "dst", "weight"])
+            us.append(t["src"].to_numpy().astype(np.int64, copy=False))
+            ts.append(t["dst"].to_numpy().astype(np.int64, copy=False))
+            ws.append(t["weight"].to_numpy().astype(np.float64, copy=False))
+        if direction in (self.INCOMING, self.BOTH):
+            assert rev_edges_dir is not None
+            t = _read_partition(rev_edges_dir, part, ["src", "dst", "weight"])
+            us.append(t["dst"].to_numpy().astype(np.int64, copy=False))
+            ts.append(t["src"].to_numpy().astype(np.int64, copy=False))
+            ws.append(t["weight"].to_numpy().astype(np.float64, copy=False))
+        u = np.concatenate(us) if us else np.array([], dtype=np.int64)
+        t_ = np.concatenate(ts) if ts else np.array([], dtype=np.int64)
+        w = np.concatenate(ws) if ws else np.array([], dtype=np.float64)
+
+        self.u_local = u - self.lo
+        self.rel_w = w
+        self.uniq_t = np.unique(t_)
+        self.t_idx = np.searchsorted(self.uniq_t, t_)
+        self.t_split = np.searchsorted(self.uniq_t, self.bounds[1:-1])
+        # state (seeded later)
+        self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+        self.node_w = np.ones(self.n_local, dtype=np.float64)
+        self.voter_w = np.ones(len(self.uniq_t), dtype=np.float64)
+        self._req_idx: list[np.ndarray] = [np.array([], dtype=np.int64)] * self.P
+
+    def ready(self) -> int:
+        return len(self.u_local)
+
+    # -- handshake ----------------------------------------------------------
+    def needed_vids(self):
+        """vids of voters this shard reads, split by owning shard."""
+        chunks = np.split(self.uniq_t, self.t_split)
+        return tuple(chunks) if self.P > 1 else chunks[0]
+
+    def register_requests(self, *per_requester_vids):
+        """Store, per requesting shard, the local indices it needs served."""
+        self._req_idx = [np.asarray(v, dtype=np.int64) - self.lo for v in per_requester_vids]
+        return self.part
+
+    def set_seeds(self, table):
+        """Apply ``{vid, partition, weight}`` rows for local vertices.
+
+        Label default = vid (``InitStep`` uses nodeId as the property default,
+        ``LabelPropagation.java:196-202``); node weight default 1.0.
+        """
+        if table is not None and table.num_rows:
+            idx = table["vid"].to_numpy().astype(np.int64) - self.lo
+            ok = (idx >= 0) & (idx < self.n_local)
+            self.labels[idx[ok]] = table["partition"].to_numpy().astype(np.int64)[ok]
+            self.node_w[idx[ok]] = table["weight"].to_numpy().astype(np.float64)[ok]
+        return self.part
+
+    def serve_nodeweights(self):
+        out = [self.node_w[idx] for idx in self._req_idx]
+        return tuple(out) if self.P > 1 else out[0]
+
+    def set_voter_weights(self, *chunks):
+        # chunks arrive in owner order; uniq_t is sorted and owners are
+        # contiguous ranges, so concatenation realigns with uniq_t
+        if len(self.uniq_t):
+            self.voter_w = np.concatenate([np.asarray(c, dtype=np.float64) for c in chunks])
+        return self.part
+
+    # -- iteration ----------------------------------------------------------
+    def serve_labels(self):
+        out = [self.labels[idx] for idx in self._req_idx]
+        return tuple(out) if self.P > 1 else out[0]
+
+    def step(self, parity: int, *label_chunks) -> int:
+        """Update local vertices with ``vid % 2 == parity``; return #changed."""
+        if len(self.u_local) == 0:
+            return 0
+        t_labels = np.concatenate([np.asarray(c, dtype=np.int64) for c in label_chunks])
+        # votes on edges whose updated endpoint is in this phase
+        mask = (self.u_local + self.lo) % 2 == parity
+        if not mask.any():
+            return 0
+        u = self.u_local[mask]
+        lab = t_labels[self.t_idx[mask]]
+        w = self.rel_w[mask] * self.voter_w[self.t_idx[mask]]
+        order = np.lexsort((lab, u))
+        u, lab, w = u[order], lab[order], w[order]
+        # group by (u, label)
+        new_group = np.empty(len(u), dtype=bool)
+        new_group[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_group[1:])
+        new_group[1:] |= lab[1:] != lab[:-1]
+        g_starts = np.flatnonzero(new_group)
+        g_u = u[g_starts]
+        g_lab = lab[g_starts]
+        g_w = np.add.reduceat(w, g_starts)
+        # per-u argmax, tie -> smallest label (groups are label-ascending per u)
+        u_new = np.empty(len(g_u), dtype=bool)
+        u_new[0] = True
+        np.not_equal(g_u[1:], g_u[:-1], out=u_new[1:])
+        u_starts = np.flatnonzero(u_new)
+        max_w = np.maximum.reduceat(g_w, u_starts)
+        seg_id = np.cumsum(u_new) - 1
+        is_winner = g_w == max_w[seg_id]
+        first_winner = np.minimum.reduceat(
+            np.where(is_winner, np.arange(len(g_w)), len(g_w)), u_starts
+        )
+        upd_u = g_u[u_starts]
+        upd_lab = g_lab[first_winner]
+        changed = int(np.count_nonzero(self.labels[upd_u] != upd_lab))
+        self.labels[upd_u] = upd_lab
+        return changed
+
+    def labels_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
+                "label": pa.array(self.labels),
+            }
+        )
+
+
 def make_shard_actors(cls, graph, *, actor_kwargs=None, num_cpus: float = 1.0):
     """Spawn one remote shard per partition of a BuiltGraph."""
     actor_kwargs = actor_kwargs or {}

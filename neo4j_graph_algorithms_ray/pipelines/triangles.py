@@ -1,0 +1,330 @@
+"""Triangle counting + clustering coefficients (headline algorithm #4).
+
+Reference semantics (``TriangleCountBase.java``, ``TriangleCountQueue.java``):
+load undirected + deduped (``TriangleProc.java:169-180``), enumerate each
+triangle ``u<v<w`` once via neighbor iteration with an ordering filter, test
+the closing edge with a sorted-adjacency membership probe / intersection
+(``HugeGraphIntersectImpl.intersect:58-89``), bump all three corners, compute
+``coefficient = 2T(v) / (deg(v) * (deg(v)-1))`` and the average over all
+nodes (``TriangleCountBase.java:106-115``).
+
+Distributed shape (SURVEY.md §2.2 "Triangle count"):
+
+1. **canonicalize** — ``(min,max)`` endpoint normalization, self-loop drop,
+   exact dedup via ``groupby`` (mirrors ``RawValues.combineSorted``),
+2. **degrees** — per-batch partial ``bincount`` then a small ``groupby.sum``,
+3. **orient** by ``(degree, vid)`` rank, low -> high.  The reference filters
+   by plain id order (``t > u``); degree-first ordering is the standard skew
+   armor: a high-degree hub keeps few *out*-neighbors, bounding per-vertex
+   wedge counts by O(sqrt(m)),
+4. **partition** oriented edges by source range (same bounds as the graph) —
+   each partition holds complete adjacency for its vertex range,
+5. **count** — ``MembershipShard`` actors pin sorted adjacency per range;
+   a streaming ``map_batches`` pipeline over partitions generates wedges
+   (vectorized stride enumeration, chunked) and probes the closing edge on
+   the owning shard, yielding triangle triples ``{a,b,c}`` (the reference's
+   ``TriangleStream``),
+6. **aggregate** — per-corner counts (partial bincount + groupby.sum),
+   coefficients via a degree join, global count / average as tiny aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .graph_build import BuiltGraph, partition_edges
+import os
+
+
+# ---------------------------------------------------------------------------
+# membership shards
+# ---------------------------------------------------------------------------
+
+
+def _load_tri_partition(tri_dir: str, part: int):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(tri_dir, f"part={part}", "*.parquet")))
+    if not files:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, empty
+    t = pa.concat_tables([pq.read_table(f, columns=["a", "b", "deg_b"]) for f in files])
+    return (
+        t["a"].to_numpy().astype(np.int64, copy=False),
+        t["b"].to_numpy().astype(np.int64, copy=False),
+        t["deg_b"].to_numpy().astype(np.int64, copy=False),
+    )
+
+
+class MembershipShard:
+    """Read-only sorted adjacency for one oriented-edge partition.
+
+    The distributed form of the reference's edge-existence probe
+    (``AdjacencyMatrix.hasOutgoing:144-154`` — binary search in a sorted
+    neighbor list).  Never calls other actors: safe to probe from anywhere.
+    """
+
+    def __init__(self, part: int, bounds, tri_dir: str):
+        self.lo = int(bounds[part])
+        self.hi = int(bounds[part + 1])
+        a, b, _ = _load_tri_partition(tri_dir, part)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        counts = np.bincount(a - self.lo, minlength=self.hi - self.lo)
+        self.indptr = np.concatenate([[0], np.cumsum(counts)])
+        self.adj = b
+
+    def ready(self) -> int:
+        return len(self.adj)
+
+    def check(self, vs: np.ndarray, ws: np.ndarray) -> np.ndarray:
+        """Vectorized membership: is (v,w) an oriented edge, per query pair."""
+        out = np.zeros(len(vs), dtype=bool)
+        vloc = vs - self.lo
+        order = np.argsort(vloc, kind="stable")
+        vs_s = vloc[order]
+        ws_s = ws[order]
+        starts = np.flatnonzero(np.concatenate([[True], vs_s[1:] != vs_s[:-1]]))
+        res = np.zeros(len(vs), dtype=bool)
+        for si, ei in zip(starts, np.concatenate([starts[1:], [len(vs_s)]])):
+            v = vs_s[si]
+            row = self.adj[self.indptr[v] : self.indptr[v + 1]]
+            if len(row):
+                pos = np.searchsorted(row, ws_s[si:ei])
+                pos = np.minimum(pos, len(row) - 1)
+                res[si:ei] = row[pos] == ws_s[si:ei]
+        out[order] = res
+        return out
+
+
+# ---------------------------------------------------------------------------
+# wedge generation + closing-edge probe (streaming)
+# ---------------------------------------------------------------------------
+
+
+def _wedge_pairs(seg_id: np.ndarray):
+    """All index pairs (i, j), i<j, within equal-seg_id runs — vectorized by stride."""
+    n = len(seg_id)
+    firsts, seconds = [], []
+    d = 1
+    while d < n:
+        same = seg_id[: n - d] == seg_id[d:]
+        if not same.any():
+            break
+        idx = np.flatnonzero(same)
+        firsts.append(idx)
+        seconds.append(idx + d)
+        d += 1
+    if not firsts:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    return np.concatenate(firsts), np.concatenate(seconds)
+
+
+class WedgeWorker:
+    """map_batches stage over partition ids: yields triangle triples.
+
+    Stateful (holds the membership actor handles + graph bounds); reads its
+    oriented-edge partitions, enumerates wedges per source vertex in
+    rank-sorted adjacency order, probes closing edges on the owning shard,
+    and yields ``{a, b, c}`` batches (a generator UDF — output streams with
+    backpressure instead of materializing all wedges).
+    """
+
+    def __init__(self, tri_dir: str, bounds, actors, chunk: int = 1 << 18):
+        self.tri_dir = tri_dir
+        self.bounds = np.asarray(bounds)
+        self.actors = actors
+        self.chunk = chunk
+
+    def _probe(self, u, v, w):
+        owner = np.searchsorted(self.bounds, v, side="right") - 1
+        order = np.argsort(owner, kind="stable")
+        u, v, w, owner = u[order], v[order], w[order], owner[order]
+        cuts = np.flatnonzero(np.concatenate([[True], owner[1:] != owner[:-1]]))
+        ends = np.concatenate([cuts[1:], [len(owner)]])
+        refs, slices = [], []
+        for si, ei in zip(cuts, ends):
+            refs.append(self.actors[owner[si]].check.remote(v[si:ei], w[si:ei]))
+            slices.append((si, ei))
+        masks = ray.get(refs)
+        hit = np.zeros(len(u), dtype=bool)
+        for (si, ei), m in zip(slices, masks):
+            hit[si:ei] = m
+        return u[hit], v[hit], w[hit]
+
+    def __call__(self, batch: pa.Table):
+        yielded = False
+        for part in batch["part"].to_pylist():
+            a, b, deg_b = _load_tri_partition(self.tri_dir, int(part))
+            if len(a) == 0:
+                continue
+            order = np.lexsort((b, deg_b, a))  # per-a neighbors in rank order
+            a, b = a[order], b[order]
+            i, j = _wedge_pairs(a)
+            for s in range(0, len(i), self.chunk):
+                ii, jj = i[s : s + self.chunk], j[s : s + self.chunk]
+                u, v, w = a[ii], b[ii], b[jj]
+                tu, tv, tw = self._probe(u, v, w)
+                if len(tu):
+                    yielded = True
+                    yield pa.table({"a": pa.array(tu), "b": pa.array(tv), "c": pa.array(tw)})
+        if not yielded:
+            e = pa.array([], pa.int64())
+            yield pa.table({"a": e, "b": e, "c": e})
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TriangleResult:
+    triangles: rd.Dataset  # {a, b, c} vid triples, each triangle once
+    counts: rd.Dataset  # {vid, triangles} for ALL vertices
+    coefficients: rd.Dataset  # {vid, coefficient}
+    triangle_count: int
+    node_count: int
+    average_coefficient: float
+    metrics: dict = field(default_factory=dict)
+
+
+def _canonical_edges(graph: BuiltGraph) -> rd.Dataset:
+    """Undirected dedup: {u,v} with u<v, distinct (asUndirected+sort load)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        # in-batch dedup before the shuffle (map-side combine)
+        packed = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table({"u": pa.array(packed[:, 0]), "v": pa.array(packed[:, 1])})
+
+    e = graph.edges_ds(columns=["src", "dst"]).map_batches(canon, batch_format="pyarrow")
+    return e.groupby(["u", "v"]).aggregate(Count(alias_name="_n")).select_columns(["u", "v"])
+
+
+def _degrees(canon: rd.Dataset) -> rd.Dataset:
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()]), return_counts=True
+        )
+        return pa.table({"vid": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
+
+    return (
+        canon.map_batches(partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("n", alias_name="deg"))
+    )
+
+
+def triangle_count(graph: BuiltGraph, *, chunk: int = 1 << 18) -> TriangleResult:
+    workdir = graph.workdir
+    canon = _canonical_edges(graph).materialize()
+    degrees = _degrees(canon).materialize()
+
+    # orientation by (deg, vid): broadcast the degree table (O(V) ints; for
+    # V beyond broadcast limits use Dataset.join on u and v instead)
+    deg_pdf = degrees.to_pandas()
+    deg_ref = ray.put(deg_pdf)
+
+    class Orient:
+        def __init__(self):
+            d = ray.get(deg_ref)
+            n = int(graph.n_vertices)
+            self.deg = np.zeros(n, dtype=np.int64)
+            if len(d):
+                self.deg[d["vid"].to_numpy()] = d["deg"].to_numpy()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy()
+            v = t["v"].to_numpy()
+            du, dv = self.deg[u], self.deg[v]
+            u_first = (du < dv) | ((du == dv) & (u < v))
+            a = np.where(u_first, u, v)
+            b = np.where(u_first, v, u)
+            return pa.table(
+                {"a": pa.array(a), "b": pa.array(b), "deg_b": pa.array(np.where(u_first, dv, du))}
+            )
+
+    oriented = canon.map_batches(Orient, batch_format="pyarrow", concurrency=(1, 4))
+    tri_dir = os.path.join(workdir, "edges_tri")
+    partition_edges(oriented, graph.bounds, tri_dir, key="a")
+
+    actors = [
+        ray.remote(num_cpus=0.5)(MembershipShard).remote(p, graph.bounds, tri_dir)
+        for p in range(graph.P)
+    ]
+    ray.get([a.ready.remote() for a in actors])
+
+    parts = rd.from_items([{"part": p} for p in range(graph.P)])
+    triangles = parts.map_batches(
+        WedgeWorker,
+        fn_constructor_kwargs={"tri_dir": tri_dir, "bounds": graph.bounds, "actors": actors, "chunk": chunk},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=graph.P,
+    ).materialize()
+    n_triangles = triangles.count()
+
+    # per-corner counts: partial bincount -> groupby.sum -> left join all vertices
+    def corner_partial(t: pa.Table) -> pa.Table:
+        allv = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy(), t["c"].to_numpy()])
+        vals, counts = np.unique(allv, return_counts=True)
+        return pa.table({"vid": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
+
+    per_corner = (
+        triangles.map_batches(corner_partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("n", alias_name="t"))
+    )
+    verts = graph.vertices_ds().select_columns(["vid"])
+    counts = verts.join(per_corner, "left_outer", max(1, graph.P), on=("vid",)).map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "triangles": pc.coalesce(t["t"], pa.scalar(0)).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    # coefficient = 2T / (d(d-1)); deg<2 -> 0  (TriangleCountBase.java:106-115)
+    coeffs = counts.join(degrees, "left_outer", max(1, graph.P), on=("vid",)).map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "coefficient": pa.array(
+                    np.where(
+                        (d := pc.coalesce(t["deg"], pa.scalar(0)).to_numpy().astype(np.float64)) >= 2,
+                        2.0 * t["triangles"].to_numpy() / np.maximum(d * (d - 1), 1.0),
+                        0.0,
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    from ray.data.aggregate import Mean
+
+    avg = coeffs.aggregate(Mean("coefficient", alias_name="avg"))["avg"] if graph.n_vertices else 0.0
+
+    return TriangleResult(
+        triangles=triangles,
+        counts=counts,
+        coefficients=coeffs,
+        triangle_count=n_triangles,
+        node_count=graph.n_vertices,
+        average_coefficient=float(avg or 0.0),
+        metrics={"p": graph.P},
+    )

@@ -1,44 +1,292 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing in
+here (or the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship pipeline: build the link graph from the sf0.001
+  synthetic corpus and run PageRank to 1e-6 convergence.
+- ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data ops); each callable takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible.
+  Graph queries run on the deterministic synthetic corpus for the tier
+  (generated/cached under /tmp — the SQL reads the same Parquet).  Iterative
+  algorithms (PageRank, CC, LP) and sketch/approx ops are rows-only checked.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Ray workers resolve this package through the driver's cwd; when the driver
+# runs from elsewhere, fall back to shipping the code by value.
+if os.getcwd() != _REPO:
+    try:
+        import neo4j_graph_algorithms_ray  # noqa: F401
+        from ray import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules["neo4j_graph_algorithms_ray"])
+        for _name, _mod in list(sys.modules.items()):
+            if _name.startswith("neo4j_graph_algorithms_ray."):
+                cloudpickle.register_pickle_by_value(_mod)
+    except Exception:
+        pass
+
+# correctness tier the driver compares at; oracle SQL embeds this tier's corpus
+_ORACLE_SF = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """PageRank over the import graph of the sf0.001 corpus (scores + keys)."""
+    from neo4j_graph_algorithms_ray.pipelines.graph_queries import graph_for_sf
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import pagerank, pagerank_scores_with_keys
+
+    g = graph_for_sf("/root/testdata/sf0.001")
+    res = pagerank(g, tol=1e-6)
+    return pagerank_scores_with_keys(g, res).to_pandas()
+
+
+def _intize(df, cols, scale=1000):
+    import numpy as np
+
+    for c in cols:
+        df[c] = np.floor(df[c].to_numpy() * scale + 0.5).astype("int64")
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from neo4j_graph_algorithms_ray.pipelines import docs as D
+    from neo4j_graph_algorithms_ray.pipelines import graph_queries as G
+    from neo4j_graph_algorithms_ray.pipelines import multimodal as M
+    from neo4j_graph_algorithms_ray.pipelines import relational as R
+    from neo4j_graph_algorithms_ray.pipelines import similarity as S
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def lineitem_summary(sf):
+        df = R.lineitem_pricing_summary(sf).to_pandas()
+        df = _intize(df, ["sum_qty", "sum_base_price", "sum_revenue"], 1000)
+        df = _intize(df, ["avg_disc"], 1_000_000)
+        return df
+
+    def topk_customers(sf):
+        df = R.top_customers(sf).to_pandas()
+        return _intize(df, ["total_spend"], 1000)
+
+    def events_hourly(sf):
+        df = R.events_hourly(sf).to_pandas()
+        return _intize(df, ["sum_value"], 1000)
+
+    def knn_bruteforce(sf):
+        qids, Q = S.load_queries(sf, 5)
+        return S.knn_bruteforce(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
+
+    def knn_ivf(sf):
+        qids, Q = S.load_queries(sf, 5)
+        return S.knn_ivf(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
+
+    def multimodal_meta(sf):
+        binr = M.attach_binary_payload(D.read_documents(sf))
+        return M.decode_metadata(binr).select_columns(
+            ["doc_id", "n_bytes", "width", "height", "n_frames"]
+        )
+
+    return {
+        # graph construction (oracle-checked)
+        "edge_extract": G.q_edge_extract,
+        "vertices": G.q_vertices,
+        "degrees": G.q_degrees,
+        "sha256_invariance": G.q_sha256_invariance,
+        # headline graph algorithms (iterative -> rows-only driver check;
+        # conformance vs reference fixtures + oracles lives in tests/)
+        "pagerank": G.q_pagerank,
+        "connected_components": G.q_connected_components,
+        "cc_set_sizes": G.q_cc_set_sizes,
+        "label_propagation": G.q_label_propagation,
+        # triangles (SQL-expressible -> oracle-checked)
+        "triangle_counts": G.q_triangle_counts,
+        "triangle_global": G.q_triangle_global,
+        "clustering_coefficients": G.q_clustering_coefficients,
+        # training-data ops: dedup
+        "dedup_exact": lambda sf: D.exact_dedup(D.read_documents(sf)),
+        "minhash_pairs": lambda sf: D.minhash_dedup_pairs(D.read_documents(sf)).to_pandas(),
+        "simhash_signatures": lambda sf: D.simhash_signatures(D.read_documents(sf)),
+        # text analysis
+        "token_counts": lambda sf: D.token_counts(D.read_documents(sf)),
+        "quality_scores": lambda sf: D.quality_scores(D.read_documents(sf)),
+        "language_id": lambda sf: D.language_id(D.read_documents(sf)),
+        "fingerprints": lambda sf: D.fingerprints(D.read_documents(sf)),
+        # similarity search
+        "knn_bruteforce": knn_bruteforce,
+        "knn_ivf": knn_ivf,
+        # multimodal plumbing
+        "multimodal_meta": multimodal_meta,
+        # relational coverage
+        "lineitem_summary": lineitem_summary,
+        "top_customers": topk_customers,
+        "events_hourly": events_hourly,
+        "supplier_nations": lambda sf: R.supplier_nation_counts(sf),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _corpus_sql_prefix() -> str:
+    from neo4j_graph_algorithms_ray.sources.corpus import corpus_path_for
+
+    path = corpus_path_for(_ORACLE_SF)  # also materialises the corpus
+    return f"""
+WITH corpus AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+verts AS (SELECT repo || '/' || path AS key,
+                 row_number() OVER (ORDER BY (repo || '/' || path)) - 1 AS vid
+          FROM corpus),
+raw_edges AS (
+  SELECT repo || '/' || path AS src_key,
+         repo || '/' || replace(m, '.', '/') || '.py' AS dst_key
+  FROM corpus, unnest(regexp_extract_all(content,
+       '(?m)^import ([A-Za-z_][A-Za-z0-9_.]*)$', 1)) AS t(m)),
+edges AS (SELECT v1.vid AS src, v2.vid AS dst
+          FROM raw_edges r
+          JOIN verts v1 ON r.src_key = v1.key
+          JOIN verts v2 ON r.dst_key = v2.key),
+canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM edges WHERE src <> dst),
+deg AS (SELECT x AS vid, count(*) AS d
+        FROM (SELECT u AS x FROM canon UNION ALL SELECT v AS x FROM canon)
+        GROUP BY x),
+orient AS (SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND c.u < c.v) THEN c.u ELSE c.v END AS a,
+                  CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND c.u < c.v) THEN c.v ELSE c.u END AS b
+           FROM canon c JOIN deg du ON du.vid = c.u JOIN deg dv ON dv.vid = c.v),
+tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM orient e1
+         JOIN orient e2 ON e2.a = e1.b
+         JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b)
+"""
+
+
+_LANG_SQL = {
+    "en": "the|and|of|to|a|is",
+    "de": "der|und|die|das|ist|nicht",
+    "fr": "le|la|et|les|des|est",
+    "es": "el|los|las|y|por|una",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pre = _corpus_sql_prefix()
+    lang_counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b(?:{pat})\\b')) AS n_{lang}"
+        for lang, pat in _LANG_SQL.items()
+    )
+    return {
+        "edge_extract": pre + "SELECT src_key, dst_key FROM raw_edges",
+        "vertices": pre + "SELECT key, vid FROM verts",
+        "degrees": pre
+        + """
+SELECT v.vid, coalesce(c.n, 0) AS out_deg
+FROM verts v LEFT JOIN (SELECT src, count(*) AS n FROM edges GROUP BY src) c
+ON c.src = v.vid""",
+        "sha256_invariance": pre + "SELECT repo || '/' || path AS key, sha256(content) AS sha FROM corpus",
+        "triangle_counts": pre
+        + """
+, corners AS (SELECT x AS vid FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris)
+SELECT v.vid, coalesce(c.n, 0) AS triangles
+FROM verts v LEFT JOIN (SELECT vid, count(*) AS n FROM corners GROUP BY vid) c ON c.vid = v.vid""",
+        "triangle_global": pre + "SELECT count(*) AS triangle_count FROM tris",
+        "clustering_coefficients": pre
+        + """
+, corners AS (SELECT x AS vid FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris),
+tcnt AS (SELECT vid, count(*) AS n FROM corners GROUP BY vid)
+SELECT v.vid,
+       CASE WHEN coalesce(d.d, 0) >= 2
+            THEN 2.0 * coalesce(t.n, 0) / (d.d * (d.d - 1))
+            ELSE 0.0 END AS coefficient
+FROM verts v
+LEFT JOIN deg d ON d.vid = v.vid
+LEFT JOIN tcnt t ON t.vid = v.vid""",
+        "dedup_exact": """
+SELECT sha256(text) AS h, min(doc_id) AS doc_id, count(*) AS n
+FROM documents GROUP BY text""",
+        "token_counts": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens
+FROM documents""",
+        "quality_scores": """
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|a|in|is|it)\\b')) AS n_stop,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+  FROM documents)
+SELECT doc_id, n_chars, n_words, n_stop, n_punct, n_upper,
+       CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stop_ratio,
+       CAST(n_chars >= 100 AS BIGINT) + CAST(n_words >= 20 AS BIGINT)
+       + CAST(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.01 AS BIGINT)
+       + CAST(n_punct * 2 <= n_words AS BIGINT) AS quality
+FROM m""",
+        "language_id": f"""
+WITH s AS (SELECT doc_id, {lang_counts} FROM documents)
+SELECT doc_id,
+       CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'unknown'
+            WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+            WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+            WHEN n_fr >= n_es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM s""",
+        "fingerprints": """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp
+FROM documents""",
+        "knn_bruteforce": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (SELECT q.qid AS query_id, b.vec_id,
+                  CAST(floor(list_cosine_similarity(b.e, q.qe) * 1000000 + 0.5) AS BIGINT) AS cos_u
+           FROM base b CROSS JOIN q),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_u DESC, vec_id ASC) AS rn
+           FROM scored)
+SELECT query_id, vec_id, cos_u FROM ranked WHERE rn <= 10""",
+        "multimodal_meta": """
+SELECT doc_id,
+       8 + strlen(text) AS n_bytes,
+       16 + strlen(text) % 64 AS width,
+       16 + (strlen(text) * 7) % 64 AS height,
+       1 + strlen(text) % 8 AS n_frames
+FROM documents""",
+        "lineitem_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(floor(sum(l_quantity) * 1000 + 0.5) AS BIGINT) AS sum_qty,
+       CAST(floor(sum(l_extendedprice) * 1000 + 0.5) AS BIGINT) AS sum_base_price,
+       CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 1000 + 0.5) AS BIGINT) AS sum_revenue,
+       CAST(floor(avg(l_discount) * 1000000 + 0.5) AS BIGINT) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+WITH spend AS (SELECT o_custkey, sum(o_totalprice) AS total_spend, count(*) AS n_orders
+               FROM orders GROUP BY o_custkey)
+SELECT o_custkey, c_name, CAST(floor(total_spend * 1000 + 0.5) AS BIGINT) AS total_spend, n_orders
+FROM spend JOIN customer ON c_custkey = o_custkey
+ORDER BY spend.total_spend DESC, o_custkey ASC LIMIT 10""",
+        "events_hourly": """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       count(*) AS n_events,
+       CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "supplier_nations": """
+SELECT r_name, count(*) AS n_suppliers
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name""",
+    }

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Plain run: the engine's headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1): graph build from the tier's synthetic corpus, the four
+headline algorithms, and representative training-data ops.  ``value`` is the
+total seconds over the timed queries; ``extra`` carries PageRank iteration
+throughput (edges processed / sec of power iteration to 1e-6 — the
+BASELINE.json headline metric).
+
+``--scaling``: runs PageRank on a dedicated larger power-law corpus twice in
+fresh processes — ``ray.init(num_cpus=8)`` and ``num_cpus=32`` (shards P =
+num_cpus, i.e. the job is configured to the "cluster" size, the sandbox
+evidence protocol for the N -> 4N criterion) — and reports both throughputs
+plus ``scaling_efficiency = (edges_per_sec_32 / edges_per_sec_8) / 4``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# scaling-bench corpus (compute-dominated: ~35M edges so per-iteration barrier
+# cost is amortized; cached under /tmp across runs)
+BENCH_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "600000"))
+BENCH_AVG_OUT = float(os.environ.get("GRAFT_BENCH_AVG_OUT", "50"))
+BENCH_REPOS = max(8, BENCH_FILES // 2000)
+BENCH_SEED = 4242
+
+
+def _init_ray(ncpu: int):
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _bench_graph(ncpu: int):
+    """Build (cached) the scaling-bench graph at P=ncpu."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import BuiltGraph, build_graph
+    from neo4j_graph_algorithms_ray.sources.corpus import write_powerlaw_corpus
+
+    cdir = f"/tmp/graft_bench/corpus_f{BENCH_FILES}_a{int(BENCH_AVG_OUT)}"
+    if not os.path.exists(os.path.join(cdir, "_DONE")):
+        os.makedirs(cdir, exist_ok=True)
+        write_powerlaw_corpus(cdir, BENCH_FILES, BENCH_REPOS, BENCH_AVG_OUT, BENCH_SEED)
+        open(os.path.join(cdir, "_DONE"), "w").write("ok")
+    gdir = f"/tmp/graft_bench/graph_f{BENCH_FILES}_a{int(BENCH_AVG_OUT)}_P{ncpu}"
+    if os.path.exists(os.path.join(gdir, "_DONE")):
+        return BuiltGraph.load(gdir)
+    g = build_graph(rd.read_parquet(cdir), gdir, P=ncpu)
+    open(os.path.join(gdir, "_DONE"), "w").write("ok")
+    return g
+
+
+def scaling_leg() -> dict:
+    """One fresh-process leg: PageRank to 1e-6 on the bench graph."""
+    _init_ray(NCPU)
+    import ray
+
+    t0 = time.perf_counter()
+    g = _bench_graph(NCPU)
+    build_s = time.perf_counter() - t0
+
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import pagerank
+
+    res = pagerank(g, tol=1e-6)
+    out = {
+        "num_cpus": NCPU,
+        "P": g.P,
+        "n_vertices": g.n_vertices,
+        "n_edges": g.n_edges,
+        "build_or_load_sec": round(build_s, 2),
+        "iterations": res.ran_iterations,
+        "compute_sec": round(res.metrics["computeMillis"] / 1000, 3),
+        "edges_processed": res.metrics["edges_processed"],
+        "edges_per_sec": round(res.metrics["edges_per_sec"]),
+    }
+    ray.shutdown()
+    return out
+
+
+def plain_bench() -> dict:
+    _init_ray(NCPU)
+    import ray
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines import docs as Dp
+    from neo4j_graph_algorithms_ray.pipelines import graph_queries as G
+    from neo4j_graph_algorithms_ray.pipelines import similarity as S
+    from neo4j_graph_algorithms_ray.pipelines.components import connected_components
+    from neo4j_graph_algorithms_ray.pipelines.labelprop import label_propagation
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.triangles import triangle_count
+
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    g = timed("graph_build", lambda: G.graph_for_sf(SF_DIR, P=min(8, NCPU)))
+    pr = timed("pagerank", lambda: pagerank(g, tol=1e-6))
+    extra["pagerank_iterations"] = pr.ran_iterations
+    extra["pagerank_edges_per_sec"] = round(pr.metrics["edges_per_sec"])
+    cc = timed("connected_components", lambda: connected_components(g))
+    extra["cc_set_count"] = cc.set_count()
+    lp = timed("label_propagation", lambda: label_propagation(g, direction="BOTH", max_iterations=20))
+    extra["lp_iterations"] = lp.ran_iterations
+    tri = timed("triangle_count", lambda: triangle_count(g))
+    extra["triangles"] = tri.triangle_count
+
+    docs = Dp.read_documents(SF_DIR)
+    timed("dedup_exact", lambda: Dp.exact_dedup(docs).materialize())
+    timed("token_counts", lambda: Dp.token_counts(docs).materialize())
+    timed("quality_scores", lambda: Dp.quality_scores(docs).materialize())
+    timed("minhash_pairs", lambda: Dp.minhash_dedup_pairs(docs).materialize())
+
+    def knn():
+        qids, Q = S.load_queries(SF_DIR, 5)
+        return S.knn_bruteforce(S.read_embeddings(SF_DIR), qids, Q, k=10).materialize()
+
+    timed("knn_bruteforce", knn)
+
+    result = {
+        "metric": "headline_pipeline_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "extra": extra,
+    }
+    ray.shutdown()
+    return result
+
+
+def main():
+    if "--scaling-leg" in sys.argv:
+        print(json.dumps(scaling_leg()))
+        return
+    if "--scaling" in sys.argv:
+        legs = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling-leg"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            legs[ncpu] = json.loads(out.strip().splitlines()[-1])
+        eff = (legs[32]["edges_per_sec"] / legs[8]["edges_per_sec"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "pagerank_scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "edges_per_sec_8": legs[8]["edges_per_sec"],
+                    "edges_per_sec_32": legs[32]["edges_per_sec"],
+                    "legs": legs,
+                }
+            )
+        )
+        return
+    print(json.dumps(plain_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Operator catalog — the engine's ``algo.list`` (``ListProc.java:42-46``).
+
+One row per public pipeline/operator with its reference lineage, so a user of
+the reference can find the equivalent here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_CATALOG = [
+    # name, kind, reference, module
+    ("pagerank", "algorithm", "algo.pageRank / PageRankProc.java", "pipelines.pagerank.pagerank"),
+    ("pagerank.stream", "algorithm", "algo.pageRank.stream", "pipelines.pagerank (result .scores Dataset)"),
+    ("unionfind", "algorithm", "algo.unionFind / UnionFindProc.java", "pipelines.components.connected_components"),
+    ("unionfind.threshold", "algorithm", "algo.unionFind threshold config", "pipelines.components (threshold=)"),
+    ("labelpropagation", "algorithm", "algo.labelPropagation / LabelPropagationProc.java", "pipelines.labelprop.label_propagation"),
+    ("trianglecount", "algorithm", "algo.triangleCount / TriangleProc.java", "pipelines.triangles.triangle_count"),
+    ("triangle.stream", "algorithm", "algo.triangle.stream", "pipelines.triangles (result .triangles Dataset)"),
+    ("clusteringcoefficient", "algorithm", "TriangleCountBase coefficients", "pipelines.triangles (result .coefficients)"),
+    ("graph.load", "source", "GraphLoader / HeavyGraphFactory", "pipelines.graph_build.build_graph"),
+    ("graph.load.cypher", "source", "HeavyCypherGraphFactory (table projection)", "pipelines.graph_build (any edge Dataset)"),
+    ("import.extract", "transform", "relationship projection", "stages.extract.ImportExtractor"),
+    ("idmap", "transform", "IdMap dense ids", "stages.ids.assign_dense_ids"),
+    ("degrees", "aggregate", "Degrees api", "pipelines.graph_queries.q_degrees"),
+    ("export.writeback", "sink", "Exporter.java write-back", "Dataset.write_parquet / *_with_keys joins"),
+    ("isFinite", "function", "IsFiniteFunc.java", "functions.scalars.is_finite"),
+    ("isInfinite", "function", "IsFiniteFunc.java", "functions.scalars.is_infinite"),
+    ("Infinity", "function", "IsFiniteFunc.java", "functions.scalars.infinity"),
+    ("NaN", "function", "IsFiniteFunc.java", "functions.scalars.nan"),
+    ("dedup.exact", "dataprep", "(training-data op)", "pipelines.docs.exact_dedup"),
+    ("dedup.minhash", "dataprep", "(training-data op)", "pipelines.docs.minhash_dedup_pairs"),
+    ("dedup.simhash", "dataprep", "(training-data op)", "pipelines.docs.simhash_near_pairs"),
+    ("text.tokens", "dataprep", "(training-data op)", "pipelines.docs.token_counts"),
+    ("text.quality", "dataprep", "(training-data op)", "pipelines.docs.quality_scores"),
+    ("text.langid", "dataprep", "(training-data op)", "pipelines.docs.language_id"),
+    ("text.fingerprint", "dataprep", "(training-data op)", "pipelines.docs.fingerprints"),
+    ("knn.bruteforce", "dataprep", "(training-data op)", "pipelines.similarity.knn_bruteforce"),
+    ("knn.ivf", "dataprep", "(training-data op)", "pipelines.similarity.knn_ivf"),
+    ("multimodal.decode", "dataprep", "(training-data op)", "pipelines.multimodal.decode_metadata"),
+    ("checkpoint.resume", "infra", "(north-rule requirement)", "state.checkpoint.CheckpointManager"),
+]
+
+
+def list_operators() -> pd.DataFrame:
+    return pd.DataFrame(_CATALOG, columns=["name", "kind", "reference", "module"])

@@ -1,0 +1,307 @@
+"""Training-data document pipelines: dedup (exact / MinHash-LSH / SimHash),
+text analysis (language id, quality scoring, token counting, fingerprinting).
+
+All operate on the ``documents`` table ``(doc_id, text, lang, source,
+n_chars)``.  Pipelines whose outputs back ``oracle_sql()`` entries use only
+SQL-replicable kernels (functions/text.py); sketch-based near-dup paths are
+rows-only checked (non-SQL-expressible) and verified in pytest with planted
+near-duplicates.
+
+Scale shape: every per-doc kernel is a ``map_batches`` stage (stateful actor
+pools where a hasher/regex bank is constructed once); candidate generation
+for near-dup is the standard shingle -> MinHash -> band -> ``groupby(band,
+hash)`` explode, so the only wide ops are groupbys on short keys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..functions import text as T
+
+
+def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
+    """{h: sha256(text), doc_id: min doc_id, n: group size} per distinct text.
+
+    hash-partitioned first-wins dedup: vectorized content hash inside
+    map_batches, then one groupby shuffle on the digest.
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs), "doc_id": t["doc_id"]})
+
+    from ray.data.aggregate import Min
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+class _MinHashStage:
+    """Per-doc shingle->MinHash->band rows (hashers built once per actor)."""
+
+    def __init__(self, num_perm=64, bands=16, k=3):
+        self.mh = T.MinHasher(num_perm=num_perm)
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(
+            [self.mh.signature(T.shingle_hashes(t, self.k)) for t in batch["text"]]
+        )  # (n_docs, num_perm)
+        n = len(batch)
+        view = sigs[:, : self.bands * self.rows].reshape(n, self.bands, self.rows)
+        # vectorized band hash: join band rows to strings, one SipHash pass
+        flat = view.reshape(n * self.bands, self.rows)
+        strs = pd.Series(map(lambda r: "|".join(map(str, r)), flat), dtype=object)
+        bh = T.hash_strings(strs).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(self.bands), n),
+                "bh": bh,
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
+            }
+        )
+
+
+def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> rd.Dataset:
+    """{id_a, id_b} candidate near-dup pairs (band-bucket collisions, deduped)."""
+    band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    pairs = band_rows.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
+    # dedup pairs surfaced by multiple bands
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_b")).select_columns(
+        ["id_a", "id_b"]
+    )
+
+
+def minhash_dedup_pairs(
+    docs: rd.Dataset, *, threshold: float = 0.7, num_perm=64, bands=16, k=3
+) -> rd.Dataset:
+    """Verified near-dup pairs {id_a, id_b, jaccard >= threshold}.
+
+    Candidates come from LSH; exact word-ngram Jaccard verification joins the
+    candidate ids back to their texts via a broadcast of only the candidate
+    docs (candidate set << corpus).
+    """
+    import ray
+
+    cands = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k).materialize()
+    cand_ids = set()
+    for b in cands.iter_batches(batch_format="pandas"):
+        cand_ids.update(b["id_a"].tolist())
+        cand_ids.update(b["id_b"].tolist())
+    if not cand_ids:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    wanted = np.array(sorted(cand_ids), dtype=np.int64)
+    texts = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(
+            lambda b: b[b["doc_id"].isin(wanted)], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    tref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+    kk = k
+    thr = threshold
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(tref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            j = np.array(
+                [
+                    T.jaccard_word_ngrams(self.texts[a], self.texts[bb], kk)
+                    for a, bb in zip(b["id_a"], b["id_b"])
+                ]
+            )
+            out = b.assign(jaccard=j)
+            return out[out["jaccard"] >= thr]
+
+    return cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
+    """{doc_id, simhash: int64 (bit-cast)} per doc."""
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        sh = np.array([T.simhash64(t) for t in b["text"]], dtype=np.uint64)
+        return pd.DataFrame({"doc_id": b["doc_id"], "simhash": sh.view(np.int64)})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        stage, batch_format="pandas", batch_size=1024
+    )
+
+
+def simhash_near_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs by SimHash with exact-match band blocking.
+
+    Pigeonhole guarantee: ``bands = max_hamming + 1`` equal bit-ranges — any
+    pair within the hamming budget leaves at least one band untouched, so
+    candidate generation has no false negatives; candidates are verified with
+    the exact hamming distance.  (More bands => shorter bands => more random
+    collisions; the verify step keeps the output exact either way.)
+    """
+    sigs = simhash_signatures(docs)
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["simhash"].to_numpy().view(np.uint64)
+        out = []
+        for i in range(n_bands):
+            lo = np.uint64(i * width)
+            w = np.uint64(64 - i * width if i == n_bands - 1 else width)
+            band = ((s >> lo) & ((np.uint64(1) << w) - np.uint64(1))).astype(np.int64)
+            out.append(pd.DataFrame({"band": i, "bh": band, "doc_id": b["doc_id"], "sig": b["simhash"]}))
+        return pd.concat(out, ignore_index=True)
+
+    rows = sigs.map_batches(explode_bands, batch_format="pandas")
+
+    mh = max_hamming
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sg = g["sig"].to_numpy().view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hd = T.hamming64(sg[ii], sg[jj])
+        keep = hd <= mh
+        return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep], "hamming": hd[keep]})
+
+    pairs = rows.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (SQL-replicable)
+# ---------------------------------------------------------------------------
+
+
+def token_counts(docs: rd.Dataset) -> rd.Dataset:
+    """{doc_id, n_ws_tokens, n_bpe_tokens}."""
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_ws_tokens": T.count_matches(b["text"], T.WS_TOKEN_RE),
+                "n_bpe_tokens": T.count_matches(b["text"], T.BPE_TOKEN_RE),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(stage, batch_format="pandas")
+
+
+def quality_scores(docs: rd.Dataset) -> rd.Dataset:
+    """{doc_id, n_chars, n_words, n_stop, n_punct, n_upper, stop_ratio, quality}.
+
+    Heuristic web-corpus quality flags (length / punctuation / stopword
+    ratios); integer counts + one exact division each so the DuckDB oracle is
+    bit-identical.
+    """
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        words = T.count_matches(b["text"], T.WORD_RE)
+        stop = T.count_matches(b["text"].str.lower(), T.STOPWORD_RE)
+        punct = T.count_matches(b["text"], T.PUNCT_RE)
+        upper = T.count_matches(b["text"], T.UPPER_RE)
+        nchars = b["text"].str.len().to_numpy(dtype=np.int64)
+        stop_ratio = stop / np.maximum(words, 1)
+        quality = (
+            (nchars >= 100).astype(np.int64)
+            + (words >= 20).astype(np.int64)
+            + (stop_ratio >= 0.01).astype(np.int64)
+            + (punct * 2 <= words).astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": nchars,
+                "n_words": words,
+                "n_stop": stop,
+                "n_punct": punct,
+                "n_upper": upper,
+                "stop_ratio": stop_ratio,
+                "quality": quality,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(stage, batch_format="pandas")
+
+
+def language_id(docs: rd.Dataset) -> rd.Dataset:
+    """{doc_id, pred_lang} — marker-token argmax with fixed precedence."""
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"], "pred_lang": T.lang_predict(b["text"])})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(stage, batch_format="pandas")
+
+
+def fingerprints(docs: rd.Dataset) -> rd.Dataset:
+    """{doc_id, fp} — md5 of the whitespace-normalized lowercased text."""
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        norm = T.normalize_ws(b["text"])
+        fp = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in norm]
+        return pd.DataFrame({"doc_id": b["doc_id"], "fp": fp})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(stage, batch_format="pandas")

@@ -169,7 +169,13 @@ def build_graph(
     sample_cap: int = 400_000,
 ) -> BuiltGraph:
     """corpus -> BuiltGraph (vertex table + degree-balanced partitioned edges)."""
+    import shutil
+
     os.makedirs(workdir, exist_ok=True)
+    # clean slate: write_parquet appends uniquely-named files, so rebuilding
+    # into a dirty dir (e.g. after an interrupted build) would duplicate rows
+    for sub in ("vertices", "edges", "edges_rev", "edges_tri"):
+        shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
     vertices, n_vertices = vertex_table_from_corpus(corpus_ds)
     vdir = os.path.join(workdir, "vertices")
     if n_vertices:

@@ -1,0 +1,164 @@
+"""sf-tier graph cache + query-shaped wrappers for the driver contract.
+
+The driver calls ``queries()[name](sf_dir)``; graph inputs are the
+deterministic synthetic corpus for that tier (sources/corpus.py), built once
+per tier under ``/tmp/graft_graphs/<tier>`` and reused by every graph query
+(the expensive one-time id-assignment + partitioning is an immutable input to
+all four algorithms — SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import ray.data as rd
+
+from ..sources.corpus import corpus_path_for
+from .graph_build import BuiltGraph, build_graph
+
+GRAPH_CACHE_ROOT = "/tmp/graft_graphs"
+_DEFAULT_P = 8
+
+# per-process memo of expensive shared results (triangle_count backs three
+# queries, connected_components backs two; the driver calls each separately)
+_MEMO: dict = {}
+
+
+def _memo_get(key, fn):
+    if key not in _MEMO:
+        _MEMO[key] = fn()
+    return _MEMO[key]
+
+
+def graph_for_sf(sf_dir: str, P: int = _DEFAULT_P) -> BuiltGraph:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    workdir = os.path.join(GRAPH_CACHE_ROOT, f"{base}.P{P}")
+    marker = os.path.join(workdir, "_DONE")
+    if os.path.exists(marker):
+        return BuiltGraph.load(workdir)
+    corpus = rd.read_parquet(corpus_path_for(sf_dir))
+    g = build_graph(corpus, workdir, P=P)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return g
+
+
+# -- query wrappers (return small pandas results; see __ray_entry__) --------
+
+
+def q_edge_extract(sf_dir: str):
+    from ..stages.extract import extract_edges
+
+    corpus = rd.read_parquet(corpus_path_for(sf_dir))
+    return extract_edges(corpus).select_columns(["src_key", "dst_key"])
+
+
+def q_vertices(sf_dir: str):
+    return graph_for_sf(sf_dir).vertices_ds()
+
+
+def q_degrees(sf_dir: str):
+    """Out-degree per vertex (Degrees api / AdjacencyMatrix.degree:189-198)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+    import numpy as np
+
+    g = graph_for_sf(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(t["src"].to_numpy(), return_counts=True)
+        return pa.table({"vid": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
+
+    deg = (
+        g.edges_ds(columns=["src", "dst"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("n", alias_name="out_deg"))
+    )
+    verts = g.vertices_ds().select_columns(["vid"])
+    import pyarrow.compute as pc
+
+    return verts.join(deg, "left_outer", g.P, on=("vid",)).map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "out_deg": pc.coalesce(t["out_deg"], pa.scalar(0)).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    from .pagerank import pagerank
+
+    g = graph_for_sf(sf_dir)
+    res = pagerank(g, tol=1e-6)
+    return res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def _cc(sf_dir: str):
+    from .components import connected_components
+
+    g = graph_for_sf(sf_dir)
+    return _memo_get(("cc", sf_dir), lambda: connected_components(g))
+
+
+def q_connected_components(sf_dir: str) -> pd.DataFrame:
+    return _cc(sf_dir).labels.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def q_cc_set_sizes(sf_dir: str) -> pd.DataFrame:
+    return _cc(sf_dir).set_sizes().to_pandas().sort_values("label").reset_index(drop=True)
+
+
+def q_label_propagation(sf_dir: str) -> pd.DataFrame:
+    from .labelprop import label_propagation
+
+    g = graph_for_sf(sf_dir)
+    res = label_propagation(g, direction="BOTH", max_iterations=20)
+    return res.labels.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def _tri(sf_dir: str):
+    from .triangles import triangle_count
+
+    g = graph_for_sf(sf_dir)
+    return _memo_get(("tri", sf_dir), lambda: triangle_count(g))
+
+
+def q_triangle_counts(sf_dir: str) -> pd.DataFrame:
+    return _tri(sf_dir).counts.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def q_triangle_global(sf_dir: str) -> pd.DataFrame:
+    return pd.DataFrame({"triangle_count": [_tri(sf_dir).triangle_count]})
+
+
+def q_clustering_coefficients(sf_dir: str) -> pd.DataFrame:
+    return (
+        _tri(sf_dir)
+        .coefficients.select_columns(["vid", "coefficient"])
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+
+
+def q_sha256_invariance(sf_dir: str):
+    """Corpus rows routed through a map_batches pass-through; per-row sha256
+    must equal the oracle's (FIXTURES.md §10.1)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    corpus = rd.read_parquet(corpus_path_for(sf_dir))
+
+    def sha(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in t["content"].to_pylist()]
+        return pa.table(
+            {
+                "key": pa.compute.binary_join_element_wise(t["repo"], t["path"], "/"),
+                "sha": pa.array(hs),
+            }
+        )
+
+    return corpus.map_batches(sha, batch_format="pyarrow")

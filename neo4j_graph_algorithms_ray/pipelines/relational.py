@@ -1,0 +1,101 @@
+"""Relational demo pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's wide-operator surface (groupby aggregates with
+map-side pre-aggregation, hash joins, sort/limit top-k, event-time windowing)
+with exact DuckDB oracles.  Column names match the oracle SQL exactly (the
+driver's compare sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def read_table(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-shaped aggregate (no date filter; exercises multi-agg groupby)."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    return (
+        li.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Join orders->customer, total spend per customer, top-k by spend."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    spend = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spend"), Count(alias_name="n_orders")
+    )
+    joined = spend.join(cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
+    # deterministic order: spend desc, custkey asc
+    def keyed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("neg_spend", pc.negate(t["total_spend"]))
+
+    top = (
+        joined.map_batches(keyed, batch_format="pyarrow")
+        .sort(["neg_spend", "o_custkey"])
+        .limit(k)
+        .select_columns(["o_custkey", "c_name", "total_spend", "n_orders"])
+    )
+    return top
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+
+    Window start emitted as epoch seconds (int64) — engine-stable timestamp
+    representation for the oracle compare.
+    """
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def win(b: pd.DataFrame) -> pd.DataFrame:
+        # unit-safe epoch seconds (ts arrives as datetime64[us] from Arrow)
+        w = b["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        return pd.DataFrame({"event_type": b["event_type"], "window_start": w, "value": b["value"]})
+
+    return (
+        ev.map_batches(win, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+
+def supplier_nation_counts(sf_dir: str) -> rd.Dataset:
+    """Two-hop dimension join: suppliers per region (broadcast-small joins)."""
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    reg = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    j = sup.join(nat, "inner", 4, on=("s_nationkey",), right_on=("n_nationkey",))
+    j = j.join(reg, "inner", 4, on=("n_regionkey",), right_on=("r_regionkey",))
+    return j.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))

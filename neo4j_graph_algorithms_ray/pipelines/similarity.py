@@ -1,0 +1,172 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_bruteforce`` — the exactness baseline: broadcast the (small) query
+  matrix once (``ray.put``), per-batch float64 matmul against each block of
+  the embedding table, per-batch partial top-k, final per-query top-k in a
+  tiny ``groupby(query_id).map_groups``.  One pass over the table, no
+  shuffle of the vectors themselves — only of k-sized candidate sets.
+- ``knn_ivf`` — the scale path: coarse-quantize vectors to the nearest of C
+  centroids (a bucket column), probe only the query's ``nprobe`` nearest
+  buckets, exact re-rank inside.  Recall measured against brute force in
+  tests; centroid choice is deterministic (first C vectors by vec_id).
+
+Output contract (shared with the DuckDB oracle): ``{query_id, vec_id, cos_u}``
+where ``cos_u = floor(cosine * 1e6 + 0.5)`` (int64, round-half-up) and ordering/tie-break is
+(cos_u DESC, vec_id ASC).  ``floor`` has identical semantics in NumPy and
+DuckDB (unlike round-half modes), and the 1e-6 quantization absorbs
+summation-order float noise, so top-k sets are engine-stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def read_embeddings(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _batch_matrix(b: pd.DataFrame) -> np.ndarray:
+    return np.stack(b["embedding"].to_numpy()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the first ``n_queries`` vectors by vec_id."""
+    q = (
+        read_embeddings(sf_dir)
+        .map_batches(lambda b: b[b["vec_id"] < n_queries], batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return q["vec_id"].to_numpy(), _normalize(_batch_matrix(q))
+
+
+class _ScoreStage:
+    """Partial top-k of one embedding block against the broadcast queries."""
+
+    def __init__(self, qref, k: int):
+        self.qids, self.Q = ray.get(qref)  # (nq,), (nq, d) normalized
+        self.k = k
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        M = _normalize(_batch_matrix(b))  # (n, d)
+        cos_u = np.floor((M @ self.Q.T) * 1e6 + 0.5).astype(np.int64)  # (n, nq)
+        vids = b["vec_id"].to_numpy()
+        n, nq = cos_u.shape
+        k = min(self.k, n)
+        rows = {"query_id": [], "vec_id": [], "cos_u": []}
+        for qi in range(nq):
+            order = np.lexsort((vids, -cos_u[:, qi]))[:k]  # cos_u desc, vid asc
+            rows["query_id"].append(np.full(k, self.qids[qi]))
+            rows["vec_id"].append(vids[order])
+            rows["cos_u"].append(cos_u[order, qi])
+        return pd.DataFrame({c: np.concatenate(v) for c, v in rows.items()})
+
+
+def _final_topk(k: int):
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos_u", "vec_id"], ascending=[False, True]).head(k)
+
+    return top
+
+
+def knn_bruteforce(emb: rd.Dataset, qids: np.ndarray, Q: np.ndarray, *, k: int = 10) -> rd.Dataset:
+    qref = ray.put((qids, Q))
+    cand = emb.map_batches(
+        _ScoreStage,
+        fn_constructor_kwargs={"qref": qref, "k": k},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return cand.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+def knn_ivf(
+    emb: rd.Dataset,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> rd.Dataset:
+    """IVF-flat: bucket by nearest centroid, probe nprobe buckets, exact re-rank."""
+    cent = (
+        emb.map_batches(lambda b: b[b["vec_id"] < n_centroids], batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    C = _normalize(_batch_matrix(cent))  # (C, d)
+    cref = ray.put(C)
+    qref = ray.put((qids, Q))
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+            self.qids, self.Q = ray.get(qref)
+            qsim = self.Q @ self.C.T  # (nq, C)
+            probe = np.argsort(-qsim, axis=1)[:, :nprobe]
+            self.probed = set()
+            for qi in range(len(self.qids)):
+                for c in probe[qi]:
+                    self.probed.add((int(self.qids[qi]), int(c)))
+            self.probe_buckets = {b for _, b in self.probed}
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            M = _normalize(_batch_matrix(b))
+            bucket = np.argmax(M @ self.C.T, axis=1)
+            keep = np.isin(bucket, list(self.probe_buckets))
+            return b[keep].assign(bucket=bucket[keep])
+
+    filtered = emb.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q = ray.get(qref)
+            self.C = ray.get(cref)
+            qsim = self.Q @ self.C.T
+            self.qprobe = {
+                int(q): set(np.argsort(-qsim[i])[:nprobe].tolist())
+                for i, q in enumerate(self.qids)
+            }
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            M = _normalize(_batch_matrix(b))
+            cos = M @ self.Q.T
+            outs = []
+            bucket = b["bucket"].to_numpy()
+            vec_ids = b["vec_id"].to_numpy()
+            for qi, q in enumerate(self.qids):
+                mask = np.isin(bucket, list(self.qprobe[int(q)]))
+                if not mask.any():
+                    continue
+                c = cos[mask, qi]
+                kk = min(k, len(c))
+                top = np.argpartition(-c, kk - 1)[:kk]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(q),
+                            "vec_id": vec_ids[mask][top],
+                            "cos_u": np.floor(c[top] * 1e6 + 0.5).astype(np.int64),
+                        }
+                    )
+                )
+            if not outs:
+                return pd.DataFrame({"query_id": [], "vec_id": [], "cos_u": []})
+            return pd.concat(outs, ignore_index=True)
+
+    cand = filtered.map_batches(Score, batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+    return cand.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

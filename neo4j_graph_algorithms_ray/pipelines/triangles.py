@@ -262,10 +262,23 @@ def triangle_count(graph: BuiltGraph, *, chunk: int = 1 << 18) -> TriangleResult
 
     oriented = canon.map_batches(Orient, batch_format="pyarrow", concurrency=(1, 4))
     tri_dir = os.path.join(workdir, "edges_tri")
-    partition_edges(oriented, graph.bounds, tri_dir, key="a")
+    # write_parquet appends uniquely-named files: a re-run into a dirty dir
+    # would duplicate every oriented edge (and square the wedge count) —
+    # rebuild from scratch unless a completed layout exists
+    marker = os.path.join(tri_dir, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
 
+        shutil.rmtree(tri_dir, ignore_errors=True)
+        partition_edges(oriented, graph.bounds, tri_dir, key="a")
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    # probe actors reserve no CPU: they are mostly idle and their probe work
+    # is short bursts — reserving CPUs here deadlocks against the wedge pool
+    # when P approaches the session CPU count
     actors = [
-        ray.remote(num_cpus=0.5)(MembershipShard).remote(p, graph.bounds, tri_dir)
+        ray.remote(num_cpus=0)(MembershipShard).remote(p, graph.bounds, tri_dir)
         for p in range(graph.P)
     ]
     ray.get([a.ready.remote() for a in actors])
@@ -276,7 +289,8 @@ def triangle_count(graph: BuiltGraph, *, chunk: int = 1 << 18) -> TriangleResult
         fn_constructor_kwargs={"tri_dir": tri_dir, "bounds": graph.bounds, "actors": actors, "chunk": chunk},
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=graph.P,
+        concurrency=(1, graph.P),
+        num_cpus=0.5,
     ).materialize()
     n_triangles = triangles.count()
 

@@ -358,8 +358,17 @@ class LabelPropShard:
         )
 
 
-def make_shard_actors(cls, graph, *, actor_kwargs=None, num_cpus: float = 1.0):
-    """Spawn one remote shard per partition of a BuiltGraph."""
+def make_shard_actors(cls, graph, *, actor_kwargs=None, num_cpus: float = 0.25):
+    """Spawn one remote shard per partition of a BuiltGraph.
+
+    ``num_cpus=0.25``: shard actors must never reserve the whole session —
+    Ray Data ops issued while the pool is alive (``from_arrow_refs`` spawns a
+    1-CPU metadata task per block; any map/write stage needs task slots)
+    would pend forever and deadlock the driver.  P = num_cpus shards reserve
+    a quarter of the session; during BSP iterations the shards are the only
+    runnable work, so real parallelism is unaffected (the OS schedules the
+    actor processes across all cores).
+    """
     actor_kwargs = actor_kwargs or {}
     remote_cls = ray.remote(num_cpus=num_cpus)(cls)
     return [

@@ -1,0 +1,139 @@
+"""Dedup / text-analysis / similarity / multimodal pipeline tests (planted cases)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.functions import text as T
+from neo4j_graph_algorithms_ray.pipelines import docs as D
+from neo4j_graph_algorithms_ray.pipelines import multimodal as M
+from neo4j_graph_algorithms_ray.pipelines import similarity as S
+
+
+def _docs_table():
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest where many small animals live quietly"
+    )
+    near = base.replace("quick", "swift")  # one-word change -> high jaccard
+    other = (
+        "completely different content about database engines and vectorized execution "
+        "plans with columnar storage formats adaptive radix indexes cost based "
+        "optimizers pipelined operators morsel driven parallelism buffer managers "
+        "write ahead logging multi version concurrency control and lock free data structures"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, other),
+        (4, other + " with a tiny suffix"),
+        (5, "zz " * 40),
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+
+
+def test_exact_dedup_groups():
+    ds = rd.from_arrow(_docs_table())
+    out = D.exact_dedup(ds).to_pandas()
+    assert len(out) == 5  # 6 docs, one exact pair
+    grp = out[out["n"] == 2]
+    assert len(grp) == 1 and grp["doc_id"].iloc[0] == 0  # min doc_id representative
+
+
+def test_minhash_finds_planted_near_dups():
+    ds = rd.from_arrow(_docs_table())
+    pairs = D.minhash_dedup_pairs(ds, threshold=0.5).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found  # exact dup (jaccard 1.0)
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    assert all(j >= 0.5 for j in pairs["jaccard"])
+    assert not any({a, b} == {3, 5} for a, b in found)
+
+
+def test_simhash_pairs():
+    ds = rd.from_arrow(_docs_table())
+    sigs = D.simhash_signatures(ds).to_pandas()
+    assert len(sigs) == 6
+    by_id = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    assert by_id[0] == by_id[1]  # identical text -> identical signature
+    pairs = D.simhash_near_pairs(ds, max_hamming=6).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    assert (3, 4) in found  # suffix-only change -> few bit flips
+
+
+def test_jaccard_kernel_symmetry():
+    a, b = "one two three four five", "one two three four six"
+    assert T.jaccard_word_ngrams(a, a) == 1.0
+    assert 0 < T.jaccard_word_ngrams(a, b) < 1
+
+
+def test_knn_bruteforce_recall_vs_numpy():
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(200, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in emb], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    qids = np.arange(3)
+    Q = emb[:3].astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    out = S.knn_bruteforce(ds, qids, Q, k=5).to_pandas()
+    # numpy oracle
+    M_ = emb.astype(np.float64)
+    M_ = M_ / np.linalg.norm(M_, axis=1, keepdims=True)
+    cos = M_ @ Q.T
+    for qi in range(3):
+        got = set(out[out["query_id"] == qi]["vec_id"])
+        cos_u = np.floor(cos[:, qi] * 1e6).astype(np.int64)
+        order = np.lexsort((np.arange(200), -cos_u))[:5]
+        assert got == set(order.tolist())
+    # self is always the top hit
+    top = out.sort_values(["query_id", "cos_u"], ascending=[True, False]).groupby("query_id").head(1)
+    assert (top["vec_id"].to_numpy() == qids).all()
+
+
+def test_knn_ivf_recall():
+    sf = "/root/testdata/sf0.001"
+    qids, Q = S.load_queries(sf, 5)
+    bf = S.knn_bruteforce(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
+    ivf = S.knn_ivf(S.read_embeddings(sf), qids, Q, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in qids:
+        b = set(bf[bf["query_id"] == q]["vec_id"])
+        i = set(ivf[ivf["query_id"] == q]["vec_id"])
+        recalls.append(len(b & i) / len(b))
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 buckets: decent recall
+
+
+def test_multimodal_roundtrip():
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["hello world", "abc"])})
+    )
+    binr = M.attach_binary_payload(docs)
+    meta = M.decode_metadata(binr).to_pandas().sort_values("doc_id")
+    assert meta["n_bytes"].tolist() == [8 + 11, 8 + 3]
+    assert meta["width"].tolist() == [16 + 11 % 64, 16 + 3 % 64]
+    frames = M.frame_sample(M.decode_metadata(binr), every=2).to_pandas()
+    assert (frames["frame"] % 2 == 0).all()
+    with pytest.raises(NotImplementedError):
+        M.DecodeStage(real=True)
+
+
+def test_token_counts_and_quality_kernels():
+    s = pd.Series(["the cat, and THE dog!", ""])
+    assert T.count_matches(s, T.WS_TOKEN_RE).tolist() == [5, 0]
+    assert T.count_matches(s.str.lower(), T.STOPWORD_RE).tolist() == [3, 0]
+    pred = T.lang_predict(pd.Series(["the cat and the dog is here", "der hund und die katze ist", "xyz"]))
+    assert pred.tolist() == ["en", "de", "unknown"]

@@ -1,0 +1,122 @@
+"""Mini-driver: run every queries() entry and compare against its oracle_sql()
+via DuckDB — the same check the real driver performs at sf=0.01 (here at
+sf=0.001 for speed; the SQL prefix is re-pointed via _ORACLE_SF)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def contract(monkeypatch_module=None):
+    # point the oracle SQL corpus at the test tier
+    old = E._ORACLE_SF
+    E._ORACLE_SF = SF
+    yield E.queries(), E.oracle_sql()
+    E._ORACLE_SF = old
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _compare(name, ray_df, sql_df):
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} vs {len(sql_df)}"
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: cols {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
+    )
+    a, b = _normalize(ray_df), _normalize(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            np.testing.assert_allclose(
+                av.astype(float), bv.astype(float), rtol=0, atol=1e-9, err_msg=f"{name}.{c}"
+            )
+        else:
+            assert (av == bv).all(), f"{name}.{c}: first diff at {np.argmax(av != bv)}"
+
+
+ORACLE_QUERIES = [
+    "edge_extract",
+    "vertices",
+    "degrees",
+    "sha256_invariance",
+    "triangle_counts",
+    "triangle_global",
+    "clustering_coefficients",
+    "dedup_exact",
+    "token_counts",
+    "quality_scores",
+    "language_id",
+    "fingerprints",
+    "knn_bruteforce",
+    "multimodal_meta",
+    "lineitem_summary",
+    "top_customers",
+    "events_hourly",
+    "supplier_nations",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(contract, con, name):
+    queries, oracles = contract
+    assert name in queries and name in oracles
+    ray_df = _to_pandas(queries[name](SF))
+    sql_df = con.sql(oracles[name]).df()
+    _compare(name, ray_df, sql_df)
+
+
+ROWS_ONLY = [
+    "pagerank",
+    "connected_components",
+    "cc_set_sizes",
+    "label_propagation",
+    "minhash_pairs",
+    "simhash_signatures",
+    "knn_ivf",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(contract, name):
+    queries, oracles = contract
+    assert name not in oracles  # intentionally non-SQL-expressible
+    df = _to_pandas(queries[name](SF))
+    if name == "minhash_pairs":
+        assert len(df) >= 0  # word-soup corpus has no near-dups
+    else:
+        assert len(df) > 0
+    assert df.columns.is_unique
+
+
+def test_entry_smoke():
+    df = _to_pandas(E.entry())
+    assert len(df) > 0
+    assert {"key", "score"}.issubset(df.columns)
+    assert (df["score"] >= 0.1499999).all()

@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": G.q_connected_components,
         "cc_set_sizes": G.q_cc_set_sizes,
         "label_propagation": G.q_label_propagation,
+        "sssp": G.q_sssp,
+        "harmonic_centrality": G.q_harmonic,
+        "closeness_centrality": G.q_closeness,
         # triangles (SQL-expressible -> oracle-checked)
         "triangle_counts": G.q_triangle_counts,
         "triangle_global": G.q_triangle_global,

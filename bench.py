@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # scaling-bench corpus (compute-dominated: ~35M edges so per-iteration barrier
 # cost is amortized; cached under /tmp across runs)
-BENCH_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "600000"))
+BENCH_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "1200000"))
 BENCH_AVG_OUT = float(os.environ.get("GRAFT_BENCH_AVG_OUT", "50"))
 BENCH_REPOS = max(8, BENCH_FILES // 2000)
 BENCH_SEED = 4242
@@ -79,12 +79,16 @@ def scaling_leg() -> dict:
     import ray
 
     t0 = time.perf_counter()
-    g = _bench_graph(NCPU)
+    g = _bench_graph(max(2, NCPU // 4))
     build_s = time.perf_counter() - t0
 
     from neo4j_graph_algorithms_ray.pipelines.pagerank import pagerank
 
-    res = pagerank(g, tol=1e-6)
+    # same shard count per core budget (P = ncpu/4, 4 GIL-releasing kernel
+    # threads per shard): round-coordination cost stays at small P while the
+    # kernel scales with the core count — the analogue of one multi-core
+    # worker per node on a real cluster
+    res = pagerank(g, tol=1e-6, threads=4)
     out = {
         "num_cpus": NCPU,
         "P": g.P,

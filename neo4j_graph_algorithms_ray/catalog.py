@@ -18,6 +18,10 @@ _CATALOG = [
     ("trianglecount", "algorithm", "algo.triangleCount / TriangleProc.java", "pipelines.triangles.triangle_count"),
     ("triangle.stream", "algorithm", "algo.triangle.stream", "pipelines.triangles (result .triangles Dataset)"),
     ("clusteringcoefficient", "algorithm", "TriangleCountBase coefficients", "pipelines.triangles (result .coefficients)"),
+    ("closeness", "algorithm", "algo.closeness / MSClosenessCentrality.java", "pipelines.centrality.closeness_centrality"),
+    ("harmonic", "algorithm", "algo.harmonic / MSHarmonicCentrality.java", "pipelines.centrality.harmonic_centrality"),
+    ("msbfs", "kernel", "MultiSourceBFS.java (omega=32 bitmask BFS)", "state.bfs_shards.MsBfsShard"),
+    ("shortestPath", "algorithm", "algo.shortestPath[.deltaStepping] / ShortestPathDeltaStepping.java", "pipelines.centrality.shortest_paths"),
     ("graph.load", "source", "GraphLoader / HeavyGraphFactory", "pipelines.graph_build.build_graph"),
     ("graph.load.cypher", "source", "HeavyCypherGraphFactory (table projection)", "pipelines.graph_build (any edge Dataset)"),
     ("import.extract", "transform", "relationship projection", "stages.extract.ImportExtractor"),

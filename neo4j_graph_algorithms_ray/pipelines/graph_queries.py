@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -141,6 +142,33 @@ def q_clustering_coefficients(sf_dir: str) -> pd.DataFrame:
         .sort_values("vid")
         .reset_index(drop=True)
     )
+
+
+def q_sssp(sf_dir: str) -> pd.DataFrame:
+    """Unweighted shortest paths from vid 0 (finite distances only)."""
+    from .centrality import shortest_paths
+
+    g = graph_for_sf(sf_dir)
+    df = shortest_paths(g, source=0).distances.to_pandas()
+    df = df[np.isfinite(df["distance"])].copy()
+    df["distance"] = df["distance"].astype("int64")
+    return df.sort_values("vid").reset_index(drop=True)
+
+
+def q_harmonic(sf_dir: str) -> pd.DataFrame:
+    from .centrality import harmonic_centrality
+
+    g = graph_for_sf(sf_dir)
+    res = harmonic_centrality(g, direction="BOTH", sample_sources=64)
+    return res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def q_closeness(sf_dir: str) -> pd.DataFrame:
+    from .centrality import closeness_centrality
+
+    g = graph_for_sf(sf_dir)
+    res = closeness_centrality(g, direction="BOTH", sample_sources=64)
+    return res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
 
 
 def q_sha256_invariance(sf_dir: str):

@@ -103,6 +103,52 @@ def _exchange_groupby(actors, P, bounds):
     return ray.get([a.finish_iteration.remote() for a in actors])
 
 
+def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every):
+    """Single-wave pipelined loop: call k applies round k-1 and pushes round k.
+
+    Convergence is checked with one round of lag (the driver reads round
+    k-1's max-delta after submitting round k), so tol-mode runs exactly one
+    extra apply — deterministic, and the extra apply only tightens the
+    scores.  Fixed-iteration mode submits exactly ``iterations`` applies.
+    """
+    import ray as _ray
+
+    import ray as _ray2  # noqa: F401  (alias kept for clarity below)
+
+    check_every = 8 if (iterations is None and tol is not None) else n_iter
+    msgs = [a.step.options(num_returns=2).remote() for a in actors]  # initial push
+    max_delta = float("inf")
+    converged = False
+    ran = 0
+    for it in range(n_iter):
+        msg_refs = [m[0] for m in msgs]
+        # spread-ref submission (scheduler resolves the P deps per task); the
+        # driver runs ahead up to `check_every` rounds without a barrier, so
+        # round latency is the actors' critical path, not a per-round sync
+        msgs = [a.step.options(num_returns=2).remote(*msg_refs) for a in actors]
+        ran = it + 1
+        if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
+            files = _ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+            max_delta = max(_ray.get([m[1] for m in msgs]))
+            ckpt.commit_iteration(
+                it,
+                files,
+                {"max_delta": max_delta, "bounds": [int(b) for b in bounds], "algo": "pagerank"},
+            )
+            if iterations is None and tol is not None and max_delta < tol:
+                converged = True
+                break
+            continue
+        if iterations is None and tol is not None and (it + 1) % check_every == 0:
+            max_delta = max(_ray.get([m[1] for m in msgs]))
+            if max_delta < tol:
+                converged = True
+                break
+    if max_delta == float("inf"):
+        max_delta = max(_ray.get([m[1] for m in msgs]))
+    return ran, converged, max_delta
+
+
 def pagerank(
     graph: BuiltGraph,
     *,
@@ -110,13 +156,19 @@ def pagerank(
     iterations: int | None = None,
     tol: float | None = 1e-6,
     max_iterations: int = 200,
-    exchange: str = "direct",
+    exchange: str = "fused",
+    threads: int = 1,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
 ) -> PageRankResult:
     t0 = time.perf_counter()
-    actors = make_shard_actors(PageRankShard, graph, actor_kwargs={"damping": damping})
+    actors = make_shard_actors(
+        PageRankShard,
+        graph,
+        actor_kwargs={"damping": damping, "threads": threads},
+        num_cpus=max(0.25, threads - 0.5),
+    )
     ray.get([a.ready.remote() for a in actors])
     P = graph.P
 
@@ -134,25 +186,35 @@ def pagerank(
     max_delta = float("inf")
     converged = False
     it = start_iter - 1
+    ran = 0
     t1 = time.perf_counter()
-    for it in range(start_iter, n_iter):
-        if exchange == "direct":
-            deltas = _exchange_direct(actors, P)
-        else:
-            deltas = _exchange_groupby(actors, P, graph.bounds)
-        max_delta = max(deltas) if deltas else 0.0
-        if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
-            files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
-            ckpt.commit_iteration(
-                it, files, {"max_delta": max_delta, "bounds": graph.bounds.tolist(), "algo": "pagerank"}
-            )
-        if iterations is None and tol is not None and max_delta < tol:
-            converged = True
-            break
+    if exchange == "fused" and start_iter == 0:
+        ran, converged, max_delta = _run_fused(
+            actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every
+        )
+    else:
+        # split/groupby exchanges (and resumed runs, which need exact
+        # iteration accounting from a mid-stream start)
+        if exchange == "fused":
+            exchange = "direct"
+        for it in range(start_iter, n_iter):
+            if exchange == "direct":
+                deltas = _exchange_direct(actors, P)
+            else:
+                deltas = _exchange_groupby(actors, P, graph.bounds)
+            max_delta = max(deltas) if deltas else 0.0
+            if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
+                files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+                ckpt.commit_iteration(
+                    it, files, {"max_delta": max_delta, "bounds": graph.bounds.tolist(), "algo": "pagerank"}
+                )
+            if iterations is None and tol is not None and max_delta < tol:
+                converged = True
+                break
+        ran = it - start_iter + 1
     compute_s = time.perf_counter() - t1
 
     scores = rd.from_arrow_refs([a.scores_table.remote() for a in actors])
-    ran = it - start_iter + 1
     return PageRankResult(
         scores=scores,
         ran_iterations=ran,

@@ -1,0 +1,176 @@
+"""Multi-source BFS shard actors (reference: ``MultiSourceBFS.java`` — up to
+ω=32 concurrent BFS traversals encoded as per-vertex bitmasks, aggregated
+neighbor processing).
+
+Shard-local state per batch of <=32 sources: ``visited``/``new`` uint32 masks
+for the shard's vertex range.  One BSP round = expand the newly-visited
+frontier along local out-edges with per-destination bitwise-OR combining
+(``np.bitwise_or.reduceat`` over the dst-sorted CSR — same layout as the
+PageRank combiner), route mask tables to owning shards, absorb, report how
+many new bits were set.  Distance-dependent statistics (closeness farness,
+harmonic inverse-farness, BFS depth) are accumulated as bits first turn on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .shards import EdgeShardBase, _read_partition
+
+
+class MsBfsShard(EdgeShardBase):
+    """One vertex range of an (up to) 32-source concurrent BFS."""
+
+    def __init__(self, part, bounds, edges_dir, rev_edges_dir=None, direction="OUTGOING"):
+        # build the traversal edge list according to direction (like LP)
+        super().__init__(part, bounds, edges_dir, weighted=False)
+        if direction in ("INCOMING", "BOTH"):
+            assert rev_edges_dir is not None
+            t = _read_partition(rev_edges_dir, part, ["src", "dst"])
+            rsrc = t["dst"].to_numpy().astype(np.int64, copy=False) - self.lo  # local u
+            rdst = t["src"].to_numpy().astype(np.int64, copy=False)
+            if direction == "INCOMING":
+                self.esrc, self.dst = rsrc, rdst
+            else:
+                self.esrc = np.concatenate([self.esrc, rsrc])
+                self.dst = np.concatenate([self.dst, rdst])
+            order = np.argsort(self.dst, kind="stable")
+            self.esrc_by_dst = self.esrc[order]
+            dst_sorted = self.dst[order]
+            if len(dst_sorted):
+                self.uniq_dst, self.seg_starts = np.unique(dst_sorted, return_index=True)
+            else:
+                self.uniq_dst = np.array([], dtype=np.int64)
+                self.seg_starts = np.array([], dtype=np.int64)
+            self.dst_split = np.searchsorted(self.uniq_dst, self.bounds[1:-1])
+
+    def start(self, sources: np.ndarray):
+        """Begin a batch: sources are global vids (<=32); bit i = sources[i]."""
+        self.n_sources = len(sources)
+        self.visited = np.zeros(self.n_local, dtype=np.uint32)
+        self.new = np.zeros(self.n_local, dtype=np.uint32)
+        self.depth = 0
+        self.farness = np.zeros(self.n_local, dtype=np.float64)
+        self.inv_farness = np.zeros(self.n_local, dtype=np.float64)
+        self.reached = np.zeros(self.n_local, dtype=np.int64)
+        for i, s in enumerate(sources):
+            if self.lo <= s < self.hi:
+                bit = np.uint32(1) << np.uint32(i)
+                self.visited[s - self.lo] |= bit
+                self.new[s - self.lo] |= bit
+        return self.part
+
+    def expand(self):
+        """Push the frontier along local edges; one mask table per shard."""
+        masks = self.new[self.esrc_by_dst]  # per-edge (dst-sorted) source mask
+        if len(self.seg_starts):
+            ors = np.bitwise_or.reduceat(masks, self.seg_starts)
+        else:
+            ors = np.array([], dtype=np.uint32)
+        out = []
+        for dchunk, mchunk in zip(self._split_by_owner(self.uniq_dst), self._split_by_owner(ors)):
+            nz = mchunk != 0
+            out.append(
+                pa.table(
+                    {"dst": pa.array(dchunk[nz]), "mask": pa.array(mchunk[nz].astype(np.uint32))}
+                )
+            )
+        return tuple(out) if self.P > 1 else out[0]
+
+    def absorb(self, *tables) -> int:
+        """Apply incoming frontier masks at depth+1; returns #new bits set."""
+        self.depth += 1
+        inc = np.zeros(self.n_local, dtype=np.uint32)
+        for t in tables:
+            if t is not None and t.num_rows:
+                idx = t["dst"].to_numpy().astype(np.int64) - self.lo
+                m = t["mask"].to_numpy().astype(np.uint32)
+                np.bitwise_or.at(inc, idx, m)
+        new = inc & ~self.visited
+        self.visited |= new
+        self.new = new
+        nz = np.flatnonzero(new)
+        if len(nz):
+            # vectorized popcount of the newly-set source bits
+            counts = (
+                np.unpackbits(new[nz].view(np.uint8).reshape(len(nz), 4), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            self.reached[nz] += counts
+            self.farness[nz] += counts * float(self.depth)
+            self.inv_farness[nz] += counts / float(self.depth)
+        return int(len(nz))
+
+    def stats_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
+                "reached": pa.array(self.reached),
+                "farness": pa.array(self.farness),
+                "inv_farness": pa.array(self.inv_farness),
+            }
+        )
+
+    def distances_table(self, source_index: int) -> pa.Table:
+        """Depths for one source bit — note only final depths of *visited*;
+        kept simple: distance = depth at which the bit turned on is not stored
+        per-bit, so this is only exposed for single-source batches (bit 0)."""
+        raise NotImplementedError("use SsspShard for per-vertex distances")
+
+
+class SsspShard(EdgeShardBase):
+    """Single-source shortest paths state (unweighted BFS or weighted
+    Bellman-Ford-style relaxation — the distributed analogue of the
+    reference's delta-stepping relaxations, ``ShortestPathDeltaStepping.java``,
+    without the bucket ordering: each round relaxes the whole active set,
+    message = min distance per destination)."""
+
+    def __init__(self, part, bounds, edges_dir, weighted=False):
+        super().__init__(part, bounds, edges_dir, weighted=weighted)
+        self.weighted = weighted
+
+    def start(self, source: int):
+        self.dist = np.full(self.n_local, np.inf)
+        self.active = np.zeros(self.n_local, dtype=bool)
+        if self.lo <= source < self.hi:
+            self.dist[source - self.lo] = 0.0
+            self.active[source - self.lo] = True
+        return self.part
+
+    def relax(self):
+        """Push tentative distances along local out-edges of active vertices."""
+        w = self.weight if self.weighted else np.ones(len(self.dst))
+        # per-edge candidate distance (dst-sorted order)
+        cand = self.dist[self.esrc_by_dst] + (w[self.dorder] if self.weighted else 1.0)
+        act = self.active[self.esrc_by_dst]
+        cand = np.where(act, cand, np.inf)
+        if len(self.seg_starts):
+            mins = np.minimum.reduceat(cand, self.seg_starts)
+        else:
+            mins = np.array([])
+        out = []
+        for dchunk, mchunk in zip(self._split_by_owner(self.uniq_dst), self._split_by_owner(mins)):
+            ok = np.isfinite(mchunk)
+            out.append(pa.table({"dst": pa.array(dchunk[ok]), "d": pa.array(mchunk[ok])}))
+        return tuple(out) if self.P > 1 else out[0]
+
+    def absorb(self, *tables) -> int:
+        cand = np.full(self.n_local, np.inf)
+        for t in tables:
+            if t is not None and t.num_rows:
+                idx = t["dst"].to_numpy().astype(np.int64) - self.lo
+                np.minimum.at(cand, idx, t["d"].to_numpy())
+        improved = cand < self.dist
+        self.dist = np.where(improved, cand, self.dist)
+        self.active = improved
+        return int(np.count_nonzero(improved))
+
+    def dist_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
+                "distance": pa.array(self.dist),
+            }
+        )

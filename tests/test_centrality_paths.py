@@ -1,0 +1,90 @@
+"""MS-BFS centrality + SSSP tests (NumPy BFS oracles)."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.pipelines.centrality import (
+    closeness_centrality,
+    harmonic_centrality,
+    shortest_paths,
+)
+from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph
+from neo4j_graph_algorithms_ray.sources.corpus import fixture_corpus, powerlaw_corpus_table
+
+
+def _bfs_dists(n, src_arr, dst_arr, s, undirected):
+    adj = {}
+    for a, b in zip(src_arr, dst_arr):
+        adj.setdefault(a, []).append(b)
+        if undirected:
+            adj.setdefault(b, []).append(a)
+    dist = np.full(n, np.inf)
+    dist[s] = 0
+    frontier = [s]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if dist[v] == np.inf:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.fixture(scope="module")
+def line_graph(tmp_path_factory):
+    corpus, _ = fixture_corpus("uf-lines")  # 16 disjoint 10-node lines
+    return build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("lines")), P=3)
+
+
+def test_sssp_unweighted_line(line_graph):
+    res = shortest_paths(line_graph, source=0)
+    df = res.distances.to_pandas().sort_values("vid")
+    d = df["distance"].to_numpy()
+    # first line graph: vids 0..9 at distances 0..9; other components inf
+    assert np.array_equal(d[:10], np.arange(10, dtype=float))
+    assert np.isinf(d[10:]).all()
+
+
+def test_sssp_weighted(tmp_workdir):
+    corpus, _ = fixture_corpus("uf1")  # weighted chain A..G, H-I, J
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=2)
+    res = shortest_paths(g, source=0, weighted=True)
+    df = res.distances.to_pandas().sort_values("vid")
+    d = dict(zip(df["vid"], df["distance"]))
+    # A->B->C->D = 30.0; D->E edge 4.2 -> A..E = 34.2
+    assert d[1] == pytest.approx(10.0)
+    assert d[3] == pytest.approx(30.0)
+    assert d[4] == pytest.approx(34.2)
+    assert np.isinf(d[9])  # J unreachable
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_harmonic_matches_bfs_oracle(tmp_workdir, P):
+    corpus = powerlaw_corpus_table(n_files=120, n_repos=4, avg_out=4.0, seed=11)
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir + f"/p{P}", P=P)
+    res = harmonic_centrality(g, direction="BOTH")
+    got = res.scores.to_pandas().sort_values("vid")["centrality"].to_numpy()
+    df = g.edges_ds().to_pandas()
+    n = g.n_vertices
+    inv = np.zeros(n)
+    for s in range(n):
+        dist = _bfs_dists(n, df.src.to_numpy(), df.dst.to_numpy(), s, undirected=True)
+        ok = np.isfinite(dist) & (dist > 0)
+        inv[ok] += 1.0 / dist[ok]
+    want = inv / (n - 1)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_closeness_line(line_graph):
+    res = closeness_centrality(line_graph, direction="BOTH")
+    df = res.scores.to_pandas().sort_values("vid")
+    c = df["centrality"].to_numpy()
+    # 10-node path graph: ends have farness 45 -> 9/45 = 0.2
+    assert c[0] == pytest.approx(9 / 45)
+    # middle node (vid 4): farness 4+3+2+1+1+2+3+4+5 = 25
+    assert c[4] == pytest.approx(9 / 25)

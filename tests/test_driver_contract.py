@@ -97,6 +97,9 @@ ROWS_ONLY = [
     "connected_components",
     "cc_set_sizes",
     "label_propagation",
+    "sssp",
+    "harmonic_centrality",
+    "closeness_centrality",
     "minhash_pairs",
     "simhash_signatures",
     "knn_ivf",

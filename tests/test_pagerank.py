@@ -68,13 +68,16 @@ def test_pagerank_convergence_tol(tmp_workdir):
     np.testing.assert_allclose(df["score"].to_numpy(), oracle, atol=1e-6)
 
 
-def test_pagerank_groupby_exchange_matches_direct(tmp_workdir):
+def test_pagerank_exchange_modes_agree(tmp_workdir):
     g = _build(tmp_workdir, "pr1", 3)
     res_d = pagerank(g, iterations=10, exchange="direct")
     res_g = pagerank(g, iterations=10, exchange="groupby")
+    res_f = pagerank(g, iterations=10, exchange="fused")
     a = res_d.scores.to_pandas().sort_values("vid")["score"].to_numpy()
     b = res_g.scores.to_pandas().sort_values("vid")["score"].to_numpy()
+    c = res_f.scores.to_pandas().sort_values("vid")["score"].to_numpy()
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(a, c, rtol=0, atol=1e-12)
 
 
 def test_pagerank_checkpoint_resume(tmp_workdir, tmp_path):

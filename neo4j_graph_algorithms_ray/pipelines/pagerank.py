@@ -149,6 +149,38 @@ def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ever
     return ran, converged, max_delta
 
 
+def _run_mailbox(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every):
+    """Block-wise driver for the mailbox exchange: k rounds per actor call.
+
+    Total pushes = applies + 1 (round r applies r-1), so ``n_iter`` applies
+    need ``n_iter + 1`` rounds.  Convergence is checked at block boundaries
+    (every ``block`` applies) — deterministic overshoot like the fused loop.
+    """
+    ray.get([a.set_peers.remote(actors) for a in actors])
+    block = checkpoint_every if ckpt is not None else (8 if iterations is None else n_iter)
+    total_rounds = n_iter + 1
+    done = 0
+    md = float("inf")
+    converged = False
+    while done < total_rounds:
+        k = min(block, total_rounds - done)
+        mds = ray.get([a.run_rounds.remote(done, k) for a in actors])
+        done += k
+        md = max(mds)
+        applies = done - 1
+        if ckpt is not None and applies > 0:
+            files = ray.get([a.save_state.remote(ckpt.state_dir(), applies - 1) for a in actors])
+            ckpt.commit_iteration(
+                applies - 1,
+                files,
+                {"max_delta": md, "bounds": [int(b) for b in bounds], "algo": "pagerank"},
+            )
+        if iterations is None and tol is not None and applies > 0 and md < tol:
+            converged = True
+            break
+    return max(0, done - 1), converged, md
+
+
 def pagerank(
     graph: BuiltGraph,
     *,
@@ -163,8 +195,13 @@ def pagerank(
     resume: bool = False,
 ) -> PageRankResult:
     t0 = time.perf_counter()
+    from ..state.shards import MailboxPageRankShard
+
+    if resume and exchange == "mailbox":
+        exchange = "fused"  # resumed runs use the driver-loop paths
+    cls = MailboxPageRankShard if exchange == "mailbox" else PageRankShard
     actors = make_shard_actors(
-        PageRankShard,
+        cls,
         graph,
         actor_kwargs={"damping": damping, "threads": threads},
         num_cpus=max(0.25, threads - 0.5),
@@ -188,7 +225,11 @@ def pagerank(
     it = start_iter - 1
     ran = 0
     t1 = time.perf_counter()
-    if exchange == "fused" and start_iter == 0:
+    if exchange == "mailbox" and start_iter == 0:
+        ran, converged, max_delta = _run_mailbox(
+            actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every
+        )
+    elif exchange == "fused" and start_iter == 0:
         ran, converged, max_delta = _run_fused(
             actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every
         )
@@ -214,7 +255,14 @@ def pagerank(
         ran = it - start_iter + 1
     compute_s = time.perf_counter() - t1
 
-    scores = rd.from_arrow_refs([a.scores_table.remote() for a in actors])
+    score_refs = [a.scores_table.remote() for a in actors]
+    ray.wait(score_refs, num_returns=len(score_refs), fetch_local=False)
+    # release the pool explicitly: mailbox shards hold peer handles (a
+    # reference cycle Python GC won't break across actors), and reservations
+    # must not accumulate across successive runs in one session
+    for a in actors:
+        ray.kill(a, no_restart=True)
+    scores = rd.from_arrow_refs(score_refs)
     return PageRankResult(
         scores=scores,
         ran_iterations=ran,

@@ -310,6 +310,106 @@ class PageRankShard(EdgeShardBase):
         return self.part
 
 
+class MailboxPageRankShard(PageRankShard):
+    """BSP PageRank with direct actor->actor message deposits.
+
+    The driver-mediated exchanges put Ray's scheduler on the per-round
+    critical path (~12ms/round at P=8 against a ~14ms kernel).  Here each
+    shard fire-and-forgets its per-peer cross-contribution chunks straight to
+    the owning peers (asyncio actor mailbox keyed by round); chunks are
+    kilobyte-scale for clustered graphs, so they travel inline in the actor
+    RPC — no object store, no driver, no dependency tracking.  The driver
+    only calls ``run_rounds(start, k)`` per convergence-check block and
+    collects max-deltas.
+
+    Safety: rounds are strictly numbered; a peer may run ahead a full block —
+    deposits buffer in the mailbox until their round is applied, and
+    ``run_rounds`` awaits exactly P-1 deposits (every peer always sends,
+    empty chunks included) before applying a round.  No cycles: round r
+    consumes only round r-1 messages.
+    """
+
+    def __init__(self, part, bounds, edges_dir, damping: float = 0.85, threads: int = 1):
+        super().__init__(part, bounds, edges_dir, damping, threads)
+        import asyncio
+
+        self._cond = asyncio.Condition()
+        self._inbox: dict[int, list] = {}
+        self._expected = self.P - 1
+        self.peers = None
+        self._peer_slice = []
+        for q in range(self.P):
+            a = int(np.searchsorted(self.uniq_dst, self.bounds[q]))
+            b = int(np.searchsorted(self.uniq_dst, self.bounds[q + 1]))
+            self._peer_slice.append((a, b))
+
+    def set_peers(self, peers):
+        self.peers = peers
+        return self.part
+
+    async def deposit(self, rnd: int, table):
+        async with self._cond:
+            self._inbox.setdefault(rnd, []).append(table)
+            self._cond.notify_all()
+
+    def _apply_round(self, tables) -> float:
+        acc = np.zeros(self.n_local, dtype=np.float64)
+        if self._self_pending is not None:
+            acc[self._self_idx] += self._self_pending
+        for t in tables:
+            if t is None or t.num_rows == 0:
+                continue
+            idx = t["dst"].to_numpy().astype(np.int64, copy=False) - self.lo
+            acc += np.bincount(idx, weights=t["contrib"].to_numpy(), minlength=self.n_local)
+        inc = self.d * acc
+        self.score += inc
+        self.delta = inc
+        return float(inc.max(initial=0.0))
+
+    def _push_round(self, rnd: int):
+        coef = np.divide(
+            self.delta, self.outdeg, out=np.zeros_like(self.delta), where=self.outdeg > 0
+        )
+        if self._pool is not None:
+
+            def chunk(i):
+                slo, shi = self._seg_bounds[i], self._seg_bounds[i + 1]
+                if slo == shi:
+                    return np.array([], dtype=np.float64)
+                lo = self.seg_starts[slo]
+                hi = self.seg_starts[shi] if shi < len(self.seg_starts) else self.n_edges
+                return np.add.reduceat(coef[self.esrc_by_dst[lo:hi]], self.seg_starts[slo:shi] - lo)
+
+            sums = np.concatenate(list(self._pool.map(chunk, range(self.threads))))
+        else:
+            sums = self.combine_by_dst(coef[self.esrc_by_dst])
+        a, b = self._self_a, self._self_b
+        self._self_pending = sums[a:b].copy() if b > a else None
+        for q in range(self.P):
+            if q == self.part:
+                continue
+            qa, qb = self._peer_slice[q]
+            t = pa.table(
+                {"dst": pa.array(self.uniq_dst[qa:qb]), "contrib": pa.array(sums[qa:qb])}
+            )
+            self.peers[q].deposit.remote(rnd, t)  # fire-and-forget, inline payload
+
+    async def run_rounds(self, start: int, count: int) -> float:
+        """Execute rounds [start, start+count); round r applies r-1's messages
+        then pushes r.  Returns the max-delta of the last apply."""
+        md = float(self.delta.max(initial=0.0))
+        for r in range(start, start + count):
+            if r > 0:
+                async with self._cond:
+                    await self._cond.wait_for(
+                        lambda: len(self._inbox.get(r - 1, [])) >= self._expected
+                    )
+                tables = self._inbox.pop(r - 1, [])
+                md = self._apply_round(tables)
+            self._push_round(r)
+        return md
+
+
 class LabelPropShard:
     """Synchronous label-propagation state for one vertex range.
 

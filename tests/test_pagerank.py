@@ -63,9 +63,12 @@ def test_pagerank_convergence_tol(tmp_workdir):
     assert res.converged
     assert res.max_delta < 1e-6
     src, dst = _edges_np(g)
-    oracle = pagerank_oracle(g.n_vertices, src, dst, tol=1e-6)
+    # engine may apply a few extra rounds past the stop check (deterministic
+    # block overshoot) — compare against the fixpoint: residual after a
+    # max-delta < tol stop is bounded by tol * d / (1 - d)
+    fixpoint = pagerank_oracle(g.n_vertices, src, dst, tol=1e-12, max_iterations=500)
     df = res.scores.to_pandas().sort_values("vid")
-    np.testing.assert_allclose(df["score"].to_numpy(), oracle, atol=1e-6)
+    np.testing.assert_allclose(df["score"].to_numpy(), fixpoint, atol=1e-6 * 0.85 / 0.15)
 
 
 def test_pagerank_exchange_modes_agree(tmp_workdir):

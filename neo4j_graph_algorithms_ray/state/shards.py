@@ -559,6 +559,21 @@ class LabelPropShard:
             }
         )
 
+    def save_state(self, ckpt_dir: str, iteration: int) -> str:
+        """Atomic per-partition label checkpoint (same protocol as PageRank)."""
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={self.part:05d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(self.labels_table(), tmp)
+        os.replace(tmp, final)
+        return final
+
+    def load_state(self, path: str):
+        t = pq.read_table(path)
+        assert t.num_rows == self.n_local
+        self.labels = t["label"].to_numpy().astype(np.int64, copy=True)
+        return self.part
+
 
 def make_shard_actors(cls, graph, *, actor_kwargs=None, num_cpus: float = 0.25):
     """Spawn one remote shard per partition of a BuiltGraph.

@@ -87,6 +87,21 @@ def test_lp1_label_filter_subgraph(tmp_workdir):
     assert "b" not in lab  # b outside the filtered graph keeps its seed trivially
 
 
+def test_lp_checkpoint_resume(tmp_workdir, tmp_path):
+    """Kill after k iterations, resume from the manifest -> identical labels."""
+    g, seeds = _build(tmp_workdir, "lp420", P=3)
+    full = label_propagation(g, seeds=seeds, direction="OUTGOING", max_iterations=10)
+    ck = str(tmp_path / "ck")
+    label_propagation(g, seeds=seeds, direction="OUTGOING", max_iterations=2, checkpoint_dir=ck)
+    res = label_propagation(
+        g, seeds=seeds, direction="OUTGOING", max_iterations=10, checkpoint_dir=ck, resume=True
+    )
+    a = full.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    b = res.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    assert (a == b).all()
+    assert res.did_converge
+
+
 @pytest.mark.parametrize("P", [1, 3])
 def test_lp420_converges_to_golden_clusters(tmp_workdir, P):
     g, seeds = _build(tmp_workdir, "lp420", P=P)

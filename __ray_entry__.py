@@ -95,7 +95,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "n_bytes", "width", "height", "n_frames"]
         )
 
+    from neo4j_graph_algorithms_ray.catalog import list_operators
+
     return {
+        # operator catalog (algo.list analogue, ListProc.java:42-46)
+        "catalog": lambda sf: list_operators(),
         # graph construction (oracle-checked)
         "edge_extract": G.q_edge_extract,
         "vertices": G.q_vertices,

@@ -93,6 +93,7 @@ def test_query_matches_oracle(contract, con, name):
 
 
 ROWS_ONLY = [
+    "catalog",
     "pagerank",
     "connected_components",
     "cc_set_sizes",

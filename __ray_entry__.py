@@ -105,21 +105,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertices": G.q_vertices,
         "degrees": G.q_degrees,
         "sha256_invariance": G.q_sha256_invariance,
-        # headline graph algorithms (iterative -> rows-only driver check;
-        # conformance vs reference fixtures + oracles lives in tests/)
+        # headline graph algorithms — all oracle-checked (recursive-CTE /
+        # unrolled-CTE DuckDB equivalents, oracles.py); fixture conformance
+        # vs the reference's own test graphs additionally lives in tests/
         "pagerank": G.q_pagerank,
         "connected_components": G.q_connected_components,
         "cc_set_sizes": G.q_cc_set_sizes,
+        "mscoloring": G.q_mscoloring,
         "label_propagation": G.q_label_propagation,
         "sssp": G.q_sssp,
+        "all_shortest_paths": G.q_all_shortest_paths,
+        "shortest_path": G.q_shortest_path,
         "harmonic_centrality": G.q_harmonic,
         "closeness_centrality": G.q_closeness,
+        "betweenness": G.q_betweenness,
+        "scc": G.q_scc,
+        "louvain": G.q_louvain,
+        "mst": G.q_mst,
         # triangles (SQL-expressible -> oracle-checked)
         "triangle_counts": G.q_triangle_counts,
         "triangle_global": G.q_triangle_global,
         "clustering_coefficients": G.q_clustering_coefficients,
         # training-data ops: dedup
         "dedup_exact": lambda sf: D.exact_dedup(D.read_documents(sf)),
+        "minhash_signatures": lambda sf: D.minhash_signatures(D.read_documents(sf)),
         "minhash_pairs": lambda sf: D.minhash_dedup_pairs(D.read_documents(sf)).to_pandas(),
         "simhash_signatures": lambda sf: D.simhash_signatures(D.read_documents(sf)),
         # text analysis
@@ -146,36 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _corpus_sql_prefix() -> str:
+    from neo4j_graph_algorithms_ray.oracles import graph_prefix
     from neo4j_graph_algorithms_ray.sources.corpus import corpus_path_for
 
     path = corpus_path_for(_ORACLE_SF)  # also materialises the corpus
-    return f"""
-WITH corpus AS (SELECT * FROM read_parquet('{path}/*.parquet')),
-verts AS (SELECT repo || '/' || path AS key,
-                 row_number() OVER (ORDER BY (repo || '/' || path)) - 1 AS vid
-          FROM corpus),
-raw_edges AS (
-  SELECT repo || '/' || path AS src_key,
-         repo || '/' || replace(m, '.', '/') || '.py' AS dst_key
-  FROM corpus, unnest(regexp_extract_all(content,
-       '(?m)^import ([A-Za-z_][A-Za-z0-9_.]*)$', 1)) AS t(m)),
-edges AS (SELECT v1.vid AS src, v2.vid AS dst
-          FROM raw_edges r
-          JOIN verts v1 ON r.src_key = v1.key
-          JOIN verts v2 ON r.dst_key = v2.key),
-canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-          FROM edges WHERE src <> dst),
-deg AS (SELECT x AS vid, count(*) AS d
-        FROM (SELECT u AS x FROM canon UNION ALL SELECT v AS x FROM canon)
-        GROUP BY x),
-orient AS (SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND c.u < c.v) THEN c.u ELSE c.v END AS a,
-                  CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND c.u < c.v) THEN c.v ELSE c.u END AS b
-           FROM canon c JOIN deg du ON du.vid = c.u JOIN deg dv ON dv.vid = c.v),
-tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         FROM orient e1
-         JOIN orient e2 ON e2.a = e1.b
-         JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b)
-"""
+    return graph_prefix(path)
 
 
 _LANG_SQL = {
@@ -187,12 +171,34 @@ _LANG_SQL = {
 
 
 def oracle_sql() -> dict[str, str]:
+    from neo4j_graph_algorithms_ray import oracles as O
+    from neo4j_graph_algorithms_ray.pipelines.graph_queries import PAGERANK_ORACLE_ITERS
+
     pre = _corpus_sql_prefix()
     lang_counts = ", ".join(
         f"len(regexp_extract_all(lower(text), '\\b(?:{pat})\\b')) AS n_{lang}"
         for lang, pat in _LANG_SQL.items()
     )
     return {
+        # headline graph algorithms (recursive / unrolled CTEs, oracles.py)
+        "pagerank": O.pagerank_sql(pre, iterations=PAGERANK_ORACLE_ITERS),
+        "connected_components": O.cc_sql(pre),
+        "cc_set_sizes": O.cc_set_sizes_sql(pre),
+        "mscoloring": O.mscoloring_sql(pre),
+        "label_propagation": O.labelprop_sql(pre, iterations=20),
+        "sssp": O.sssp_sql(pre, source=0),
+        "all_shortest_paths": O.all_shortest_paths_sql(pre, n_sources=64),
+        "shortest_path": O.shortest_path_sql(pre, source=0),
+        "closeness_centrality": O.closeness_sql(pre),
+        "harmonic_centrality": O.harmonic_sql(pre),
+        "betweenness": O.betweenness_sql(pre),
+        "scc": O.scc_sql(pre),
+        "mst": O.mst_summary_sql(pre),
+        # dedup sketches (md5-based kernels, constants embedded in the SQL)
+        "minhash_signatures": O.minhash_signatures_sql(),
+        "minhash_pairs": O.minhash_pairs_sql(threshold=0.7),
+        "simhash_signatures": O.simhash_signatures_sql(),
+        "knn_ivf": O.knn_ivf_sql(n_queries=5, k=10, n_centroids=16, nprobe=4),
         "edge_extract": pre + "SELECT src_key, dst_key FROM raw_edges",
         "vertices": pre + "SELECT key, vid FROM verts",
         "degrees": pre

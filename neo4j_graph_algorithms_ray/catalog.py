@@ -22,6 +22,14 @@ _CATALOG = [
     ("harmonic", "algorithm", "algo.harmonic / MSHarmonicCentrality.java", "pipelines.centrality.harmonic_centrality"),
     ("msbfs", "kernel", "MultiSourceBFS.java (omega=32 bitmask BFS)", "state.bfs_shards.MsBfsShard"),
     ("shortestPath", "algorithm", "algo.shortestPath[.deltaStepping] / ShortestPathDeltaStepping.java", "pipelines.centrality.shortest_paths"),
+    ("shortestPath.pair", "algorithm", "algo.shortestPath source->target / ShortestPathDijkstra.java", "pipelines.paths.shortest_path"),
+    ("allShortestPaths.stream", "algorithm", "algo.allShortestPaths.stream / MSBFSAllShortestPaths.java", "pipelines.centrality.all_shortest_paths"),
+    ("louvain", "algorithm", "algo.louvain / LouvainProc.java", "pipelines.louvain.louvain"),
+    ("betweenness", "algorithm", "algo.betweenness / BetweennessCentralityProc.java", "pipelines.betweenness.betweenness_centrality"),
+    ("betweenness.sampled", "algorithm", "algo.betweenness.sampled / RABrandesBetweennessCentrality.java", "pipelines.betweenness (sample_sources=)"),
+    ("scc", "algorithm", "algo.scc / StronglyConnectedComponentsProc.java", "pipelines.scc.strongly_connected_components"),
+    ("mst", "algorithm", "algo.mst / MSTPrimProc.java (Boruvka rounds)", "pipelines.mst.minimum_spanning_forest"),
+    ("unionfind.mscoloring", "algorithm", "algo.unionFind.mscoloring / MSColoringProc.java", "pipelines.components.mscoloring"),
     ("graph.load", "source", "GraphLoader / HeavyGraphFactory", "pipelines.graph_build.build_graph"),
     ("graph.load.cypher", "source", "HeavyCypherGraphFactory (table projection)", "pipelines.graph_build (any edge Dataset)"),
     ("import.extract", "transform", "relationship projection", "stages.extract.ImportExtractor"),

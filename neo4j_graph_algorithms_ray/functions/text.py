@@ -61,20 +61,30 @@ def lang_predict(texts: pd.Series) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# hashing / sketches (rows-only paths; deterministic fixed-key SipHash)
+# hashing / sketches — md5-based so every kernel is DuckDB-replicable
+# (``md5_number_lower(x)`` == little-endian uint64 of md5 digest bytes 8:16)
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+# MinHash modulus: Mersenne prime 2^31-1.  Products a*h then fit in int64 on
+# both engines (numpy uint64 without wraparound, DuckDB BIGINT without
+# overflow) — the price of SQL replicability is a 31-bit hash space, which is
+# ample for min-over-shingles sketches (collisions perturb one permutation
+# slot with p ~ 2^-31 per shingle pair).
+MINHASH_PRIME = np.uint64((1 << 31) - 1)
 
 
 def hash_strings(values) -> np.ndarray:
-    """Deterministic 64-bit hashes of a string sequence (pandas SipHash)."""
-    s = pd.Series(values, dtype=object)
-    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+    """Deterministic 64-bit hashes (low 64 bits of md5, little-endian)."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:16], "little")
+    return out
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles -> 64-bit hashes."""
+    """Word k-gram shingles -> 64-bit md5 hashes."""
     toks = WS_TOKEN_RE.findall(text)
     if len(toks) < k:
         return hash_strings([" ".join(toks)]) if toks else np.array([], dtype=np.uint64)
@@ -83,30 +93,36 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """k independent permutations h_i(x) = (a_i * x + b_i) mod 2^61-1."""
+    """num_perm independent permutations h_i(x) = (a_i*(x mod M) + b_i) mod M,
+    M = 2^31-1; a/b drawn from a fixed Philox stream (the same constants are
+    embedded into the DuckDB oracle SQL, so signatures are SQL-checkable)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 12345):
-        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a, self.b = minhash_perm_constants(num_perm, seed)
         self.num_perm = num_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if len(shingles) == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        x = shingles[:, None]
-        hv = (x * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            return np.full(self.num_perm, MINHASH_PRIME, dtype=np.uint64)
+        x = (shingles % MINHASH_PRIME)[:, None]
+        hv = (x * self.a[None, :] + self.b[None, :]) % MINHASH_PRIME
         return hv.min(axis=0)
 
 
-def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
-    """Collapse a signature into one hash per LSH band."""
-    rows = len(sig) // bands
-    view = sig[: bands * rows].reshape(bands, rows)
-    out = np.empty(bands, dtype=np.uint64)
-    for i in range(bands):
-        out[i] = hash_strings(["|".join(map(str, view[i]))])[0]
-    return out
+def minhash_perm_constants(num_perm: int = 64, seed: int = 12345):
+    """The (a, b) permutation constants — shared with the SQL oracle."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    a = rng.integers(1, int(MINHASH_PRIME), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(MINHASH_PRIME), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def band_keys(sig_matrix: np.ndarray, bands: int) -> list[list[str]]:
+    """Per-doc LSH band keys: '|'-joined signature rows (SQL: string_agg)."""
+    n, num_perm = sig_matrix.shape
+    rows = num_perm // bands
+    view = sig_matrix[:, : bands * rows].reshape(n, bands, rows)
+    return [["|".join(map(str, view[i, bnd])) for bnd in range(bands)] for i in range(n)]
 
 
 def simhash64(text: str) -> np.uint64:

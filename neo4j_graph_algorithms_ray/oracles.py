@@ -1,0 +1,519 @@
+"""DuckDB oracle-SQL generators for the driver correctness contract.
+
+Each generator returns ANSI-ish SQL that DuckDB 1.0 can run over the same
+Parquet inputs the Ray pipelines read, reproducing the pipeline's exact
+output (ints/strings, floats pre-quantized on both sides).  Iterative
+algorithms are expressed either as recursive CTEs (reachability-shaped:
+connected components, SSSP, BFS distances) or as unrolled fixed-iteration
+CTE chains (PageRank power iteration, synchronous label propagation) —
+feasible because the correctness tier is small; the Ray side runs the same
+fixed iteration counts.
+
+Float contract (see graft-env-gotchas): every float column is quantized
+``floor(x * scale + 0.5)::BIGINT`` on BOTH engines; divisions of exact
+integers are IEEE-identical, and summation-order noise (~1e-13) sits far
+below the 1e-6 grids used here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# max shortest-path length the recursive distance CTEs explore.  The
+# synthetic corpora resolve imports within a repo, so undirected components
+# are bounded by files-per-repo (<= 100 at the largest tier the oracle ever
+# runs on); walks longer than the cap cannot be shortest paths.
+_DEPTH_CAP = 110
+
+
+def graph_prefix(corpus_path: str) -> str:
+    """Shared CTE prefix: corpus -> verts / edges / undirected views."""
+    return f"""
+WITH corpus AS MATERIALIZED (SELECT * FROM read_parquet('{corpus_path}/*.parquet')),
+verts AS MATERIALIZED (SELECT repo || '/' || path AS key,
+                 row_number() OVER (ORDER BY (repo || '/' || path)) - 1 AS vid
+          FROM corpus),
+raw_edges AS MATERIALIZED (
+  SELECT repo || '/' || path AS src_key,
+         repo || '/' || replace(m, '.', '/') || '.py' AS dst_key
+  FROM corpus, unnest(regexp_extract_all(content,
+       '(?m)^import ([A-Za-z_][A-Za-z0-9_.]*)$', 1)) AS t(m)),
+edges AS MATERIALIZED (SELECT v1.vid AS src, v2.vid AS dst
+          FROM raw_edges r
+          JOIN verts v1 ON r.src_key = v1.key
+          JOIN verts v2 ON r.dst_key = v2.key),
+dedges AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT x AS vid, count(*) AS d
+        FROM (SELECT u AS x FROM canon UNION ALL SELECT v AS x FROM canon)
+        GROUP BY x),
+orient AS MATERIALIZED (SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND c.u < c.v) THEN c.u ELSE c.v END AS a,
+                  CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND c.u < c.v) THEN c.v ELSE c.u END AS b
+           FROM canon c JOIN deg du ON du.vid = c.u JOIN deg dv ON dv.vid = c.v),
+tris AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM orient e1
+         JOIN orient e2 ON e2.a = e1.b
+         JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b)
+"""
+
+
+# ---------------------------------------------------------------------------
+# components (undirected label closure) — CC / set sizes / MSColoring / MST
+# ---------------------------------------------------------------------------
+
+_COMP_CLOSURE = """
+, comp_reach AS (
+  WITH RECURSIVE r(v, l) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT e.dst, r.l FROM r JOIN dedges e ON e.src = r.v
+  ) SELECT v, l FROM r
+)"""
+
+
+def cc_sql(pre: str) -> str:
+    """Per-vertex min-vid component label (canonical CC contract)."""
+    return pre + _COMP_CLOSURE + "\nSELECT v AS vid, min(l) AS label FROM comp_reach GROUP BY v"
+
+
+def cc_set_sizes_sql(pre: str) -> str:
+    return (
+        pre
+        + _COMP_CLOSURE
+        + """
+, lab AS (SELECT v AS vid, min(l) AS label FROM comp_reach GROUP BY v)
+SELECT label, count(*) AS size FROM lab GROUP BY label"""
+    )
+
+
+def mscoloring_sql(pre: str) -> str:
+    """Max-vid component color (MSColoring.java:96-121 — bidirectional
+    max-propagation converges to the component's max id)."""
+    return pre + _COMP_CLOSURE + "\nSELECT v AS vid, max(l) AS color FROM comp_reach GROUP BY v"
+
+
+def mst_summary_sql(pre: str) -> str:
+    """Per-component spanning-forest invariant {label, n_edges, weight_u}.
+
+    On the uniform-weight corpus every spanning tree of a component with n
+    vertices has exactly n-1 edges of total weight n-1 — the well-defined
+    MST invariant the oracle can check (weight_u = 1e3-quantized sum).
+    """
+    return (
+        pre
+        + _COMP_CLOSURE
+        + """
+, lab AS (SELECT v AS vid, min(l) AS label FROM comp_reach GROUP BY v),
+sz AS (SELECT label, count(*) AS n FROM lab GROUP BY label)
+SELECT label, n - 1 AS n_edges, (n - 1) * 1000 AS weight_u FROM sz WHERE n > 1"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# distances (recursive BFS closures)
+# ---------------------------------------------------------------------------
+
+
+def _dist_closure(edge_rel: str, source_filter: str, cap: int) -> str:
+    """(s, v, d) min BFS distances over ``edge_rel`` from filtered sources."""
+    return f"""
+, dist_reach AS (
+  WITH RECURSIVE r(s, v, d) AS (
+    SELECT vid, vid, 0 FROM verts WHERE {source_filter}
+    UNION
+    SELECT r.s, e.dst, r.d + 1 FROM r JOIN {edge_rel} e ON e.src = r.v WHERE r.d < {cap}
+  ) SELECT s, v, min(d) AS d FROM r GROUP BY s, v
+)"""
+
+
+def sssp_sql(pre: str, source: int = 0, cap: int = _DEPTH_CAP) -> str:
+    """Directed unweighted SSSP from ``source`` (finite rows only)."""
+    return (
+        pre
+        + _dist_closure("edges", f"vid = {source}", cap)
+        + "\nSELECT v AS vid, d AS distance FROM dist_reach"
+    )
+
+
+def shortest_path_sql(pre: str, source: int = 0, cap: int = _DEPTH_CAP) -> str:
+    """Single-pair shortest path rows {step, vid, cost_u} from ``source`` to
+    the farthest reachable vertex (max finite distance, tie -> max vid) with
+    deterministic min-vid predecessor choice — mirrors
+    pipelines/paths.py::shortest_path's pinned tie-breaks."""
+    return (
+        pre
+        + _dist_closure("edges", f"vid = {source}", cap)
+        + f"""
+, target AS (
+  SELECT v, d FROM dist_reach ORDER BY d DESC, v DESC LIMIT 1
+),
+walk AS (
+  -- walk backward from target: pred(v) = min u with d(u) = d(v)-1 and u->v
+  WITH RECURSIVE w(v, d) AS (
+    SELECT v, d FROM target
+    UNION ALL
+    SELECT (SELECT min(r.s) FROM (SELECT e.src AS s FROM edges e
+              JOIN dist_reach dr ON dr.v = e.src
+              WHERE e.dst = w.v AND dr.d = w.d - 1) r),
+           w.d - 1
+    FROM w WHERE w.d > 0
+  ) SELECT v, d FROM w
+)
+SELECT d AS step, v AS vid, d * 1000 AS cost_u FROM walk"""
+    )
+
+
+def all_shortest_paths_sql(pre: str, n_sources: int, cap: int = _DEPTH_CAP) -> str:
+    """MSBFSAllShortestPaths analogue: (source, target, distance) rows for
+    sources [0, n_sources) over OUTGOING edges, self rows (d=0) included."""
+    return (
+        pre
+        + _dist_closure("edges", f"vid < {n_sources}", cap)
+        + "\nSELECT s AS source, v AS target, d AS distance FROM dist_reach"
+    )
+
+
+def closeness_sql(pre: str, cap: int = _DEPTH_CAP) -> str:
+    """MSClosenessCentrality: c(v) = (n-1)/farness(v), farness = sum of
+    distances from every vertex that reaches v over OUTGOING edges
+    (MSBFSCCAlgorithm.centrality, MSClosenessCentrality.java:64,76)."""
+    return (
+        pre
+        + _dist_closure("edges", "TRUE", cap)
+        + """
+, far AS (SELECT v, sum(d) AS farness FROM dist_reach WHERE d > 0 GROUP BY v),
+n AS (SELECT count(*) AS n FROM verts)
+SELECT verts.vid,
+       CASE WHEN far.farness > 0
+            THEN CAST(floor((n.n - 1) / CAST(far.farness AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+            ELSE 0 END AS cent_u
+FROM verts CROSS JOIN n LEFT JOIN far ON far.v = verts.vid"""
+    )
+
+
+def harmonic_sql(pre: str, cap: int = _DEPTH_CAP) -> str:
+    """MSHarmonicCentrality: h(v) = sum(1/d) / (n-1) over BOTH directions."""
+    return (
+        pre
+        + _dist_closure("dedges", "TRUE", cap)
+        + """
+, inv AS (SELECT v, sum(1.0 / d) AS inv_far FROM dist_reach WHERE d > 0 GROUP BY v),
+n AS (SELECT count(*) AS n FROM verts)
+SELECT verts.vid,
+       CAST(floor(coalesce(inv.inv_far, 0) / (n.n - 1) * 1000000 + 0.5) AS BIGINT) AS cent_u
+FROM verts CROSS JOIN n LEFT JOIN inv ON inv.v = verts.vid"""
+    )
+
+
+def betweenness_sql(pre: str, max_depth: int = 34) -> str:
+    """Brandes betweenness (directed, unweighted, exact) as unrolled
+    per-depth CTEs: forward sigma accumulation (number of shortest paths)
+    then backward dependency accumulation
+    (``BetweennessCentrality.java:108-146``), quantized at 1e6.
+
+    ``max_depth`` bounds the BFS level unroll; components in the synthetic
+    corpora are intra-repo (< files-per-repo vertices), so 34 levels cover
+    every geodesic at the oracle tiers.
+    """
+    blocks = [_dist_closure("edges", "TRUE", max_depth)]
+    blocks.append(
+        ", sig0 AS MATERIALIZED (SELECT vid AS s, vid AS v, CAST(1 AS DOUBLE) AS sigma FROM verts)"
+    )
+    for k in range(1, max_depth + 1):
+        blocks.append(
+            f""", sig{k} AS MATERIALIZED (
+  SELECT u.s, e.dst AS v, sum(u.sigma) AS sigma
+  FROM sig{k - 1} u
+  JOIN edges e ON e.src = u.v
+  JOIN dist_reach d ON d.s = u.s AND d.v = e.dst AND d.d = {k}
+  GROUP BY u.s, e.dst
+)"""
+        )
+    sig_union = " UNION ALL ".join(
+        f"SELECT s, v, {k} AS d, sigma FROM sig{k}" for k in range(0, max_depth + 1)
+    )
+    blocks.append(f", sig AS MATERIALIZED ({sig_union})")
+    # backward: delta at depth k needs delta at k+1; deepest level delta = 0
+    blocks.append(
+        f""", del{max_depth} AS MATERIALIZED (
+  SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM sig WHERE d = {max_depth}
+)"""
+    )
+    for k in range(max_depth - 1, -1, -1):
+        blocks.append(
+            f""", del{k} AS MATERIALIZED (
+  SELECT sv.s, sv.v,
+         coalesce(acc.x, 0) AS delta
+  FROM (SELECT s, v, sigma FROM sig WHERE d = {k}) sv
+  LEFT JOIN (
+    SELECT sv2.s, sv2.v, sum(sv2.sigma / sw.sigma * (1 + dw.delta)) AS x
+    FROM (SELECT s, v, sigma FROM sig WHERE d = {k}) sv2
+    JOIN edges e ON e.src = sv2.v
+    JOIN sig sw ON sw.s = sv2.s AND sw.v = e.dst AND sw.d = {k + 1}
+    JOIN del{k + 1} dw ON dw.s = sv2.s AND dw.v = e.dst
+    GROUP BY sv2.s, sv2.v
+  ) acc ON acc.s = sv.s AND acc.v = sv.v
+)"""
+        )
+    del_union = " UNION ALL ".join(f"SELECT s, v, delta FROM del{k}" for k in range(0, max_depth + 1))
+    blocks.append(f", del_all AS MATERIALIZED ({del_union})")
+    return (
+        pre
+        + "".join(blocks)
+        + """
+, cent AS (SELECT v, sum(delta) AS c FROM del_all WHERE s <> v GROUP BY v)
+SELECT verts.vid,
+       CAST(floor(coalesce(cent.c, 0) * 1000000 + 0.5) AS BIGINT) AS cent_u
+FROM verts LEFT JOIN cent ON cent.v = verts.vid"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCC (directed mutual-reachability closure)
+# ---------------------------------------------------------------------------
+
+
+def scc_sql(pre: str) -> str:
+    """SCC label = min vid mutually reachable (label closure over directed
+    edges in both orientations, intersected)."""
+    return (
+        pre
+        + """
+, fwd AS (
+  WITH RECURSIVE r(v, l) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT e.dst, r.l FROM r JOIN edges e ON e.src = r.v
+  ) SELECT DISTINCT v, l FROM r
+),
+bwd AS (
+  WITH RECURSIVE r(v, l) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT e.src, r.l FROM r JOIN edges e ON e.dst = r.v
+  ) SELECT DISTINCT v, l FROM r
+)
+SELECT f.v AS vid, min(f.l) AS label
+FROM fwd f JOIN bwd b ON b.v = f.v AND b.l = f.l
+GROUP BY f.v"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (unrolled power iteration)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_sql(pre: str, iterations: int = 40, damping: float = 0.85) -> str:
+    """Unnormalized PageRank, ``iterations`` fixed rounds, delta-push
+    semantics (PageRank.java:444-517: x_k = (1-d) + d * sum_in(x_{k-1}/od));
+    scores quantized at 1e6."""
+    alpha = 1.0 - damping
+    blocks = [f", odeg AS MATERIALIZED (SELECT src AS vid, count(*) AS od FROM edges GROUP BY src)"]
+    blocks.append(f", pr0 AS MATERIALIZED (SELECT vid, CAST({alpha} AS DOUBLE) AS score FROM verts)")
+    for k in range(1, iterations + 1):
+        blocks.append(
+            f""", pr{k} AS MATERIALIZED (
+  SELECT v.vid, {alpha} + {damping} * coalesce(a.s, 0) AS score
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, sum(p.score / o.od) AS s
+    FROM edges e JOIN pr{k - 1} p ON p.vid = e.src JOIN odeg o ON o.vid = e.src
+    GROUP BY e.dst
+  ) a ON a.vid = v.vid
+)"""
+        )
+    return (
+        pre
+        + "".join(blocks)
+        + f"\nSELECT vid, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_u FROM pr{iterations}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (unrolled red/black synchronous iterations)
+# ---------------------------------------------------------------------------
+
+
+def labelprop_sql(pre: str, iterations: int = 20) -> str:
+    """Synchronous red/black LP over BOTH directions, unit weights, argmax
+    vote with smallest-label tie-break — the engine's pinned deterministic
+    variant (state/shards.py LabelPropShard.step).  One CTE per half-phase."""
+    blocks = [
+        ", vot AS MATERIALIZED (SELECT src AS u, dst AS t FROM edges UNION ALL SELECT dst AS u, src AS t FROM edges)",
+        ", lp0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
+    ]
+    step = 0
+    for _ in range(iterations):
+        for parity in (0, 1):
+            prev, step = step, step + 1
+            blocks.append(
+                f""", lp{step} AS MATERIALIZED (
+  SELECT l.vid, coalesce(w.newlab, l.label) AS label
+  FROM lp{prev} l LEFT JOIN (
+    SELECT vid, newlab FROM (
+      SELECT v.u AS vid, lt.label AS newlab,
+             row_number() OVER (PARTITION BY v.u ORDER BY count(*) DESC, lt.label ASC) AS rn
+      FROM vot v JOIN lp{prev} lt ON lt.vid = v.t
+      WHERE v.u % 2 = {parity}
+      GROUP BY v.u, lt.label
+    ) WHERE rn = 1
+  ) w ON w.vid = l.vid
+)"""
+            )
+    return pre + "".join(blocks) + f"\nSELECT vid, label FROM lp{step}"
+
+
+# ---------------------------------------------------------------------------
+# documents: minhash / simhash (md5-based, constants embedded)
+# ---------------------------------------------------------------------------
+
+_SHINGLES = """
+tk AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS l FROM documents),
+gr AS (
+  SELECT doc_id, array_to_string(l[i : i + {km1}], ' ') AS g
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - {km1})) AS i
+        FROM tk WHERE len(l) >= {k})
+  UNION ALL
+  SELECT doc_id, array_to_string(l, ' ') AS g FROM tk WHERE len(l) BETWEEN 1 AND {km1}
+),
+sh AS (SELECT DISTINCT doc_id, md5_number_lower(g) % 2147483647 AS h FROM gr),
+sh64 AS (SELECT DISTINCT doc_id, md5_number_lower(g) AS h64 FROM gr)
+"""
+
+
+def _perm_values(num_perm: int) -> str:
+    from .functions.text import minhash_perm_constants
+
+    a, b = minhash_perm_constants(num_perm)
+    rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
+    return f"perms(p, a, b) AS (VALUES {rows})"
+
+
+def _sig_cte(num_perm: int, k: int) -> str:
+    """CTE chain computing full minhash signatures {doc_id, perm, mh}."""
+    return (
+        "WITH "
+        + _SHINGLES.format(k=k, km1=k - 1)
+        + f""",
+{_perm_values(num_perm)},
+rawsig AS (
+  SELECT s.doc_id, p.p AS perm, min((p.a * s.h + p.b) % 2147483647) AS mh
+  FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.p
+),
+sig AS (
+  SELECT d.doc_id, p.p AS perm, coalesce(r.mh, 2147483647) AS mh
+  FROM documents d CROSS JOIN perms p
+  LEFT JOIN rawsig r ON r.doc_id = d.doc_id AND r.perm = p.p
+)"""
+    )
+
+
+def minhash_signatures_sql(num_perm: int = 64, k: int = 3) -> str:
+    return _sig_cte(num_perm, k) + "\nSELECT doc_id, perm, mh FROM sig"
+
+
+def minhash_pairs_sql(threshold: float = 0.7, num_perm: int = 64, bands: int = 16, k: int = 3) -> str:
+    rows = num_perm // bands
+    return (
+        _sig_cte(num_perm, k)
+        + f""",
+bandk AS (
+  SELECT doc_id, perm // {rows} AS band,
+         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY perm) AS bk
+  FROM sig GROUP BY doc_id, perm // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandk a JOIN bandk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN sh64 x ON x.doc_id = c.id_a
+  JOIN sh64 y ON y.doc_id = c.id_b AND y.h64 = x.h64
+  GROUP BY c.id_a, c.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh64 GROUP BY doc_id),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN sa.ns IS NULL AND sb.ns IS NULL THEN 1.0
+              ELSE coalesce(i.ni, 0) / CAST(greatest(coalesce(sa.ns, 0) + coalesce(sb.ns, 0) - coalesce(i.ni, 0), 1) AS DOUBLE)
+         END AS j
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  LEFT JOIN sizes sa ON sa.doc_id = c.id_a
+  LEFT JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jac_u
+FROM jac WHERE j >= {threshold}"""
+    )
+
+
+def simhash_signatures_sql() -> str:
+    """64-bit SimHash over lowercased whitespace tokens (duplicates counted),
+    bit-cast to signed int64 exactly like numpy's uint64 -> int64 view."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\r]+')) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN range(64) b(b)
+  GROUP BY doc_id, b.b
+),
+sigu AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b::INTEGER) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808
+                 THEN coalesce(s.u, 0) - 18446744073709551616
+                 ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sigu s ON s.doc_id = d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# kNN IVF (deterministic quantized bucket/probe decisions)
+# ---------------------------------------------------------------------------
+
+
+def knn_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 16, nprobe: int = 4) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {n_centroids}),
+q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < {n_queries}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY CAST(floor(list_cosine_similarity(b.e, c.ce) * 1000000 + 0.5) AS BIGINT) DESC,
+                      c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(floor(list_cosine_similarity(q.qe, c.ce) * 1000000 + 0.5) AS BIGINT) DESC,
+                      c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.qid AS query_id, a.vec_id,
+         CAST(floor(list_cosine_similarity(b.e, q.qe) * 1000000 + 0.5) AS BIGINT) AS cos_u
+  FROM assign a JOIN probe p ON p.cid = a.cid
+  JOIN q ON q.qid = p.qid JOIN base b ON b.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_u DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos_u FROM ranked WHERE rn <= {k}"""

@@ -1,21 +1,28 @@
-"""Closeness / harmonic centrality via multi-source BFS, and SSSP.
+"""Closeness / harmonic centrality via multi-source BFS, SSSP, and the
+all-shortest-paths stream.
 
 Reference semantics:
 
-- closeness: normalized ``(reached - 1) / farness`` with farness accumulated
-  from MS-BFS visits (``MSClosenessCentrality.java``; default Wasserman-Faust
-  off -> plain component-local normalization ``(n_reachable-1)/farness``),
-- harmonic: ``inv_farness / (nodeCount - 1)``
-  (``MSHarmonicCentrality.java``), summing ``count/depth`` per visit,
-- shortest paths: Dijkstra / delta-stepping
-  (``ShortestPathDijkstra.java``, ``ShortestPathDeltaStepping.java``) — here
-  a BSP min-relaxation over shard actors (unweighted BFS or weighted
-  Bellman-Ford rounds; non-negative weights converge to the same fixpoint
-  delta-stepping reaches, traded for simpler rounds).
+- closeness: ``(nodeCount - 1) / farness`` with farness accumulated from
+  MS-BFS visits over OUTGOING edges, 0 when unreachable
+  (``MSBFSCCAlgorithm.centrality``: ``f > 0 ? k / f : 0``,
+  ``MSClosenessCentrality.java:64,76``; proc loads OUTGOING,
+  ``ClosenessCentralityProc.java:73``),
+- harmonic: ``inv_farness / (nodeCount - 1)`` over BOTH directions
+  (``MSHarmonicCentrality.java:59,68``; proc ``HarmonicCentralityProc.java:75``),
+- all-shortest-paths stream: ``(source, target, distance)`` rows from MS-BFS
+  batches (``MSBFSAllShortestPaths.java``),
+- shortest paths: BSP min-relaxation over shard actors (unweighted BFS or
+  weighted Bellman-Ford rounds; same fixpoint as the reference's
+  delta-stepping for non-negative weights, ``ShortestPathDeltaStepping.java``).
 
 Sources run in batches of 32 (bitmask MS-BFS, ``MultiSourceBFS.java:52``).
-``sample_sources`` bounds the work at scale (RA-Brandes-style source
-sampling, ``RandomSelectionStrategy.java``); None = exact (all vertices).
+Default is **exact** (every vertex a source, like the reference).
+``sample_sources=k`` bounds work at scale by drawing k sources with a seeded
+Philox generator (random source sampling in the spirit of RA-Brandes'
+``RandomSelectionStrategy.java``; partial sums are an approximation).
+Per-vertex stats accumulate inside the shard actors across batches; the
+driver fetches one table per shard at the end.
 """
 
 from __future__ import annotations
@@ -52,6 +59,14 @@ def _run_batch(actors, P, sources: np.ndarray, max_depth: int):
             break
 
 
+def pick_sources(n: int, sample_sources: int | None, seed: int = 42) -> np.ndarray:
+    """All vertices (exact, reference behavior) or a seeded random sample."""
+    if sample_sources is None or sample_sources >= n:
+        return np.arange(n, dtype=np.int64)
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    return np.sort(rng.choice(n, size=sample_sources, replace=False).astype(np.int64))
+
+
 @dataclass
 class CentralityResult:
     scores: rd.Dataset  # {vid, centrality}
@@ -59,69 +74,97 @@ class CentralityResult:
     metrics: dict = field(default_factory=dict)
 
 
-def _centrality(
+def _msbfs_pass(
     graph: BuiltGraph,
-    kind: str,
     *,
-    direction: str = "BOTH",
-    sample_sources: int | None = None,
+    direction: str,
+    sources: np.ndarray,
     max_depth: int = 64,
-) -> CentralityResult:
+    collect_asp: bool = False,
+):
+    """Run MS-BFS from ``sources`` in batches of 32; stats stay in-actor.
+
+    Returns (actors, asp_refs): per-vertex stats are fetched by the caller
+    via ``stats_table``; when ``collect_asp`` the per-batch
+    (source,target,distance) tables are returned as object refs.
+    """
     rev = graph.ensure_reverse_layout() if direction in ("INCOMING", "BOTH") else None
     actors = make_shard_actors(
         MsBfsShard, graph, actor_kwargs={"rev_edges_dir": rev, "direction": direction}
     )
     P = graph.P
     ray.get([a.ready.remote() for a in actors])
-
-    n = graph.n_vertices
-    sources = np.arange(n if sample_sources is None else min(n, sample_sources), dtype=np.int64)
-    batches = [sources[i : i + 32] for i in range(0, len(sources), 32)]
-
-    # accumulate stats across batches on the driver side per shard
-    totals = None
-    for b in batches:
+    ray.get([a.begin_pass.remote() for a in actors])
+    asp_refs = []
+    for i in range(0, len(sources), 32):
+        b = sources[i : i + 32]
         _run_batch(actors, P, b, max_depth)
-        tabs = ray.get([a.stats_table.remote() for a in actors])
-        t = pa.concat_tables(tabs)
-        if totals is None:
-            totals = {
-                "vid": t["vid"].to_numpy().copy(),
-                "reached": t["reached"].to_numpy().copy(),
-                "farness": t["farness"].to_numpy().copy(),
-                "inv": t["inv_farness"].to_numpy().copy(),
-            }
-        else:
-            # shard order (and each shard's arange) is identical every batch,
-            # so the vid axis is aligned across batches
-            assert np.array_equal(totals["vid"], t["vid"].to_numpy())
-            totals["reached"] += t["reached"].to_numpy()
-            totals["farness"] += t["farness"].to_numpy()
-            totals["inv"] += t["inv_farness"].to_numpy()
+        if collect_asp:
+            asp_refs.extend(a.asp_rows.remote() for a in actors)
+    return actors, asp_refs
 
-    if totals is None:
+
+def _centrality(
+    graph: BuiltGraph,
+    kind: str,
+    *,
+    direction: str,
+    sample_sources: int | None = None,
+    max_depth: int = 64,
+) -> CentralityResult:
+    n = graph.n_vertices
+    sources = pick_sources(n, sample_sources)
+    actors, _ = _msbfs_pass(graph, direction=direction, sources=sources, max_depth=max_depth)
+    tabs = ray.get([a.stats_table.remote() for a in actors])
+    for a in actors:
+        ray.kill(a, no_restart=True)
+    t = pa.concat_tables(tabs) if tabs else None
+    if t is None or t.num_rows == 0:
         empty = pa.table({"vid": pa.array([], pa.int64()), "centrality": pa.array([], pa.float64())})
         return CentralityResult(rd.from_arrow(empty), 0)
 
+    vid = t["vid"].to_numpy()
     if kind == "closeness":
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c = np.where(totals["farness"] > 0, totals["reached"] / totals["farness"], 0.0)
+        farness = t["farness"].to_numpy()
+        c = np.where(farness > 0, (n - 1) / np.where(farness > 0, farness, 1.0), 0.0)
     else:  # harmonic
-        c = totals["inv"] / max(1, n - 1)
-    out = pa.table({"vid": pa.array(totals["vid"]), "centrality": pa.array(c)})
+        c = t["inv_farness"].to_numpy() / max(1, n - 1)
+    out = pa.table({"vid": pa.array(vid), "centrality": pa.array(c)})
     return CentralityResult(
         rd.from_arrow(out),
         n,
-        metrics={"sources": len(sources), "batches": len(batches), "direction": direction},
+        metrics={"sources": len(sources), "direction": direction},
     )
 
 
-def closeness_centrality(graph: BuiltGraph, **kw) -> CentralityResult:
-    return _centrality(graph, "closeness", **kw)
+def closeness_centrality(graph: BuiltGraph, *, direction: str = "OUTGOING", **kw) -> CentralityResult:
+    return _centrality(graph, "closeness", direction=direction, **kw)
 
 
-def harmonic_centrality(graph: BuiltGraph, **kw) -> CentralityResult:
-    return _centrality(graph, "harmonic", **kw)
+def harmonic_centrality(graph: BuiltGraph, *, direction: str = "BOTH", **kw) -> CentralityResult:
+    return _centrality(graph, "harmonic", direction=direction, **kw)
+
+
+def all_shortest_paths(
+    graph: BuiltGraph,
+    *,
+    direction: str = "OUTGOING",
+    n_sources: int | None = None,
+    max_depth: int = 64,
+) -> rd.Dataset:
+    """{source, target, distance} rows for every reachable pair (d=0 self rows
+    included, matching ``MSBFSAllShortestPaths``'s stream which emits the
+    source at distance 0).  ``n_sources`` limits to the first k vids."""
+    n = graph.n_vertices
+    k = n if n_sources is None else min(n, n_sources)
+    sources = np.arange(k, dtype=np.int64)
+    actors, asp_refs = _msbfs_pass(
+        graph, direction=direction, sources=sources, max_depth=max_depth, collect_asp=True
+    )
+    ray.wait(asp_refs, num_returns=len(asp_refs), fetch_local=False)
+    for a in actors:
+        ray.kill(a, no_restart=True)
+    return rd.from_arrow_refs(asp_refs)
 
 
 @dataclass
@@ -150,4 +193,6 @@ def shortest_paths(
         if sum(improved) == 0:
             break
     dists = rd.from_arrow(pa.concat_tables(ray.get([a.dist_table.remote() for a in actors])))
+    for a in actors:
+        ray.kill(a, no_restart=True)
     return SsspResult(distances=dists, rounds=rounds, nodes=graph.n_vertices)

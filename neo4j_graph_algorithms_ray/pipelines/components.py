@@ -69,6 +69,20 @@ def _contract_batch(t: pa.Table) -> pa.Table:
     return pa.table({"v": pa.array(verts), "root": pa.array(roots)})
 
 
+def mscoloring(graph: "BuiltGraph") -> rd.Dataset:
+    """MSColoring (``MSColoring.java:96-121``, ``MSColoringProc.java:53``):
+    every node converges to the **max** id reachable over either direction —
+    component labels with a max-vid canonical root (the kernel's
+    bidirectional CAS max-exchange makes it undirected).  Computed from the
+    CC labels by one small per-component max join: {vid, color}."""
+    from ray.data.aggregate import Max
+
+    res = connected_components(graph)
+    cmax = res.labels.groupby("label").aggregate(Max("vid", alias_name="color"))
+    joined = res.labels.join(cmax, "inner", max(1, graph.P), on=("label",))
+    return joined.select_columns(["vid", "color"])
+
+
 @dataclass
 class ComponentsResult:
     labels: rd.Dataset  # {vid: int64, label: int64} for ALL vertices

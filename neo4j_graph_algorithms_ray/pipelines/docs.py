@@ -131,59 +131,84 @@ def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> 
     )
 
 
+def minhash_signatures(docs: rd.Dataset, *, num_perm=64, k=3) -> rd.Dataset:
+    """{doc_id, perm, mh} — one row per (doc, permutation slot).
+
+    SQL-checkable: shingle hashing is md5-low-64 and the permutation
+    constants are fixed (functions/text.py MinHasher), so the DuckDB oracle
+    recomputes identical signatures.
+    """
+
+    class Stage:
+        def __init__(self):
+            self.mh = T.MinHasher(num_perm=num_perm)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sigs = np.stack([self.mh.signature(T.shingle_hashes(t, k)) for t in b["text"]])
+            n = len(b)
+            return pd.DataFrame(
+                {
+                    "doc_id": np.repeat(b["doc_id"].to_numpy(), num_perm),
+                    "perm": np.tile(np.arange(num_perm, dtype=np.int64), n),
+                    "mh": sigs.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        Stage, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+    )
+
+
 def minhash_dedup_pairs(
     docs: rd.Dataset, *, threshold: float = 0.7, num_perm=64, bands=16, k=3
 ) -> rd.Dataset:
-    """Verified near-dup pairs {id_a, id_b, jaccard >= threshold}.
+    """Verified near-dup pairs {id_a, id_b, jac_u} (jaccard >= threshold,
+    jac_u = floor(jaccard * 1e6 + 0.5)).
 
-    Candidates come from LSH; exact word-ngram Jaccard verification joins the
-    candidate ids back to their texts via a broadcast of only the candidate
-    docs (candidate set << corpus).
+    Candidates come from LSH; exact word-ngram Jaccard verification stays
+    fully distributed: the pair table is hash-joined back to the docs table
+    on each side (two shuffle joins), then verified inside ``map_batches`` —
+    no candidate ids or texts ever materialize on the driver (on a
+    near-dup-heavy corpus the candidate set is a large fraction of the
+    corpus, so a driver-side broadcast dict would OOM at scale).
     """
-    import ray
-
-    cands = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k).materialize()
-    cand_ids = set()
-    for b in cands.iter_batches(batch_format="pandas"):
-        cand_ids.update(b["id_a"].tolist())
-        cand_ids.update(b["id_b"].tolist())
-    if not cand_ids:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    wanted = np.array(sorted(cand_ids), dtype=np.int64)
-    texts = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(
-            lambda b: b[b["doc_id"].isin(wanted)], batch_format="pandas"
-        )
-        .to_pandas()
+    cands = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k)
+    npart = 16  # hash-join fan: candidate pairs are a small fraction of docs
+    texts = docs.select_columns(["doc_id", "text"])
+    with_a = cands.join(
+        texts.rename_columns({"doc_id": "id_a", "text": "text_a"}), "inner", npart, on=("id_a",)
     )
-    tref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+    with_ab = with_a.join(
+        texts.rename_columns({"doc_id": "id_b", "text": "text_b"}), "inner", npart, on=("id_b",)
+    )
     kk = k
     thr = threshold
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(tref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            j = np.array(
-                [
-                    T.jaccard_word_ngrams(self.texts[a], self.texts[bb], kk)
-                    for a, bb in zip(b["id_a"], b["id_b"])
-                ]
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=np.int64),
+                    "id_b": pd.Series(dtype=np.int64),
+                    "jac_u": pd.Series(dtype=np.int64),
+                }
             )
-            out = b.assign(jaccard=j)
-            return out[out["jaccard"] >= thr]
+        j = np.array(
+            [
+                T.jaccard_word_ngrams(ta, tb, kk)
+                for ta, tb in zip(b["text_a"], b["text_b"])
+            ]
+        )
+        keep = j >= thr
+        return pd.DataFrame(
+            {
+                "id_a": b["id_a"].to_numpy()[keep],
+                "id_b": b["id_b"].to_numpy()[keep],
+                "jac_u": np.floor(j[keep] * 1e6 + 0.5).astype(np.int64),
+            }
+        )
 
-    return cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return with_ab.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -88,12 +88,19 @@ def q_degrees(sf_dir: str):
     )
 
 
+PAGERANK_ORACLE_ITERS = 40  # fixed count shared with oracles.pagerank_sql
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Fixed-iteration PageRank (reference runs fixed counts too,
+    PageRank.java:160-164); scores quantized at 1e6 for the DuckDB oracle."""
     from .pagerank import pagerank
 
     g = graph_for_sf(sf_dir)
-    res = pagerank(g, tol=1e-6)
-    return res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    res = pagerank(g, iterations=PAGERANK_ORACLE_ITERS)
+    df = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    df["score_u"] = np.floor(df["score"].to_numpy() * 1e6 + 0.5).astype("int64")
+    return df[["vid", "score_u"]]
 
 
 def _cc(sf_dir: str):
@@ -155,20 +162,91 @@ def q_sssp(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("vid").reset_index(drop=True)
 
 
+def _quantize_centrality(res) -> pd.DataFrame:
+    df = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    df["cent_u"] = np.floor(df["centrality"].to_numpy() * 1e6 + 0.5).astype("int64")
+    return df[["vid", "cent_u"]]
+
+
 def q_harmonic(sf_dir: str) -> pd.DataFrame:
+    """Exact harmonic centrality, BOTH directions (HarmonicCentralityProc)."""
     from .centrality import harmonic_centrality
 
     g = graph_for_sf(sf_dir)
-    res = harmonic_centrality(g, direction="BOTH", sample_sources=64)
-    return res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    return _quantize_centrality(harmonic_centrality(g, direction="BOTH"))
 
 
 def q_closeness(sf_dir: str) -> pd.DataFrame:
+    """Exact closeness, OUTGOING (ClosenessCentralityProc.java:73)."""
     from .centrality import closeness_centrality
 
     g = graph_for_sf(sf_dir)
-    res = closeness_centrality(g, direction="BOTH", sample_sources=64)
-    return res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    return _quantize_centrality(closeness_centrality(g, direction="OUTGOING"))
+
+
+def q_mscoloring(sf_dir: str) -> pd.DataFrame:
+    """Max-vid component colors (MSColoringProc.java:53)."""
+    from .components import mscoloring
+
+    g = graph_for_sf(sf_dir)
+    return mscoloring(g).to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def q_all_shortest_paths(sf_dir: str) -> pd.DataFrame:
+    """(source, target, distance) stream from the first 64 sources
+    (AllShortestPathsProc.java:59 streams all pairs; sampled here)."""
+    from .centrality import all_shortest_paths
+
+    g = graph_for_sf(sf_dir)
+    df = all_shortest_paths(g, direction="OUTGOING", n_sources=64).to_pandas()
+    return df.sort_values(["source", "target"]).reset_index(drop=True)
+
+
+def q_scc(sf_dir: str) -> pd.DataFrame:
+    """Strongly connected components, min-vid canonical labels."""
+    from .scc import strongly_connected_components
+
+    g = graph_for_sf(sf_dir)
+    res = _memo_get(("scc", sf_dir), lambda: strongly_connected_components(g))
+    return res.labels.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def q_louvain(sf_dir: str) -> pd.DataFrame:
+    """Louvain communities (iterative modularity — rows-only driver check;
+    fixture conformance in tests/test_new_algos.py)."""
+    from .louvain import louvain
+
+    g = graph_for_sf(sf_dir)
+    res = louvain(g)
+    return res.communities.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def q_betweenness(sf_dir: str) -> pd.DataFrame:
+    """Exact Brandes betweenness over OUTGOING edges, 1e6-quantized."""
+    from .betweenness import betweenness_centrality
+
+    g = graph_for_sf(sf_dir)
+    res = betweenness_centrality(g, direction="OUTGOING")
+    df = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    df["cent_u"] = np.floor(df["centrality"].to_numpy() * 1e6 + 0.5).astype("int64")
+    return df[["vid", "cent_u"]]
+
+
+def q_shortest_path(sf_dir: str) -> pd.DataFrame:
+    """Single-pair shortest path (vid 0 -> farthest reachable), path rows."""
+    from .paths import shortest_path
+
+    g = graph_for_sf(sf_dir)
+    res = shortest_path(g, source=0, target=None)
+    return res.path
+
+
+def q_mst(sf_dir: str) -> pd.DataFrame:
+    """Per-component spanning-forest summary {label, n_edges, weight_u}."""
+    from .mst import mst_summary
+
+    g = graph_for_sf(sf_dir)
+    return mst_summary(g)
 
 
 def q_sha256_invariance(sf_dir: str):

@@ -1,0 +1,112 @@
+"""Louvain community detection (``algo.louvain``, LouvainProc.java:65,105).
+
+Single-level modularity sweep like the reference kernel (no coarsening,
+``impl/louvain/Louvain.java``); semantics + determinism conventions on
+``state/louvain_shard.py``.  Driver loop: per iteration two parity phases,
+each = serve-community wave, sTot partial-exchange wave, sTot fetch wave,
+local move step.  Converges when a full iteration moves nothing
+(``Louvain.java:156-170``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..state.louvain_shard import LouvainShard
+from ..state.shards import make_shard_actors
+from .graph_build import BuiltGraph
+
+
+@dataclass
+class LouvainResult:
+    communities: rd.Dataset  # {vid, community}
+    iterations: int
+    community_count: int
+    nodes: int
+    metrics: dict = field(default_factory=dict)
+
+
+def _transpose(refs, P):
+    if P == 1:
+        return [[refs[0]]]
+    return [[refs[q][p] for q in range(P)] for p in range(P)]
+
+
+def louvain(graph: BuiltGraph, *, max_iterations: int = 10) -> LouvainResult:
+    t0 = time.perf_counter()
+    rev = graph.ensure_reverse_layout()
+    actors = make_shard_actors(LouvainShard, graph, actor_kwargs={"rev_edges_dir": rev})
+    P = graph.P
+    ray.get([a.ready.remote() for a in actors])
+
+    # handshake: boundary community requests (fixed sets)
+    if P > 1:
+        needs = [a.needed_vids.options(num_returns=P).remote() for a in actors]
+        ray.get(
+            [actors[q].register_requests.remote(*[needs[p][q] for p in range(P)]) for q in range(P)]
+        )
+    else:
+        ray.get(actors[0].register_requests.remote(actors[0].needed_vids.remote()))
+
+    m2 = sum(ray.get([a.deg_sum.remote() for a in actors]))
+    ray.get([a.set_m2.remote(m2) for a in actors])
+    load_s = time.perf_counter() - t0
+
+    def wave(method, setter):
+        refs = [
+            getattr(a, method).options(num_returns=P).remote() if P > 1 else getattr(a, method).remote()
+            for a in actors
+        ]
+        return ray.get(
+            [getattr(actors[p], setter).remote(*chunks) for p, chunks in enumerate(_transpose(refs, P))]
+        )
+
+    t1 = time.perf_counter()
+    ran = 0
+    for it in range(max_iterations):
+        total_changed = 0
+        for parity in (0, 1):
+            wave("serve_comm", "set_voter_comm")
+            wave("stot_partials", "reduce_stot")
+            # dynamic sTot requests: who needs which community totals
+            if P > 1:
+                needs = [a.needed_comms.options(num_returns=P).remote() for a in actors]
+                served = [
+                    actors[q].serve_stot.options(num_returns=P).remote(
+                        *[needs[p][q] for p in range(P)]
+                    )
+                    for q in range(P)
+                ]
+                ray.get(
+                    [
+                        actors[p].set_stot.remote(*[served[q][p] for q in range(P)])
+                        for p in range(P)
+                    ]
+                )
+            else:
+                need = actors[0].needed_comms.remote()
+                ray.get(actors[0].set_stot.remote(actors[0].serve_stot.remote(need)))
+            total_changed += sum(ray.get([a.step.remote(parity) for a in actors]))
+        ran = it + 1
+        if total_changed == 0:
+            break
+    compute_s = time.perf_counter() - t1
+
+    tabs = ray.get([a.comm_table.remote() for a in actors])
+    for a in actors:
+        ray.kill(a, no_restart=True)
+    t = pa.concat_tables(tabs)
+    n_comm = len(np.unique(t["community"].to_numpy()))
+    return LouvainResult(
+        communities=rd.from_arrow(t),
+        iterations=ran,
+        community_count=n_comm,
+        nodes=graph.n_vertices,
+        metrics={"loadMillis": int(load_s * 1000), "computeMillis": int(compute_s * 1000), "p": P},
+    )

@@ -102,7 +102,13 @@ def knn_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
 ) -> rd.Dataset:
-    """IVF-flat: bucket by nearest centroid, probe nprobe buckets, exact re-rank."""
+    """IVF-flat: bucket by nearest centroid, probe nprobe buckets, exact re-rank.
+
+    Every ordering decision (bucket argmax, probe selection, partial and
+    final top-k) happens on the 1e-6-quantized cosine grid with vec-id/
+    centroid-id ascending tie-breaks, so the DuckDB oracle (oracles.py
+    ``knn_ivf_sql``) reproduces the result exactly.
+    """
     cent = (
         emb.map_batches(lambda b: b[b["vec_id"] < n_centroids], batch_format="pandas")
         .to_pandas()
@@ -112,22 +118,28 @@ def knn_ivf(
     cref = ray.put(C)
     qref = ray.put((qids, Q))
 
+    def _probe_sets(qids_, Q_, C_):
+        """nprobe nearest centroids per query on the quantized grid."""
+        qsim_u = np.floor((Q_ @ C_.T) * 1e6 + 0.5).astype(np.int64)  # (nq, C)
+        cids = np.arange(C_.shape[0])
+        out = {}
+        for i, q in enumerate(qids_):
+            order = np.lexsort((cids, -qsim_u[i]))[:nprobe]  # sim desc, cid asc
+            out[int(q)] = set(int(c) for c in order)
+        return out
+
     class Assign:
         def __init__(self):
             self.C = ray.get(cref)
             self.qids, self.Q = ray.get(qref)
-            qsim = self.Q @ self.C.T  # (nq, C)
-            probe = np.argsort(-qsim, axis=1)[:, :nprobe]
-            self.probed = set()
-            for qi in range(len(self.qids)):
-                for c in probe[qi]:
-                    self.probed.add((int(self.qids[qi]), int(c)))
-            self.probe_buckets = {b for _, b in self.probed}
+            probed = _probe_sets(self.qids, self.Q, self.C)
+            self.probe_buckets = np.array(sorted({c for s in probed.values() for c in s}))
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             M = _normalize(_batch_matrix(b))
-            bucket = np.argmax(M @ self.C.T, axis=1)
-            keep = np.isin(bucket, list(self.probe_buckets))
+            sim_u = np.floor((M @ self.C.T) * 1e6 + 0.5).astype(np.int64)
+            bucket = np.argmax(sim_u, axis=1)  # first max = lowest cid on ties
+            keep = np.isin(bucket, self.probe_buckets)
             return b[keep].assign(bucket=bucket[keep])
 
     filtered = emb.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
@@ -136,15 +148,11 @@ def knn_ivf(
         def __init__(self):
             self.qids, self.Q = ray.get(qref)
             self.C = ray.get(cref)
-            qsim = self.Q @ self.C.T
-            self.qprobe = {
-                int(q): set(np.argsort(-qsim[i])[:nprobe].tolist())
-                for i, q in enumerate(self.qids)
-            }
+            self.qprobe = _probe_sets(self.qids, self.Q, self.C)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             M = _normalize(_batch_matrix(b))
-            cos = M @ self.Q.T
+            cos_u = np.floor((M @ self.Q.T) * 1e6 + 0.5).astype(np.int64)
             outs = []
             bucket = b["bucket"].to_numpy()
             vec_ids = b["vec_id"].to_numpy()
@@ -152,17 +160,12 @@ def knn_ivf(
                 mask = np.isin(bucket, list(self.qprobe[int(q)]))
                 if not mask.any():
                     continue
-                c = cos[mask, qi]
+                c = cos_u[mask, qi]
+                v = vec_ids[mask]
                 kk = min(k, len(c))
-                top = np.argpartition(-c, kk - 1)[:kk]
+                top = np.lexsort((v, -c))[:kk]  # cos_u desc, vec_id asc
                 outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": int(q),
-                            "vec_id": vec_ids[mask][top],
-                            "cos_u": np.floor(c[top] * 1e6 + 0.5).astype(np.int64),
-                        }
-                    )
+                    pd.DataFrame({"query_id": int(q), "vec_id": v[top], "cos_u": c[top]})
                 )
             if not outs:
                 return pd.DataFrame({"query_id": [], "vec_id": [], "cos_u": []})

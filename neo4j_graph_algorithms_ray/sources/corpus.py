@@ -113,6 +113,46 @@ _FIX: dict[str, dict] = {
         nodes=list("abcd"),
         edges="a>b a>c a>d b>d",
     ),
+    # reference LouvainClusteringIntegrationTest.java:60-88 — two 4-cliques
+    # bridged by b-e plus isolated z; converged communityCount = 3
+    "louvain": dict(
+        repo="fixture-louvain",
+        nodes=list("abcdefghz"),
+        edges="a>b a>c a>d c>d b>c b>d f>e e>g e>h f>h f>g g>h b>e",
+    ),
+    # reference BetweennessCentralityIntegrationTest.java:77-97 — directed
+    # ring A -> center -> ring B; ring nodes 6.0, center 25.0
+    "bc-rings": dict(
+        repo="fixture-bcrings",
+        nodes=[f"a{i}" for i in range(5)] + ["center"] + [f"z{i}" for i in range(5)],
+        edges=" ".join(
+            [f"a{i}>a{(i + 1) % 5}" for i in range(5)]
+            + [f"a{i}>center" for i in range(5)]
+            + [f"center>z{i}" for i in range(5)]
+            + [f"z{i}>z{(i + 1) % 5}" for i in range(5)]
+        ),
+    ),
+    # reference StronglyConnectedComponentsProcIntegrationTest.java:52-66 —
+    # SCCs {a,b,c} and {d,e}
+    "scc1": dict(
+        repo="fixture-scc1",
+        nodes=list("abcde"),
+        edges="a>b b>a a>c c>a b>c c>b d>e e>d",
+    ),
+    # reference MSTPrimProcIntegrationTest.java:61-71 — weightSum 12,
+    # min 1, max 5, 4 relationships
+    "mst1": dict(
+        repo="fixture-mst1",
+        nodes=list("abcde"),
+        edges="a>b:1.0 a>c:2.0 b>c:3.0 b>d:4.0 c>e:5.0 d>e:6.0",
+    ),
+    # reference ShortestPathIntegrationTest.java:60-75 — nA->nX direct 5.0,
+    # via nB 4.0, via nC,nD 3.0 (the shortest, 4 nodes)
+    "sp1": dict(
+        repo="fixture-sp1",
+        nodes=["nA", "nB", "nC", "nD", "nX"],
+        edges="nA>nX:5.0 nA>nB:2.0 nB>nX:2.0 nA>nC:1.0 nC>nD:1.0 nD>nX:1.0",
+    ),
 }
 
 

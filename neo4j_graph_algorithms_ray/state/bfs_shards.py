@@ -45,20 +45,35 @@ class MsBfsShard(EdgeShardBase):
                 self.seg_starts = np.array([], dtype=np.int64)
             self.dst_split = np.searchsorted(self.uniq_dst, self.bounds[1:-1])
 
+    def begin_pass(self):
+        """Zero the cross-batch stat accumulators (once per centrality run).
+
+        Stats accumulate in-actor across all source batches so the driver
+        fetches one O(n_local) table per shard at the end — not per batch
+        (per-batch fetches made exact mode O(V^2/32) driver traffic)."""
+        self.farness = np.zeros(self.n_local, dtype=np.float64)
+        self.inv_farness = np.zeros(self.n_local, dtype=np.float64)
+        self.reached = np.zeros(self.n_local, dtype=np.int64)
+        return self.part
+
     def start(self, sources: np.ndarray):
         """Begin a batch: sources are global vids (<=32); bit i = sources[i]."""
         self.n_sources = len(sources)
         self.visited = np.zeros(self.n_local, dtype=np.uint32)
         self.new = np.zeros(self.n_local, dtype=np.uint32)
         self.depth = 0
-        self.farness = np.zeros(self.n_local, dtype=np.float64)
-        self.inv_farness = np.zeros(self.n_local, dtype=np.float64)
-        self.reached = np.zeros(self.n_local, dtype=np.int64)
+        if not hasattr(self, "farness"):
+            self.begin_pass()
+        # per-batch per-bit depth matrix for all-shortest-paths streaming
+        # (int16: depths < 2^15; 64 KiB per 1k local vertices per batch)
+        self.bit_depth = np.full((self.n_local, len(sources)), -1, dtype=np.int16)
+        self.batch_sources = np.asarray(sources, dtype=np.int64)
         for i, s in enumerate(sources):
             if self.lo <= s < self.hi:
                 bit = np.uint32(1) << np.uint32(i)
                 self.visited[s - self.lo] |= bit
                 self.new[s - self.lo] |= bit
+                self.bit_depth[s - self.lo, i] = 0
         return self.part
 
     def expand(self):
@@ -93,15 +108,30 @@ class MsBfsShard(EdgeShardBase):
         nz = np.flatnonzero(new)
         if len(nz):
             # vectorized popcount of the newly-set source bits
-            counts = (
-                np.unpackbits(new[nz].view(np.uint8).reshape(len(nz), 4), axis=1)
-                .sum(axis=1)
-                .astype(np.int64)
+            unpacked = np.unpackbits(
+                new[nz].view(np.uint8).reshape(len(nz), 4), axis=1, bitorder="little"
             )
+            counts = unpacked.sum(axis=1).astype(np.int64)
             self.reached[nz] += counts
             self.farness[nz] += counts * float(self.depth)
             self.inv_farness[nz] += counts / float(self.depth)
+            # record per-bit first-visit depth (bit i of uint32 = byte i//8, bit i%8)
+            nb = unpacked[:, : self.n_sources].astype(bool)
+            rows, cols = np.nonzero(nb)
+            self.bit_depth[nz[rows], cols] = self.depth
         return int(len(nz))
+
+    def asp_rows(self) -> pa.Table:
+        """(source, target, distance) rows for the finished batch, d >= 0
+        (self-distance 0 included — AllShortestPathsProc streams it)."""
+        rows, cols = np.nonzero(self.bit_depth >= 0)
+        return pa.table(
+            {
+                "source": pa.array(self.batch_sources[cols]),
+                "target": pa.array(rows.astype(np.int64) + self.lo),
+                "distance": pa.array(self.bit_depth[rows, cols].astype(np.int64)),
+            }
+        )
 
     def stats_table(self) -> pa.Table:
         return pa.table(
@@ -134,38 +164,68 @@ class SsspShard(EdgeShardBase):
     def start(self, source: int):
         self.dist = np.full(self.n_local, np.inf)
         self.active = np.zeros(self.n_local, dtype=bool)
+        self.pred = np.full(self.n_local, -1, dtype=np.int64)
         if self.lo <= source < self.hi:
             self.dist[source - self.lo] = 0.0
             self.active[source - self.lo] = True
         return self.part
 
     def relax(self):
-        """Push tentative distances along local out-edges of active vertices."""
+        """Push tentative distances along local out-edges of active vertices.
+
+        Each destination's message is its best (distance, predecessor) pair,
+        predecessor tie-break = smallest source vid among equal distances —
+        the deterministic convention path reconstruction (pipelines/paths.py)
+        and its SQL oracle rely on."""
         w = self.weight if self.weighted else np.ones(len(self.dst))
         # per-edge candidate distance (dst-sorted order)
         cand = self.dist[self.esrc_by_dst] + (w[self.dorder] if self.weighted else 1.0)
         act = self.active[self.esrc_by_dst]
         cand = np.where(act, cand, np.inf)
+        uglob = self.esrc_by_dst.astype(np.int64) + self.lo
         if len(self.seg_starts):
-            mins = np.minimum.reduceat(cand, self.seg_starts)
+            dst_vals = self.dst[self.dorder]
+            order = np.lexsort((uglob, cand, dst_vals))
+            ds = dst_vals[order]
+            first = np.unique(ds, return_index=True)[1]
+            win = order[first]
+            dsts, dmin, pred = ds[first], cand[win], uglob[win]
         else:
-            mins = np.array([])
-        out = []
-        for dchunk, mchunk in zip(self._split_by_owner(self.uniq_dst), self._split_by_owner(mins)):
-            ok = np.isfinite(mchunk)
-            out.append(pa.table({"dst": pa.array(dchunk[ok]), "d": pa.array(mchunk[ok])}))
+            dsts = np.array([], dtype=np.int64)
+            dmin = np.array([])
+            pred = np.array([], dtype=np.int64)
+        ok = np.isfinite(dmin)
+        dsts, dmin, pred = dsts[ok], dmin[ok], pred[ok]
+        cuts = np.searchsorted(dsts, self.bounds[1:-1])
+        out = [
+            pa.table({"dst": pa.array(d), "d": pa.array(m), "pred": pa.array(p)})
+            for d, m, p in zip(np.split(dsts, cuts), np.split(dmin, cuts), np.split(pred, cuts))
+        ]
         return tuple(out) if self.P > 1 else out[0]
 
     def absorb(self, *tables) -> int:
         cand = np.full(self.n_local, np.inf)
+        cpred = np.full(self.n_local, -1, dtype=np.int64)
         for t in tables:
             if t is not None and t.num_rows:
                 idx = t["dst"].to_numpy().astype(np.int64) - self.lo
-                np.minimum.at(cand, idx, t["d"].to_numpy())
+                d = t["d"].to_numpy()
+                p = t["pred"].to_numpy()
+                better = (d < cand[idx]) | ((d == cand[idx]) & (p < cpred[idx]))
+                bi = idx[better]
+                cand[bi] = d[better]
+                cpred[bi] = p[better]
         improved = cand < self.dist
         self.dist = np.where(improved, cand, self.dist)
+        self.pred = np.where(improved, cpred, self.pred)
         self.active = improved
         return int(np.count_nonzero(improved))
+
+    def path_info(self, vid: int):
+        """(distance, predecessor) of one local vertex — the per-hop lookup
+        path reconstruction walks (paths are small by nature)."""
+        i = int(vid) - self.lo
+        return float(self.dist[i]), int(self.pred[i])
 
     def dist_table(self) -> pa.Table:
         return pa.table(

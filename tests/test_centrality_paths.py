@@ -84,7 +84,8 @@ def test_closeness_line(line_graph):
     res = closeness_centrality(line_graph, direction="BOTH")
     df = res.scores.to_pandas().sort_values("vid")
     c = df["centrality"].to_numpy()
-    # 10-node path graph: ends have farness 45 -> 9/45 = 0.2
-    assert c[0] == pytest.approx(9 / 45)
-    # middle node (vid 4): farness 4+3+2+1+1+2+3+4+5 = 25
-    assert c[4] == pytest.approx(9 / 25)
+    n = line_graph.n_vertices  # 160
+    # MSBFSCCAlgorithm.centrality: (nodeCount-1)/farness, component-blind.
+    # 10-node path: end farness 45, middle (vid 4) farness 25.
+    assert c[0] == pytest.approx((n - 1) / 45)
+    assert c[4] == pytest.approx((n - 1) / 25)

@@ -54,7 +54,7 @@ def test_minhash_finds_planted_near_dups():
     found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 1) in found  # exact dup (jaccard 1.0)
     assert (0, 2) in found or (1, 2) in found  # near dup
-    assert all(j >= 0.5 for j in pairs["jaccard"])
+    assert all(j >= 500_000 for j in pairs["jac_u"])
     assert not any({a, b} == {3, 5} for a, b in found)
 
 

@@ -66,15 +66,32 @@ ORACLE_QUERIES = [
     "vertices",
     "degrees",
     "sha256_invariance",
+    "pagerank",
+    "connected_components",
+    "cc_set_sizes",
+    "mscoloring",
+    "label_propagation",
+    "sssp",
+    "all_shortest_paths",
+    "shortest_path",
+    "closeness_centrality",
+    "harmonic_centrality",
+    "betweenness",
+    "scc",
+    "mst",
     "triangle_counts",
     "triangle_global",
     "clustering_coefficients",
     "dedup_exact",
+    "minhash_signatures",
+    "minhash_pairs",
+    "simhash_signatures",
     "token_counts",
     "quality_scores",
     "language_id",
     "fingerprints",
     "knn_bruteforce",
+    "knn_ivf",
     "multimodal_meta",
     "lineitem_summary",
     "top_customers",
@@ -94,16 +111,7 @@ def test_query_matches_oracle(contract, con, name):
 
 ROWS_ONLY = [
     "catalog",
-    "pagerank",
-    "connected_components",
-    "cc_set_sizes",
-    "label_propagation",
-    "sssp",
-    "harmonic_centrality",
-    "closeness_centrality",
-    "minhash_pairs",
-    "simhash_signatures",
-    "knn_ivf",
+    "louvain",  # iterative modularity (non-SQL); fixtures in test_new_algos
 ]
 
 

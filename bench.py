@@ -141,6 +141,20 @@ def plain_bench() -> dict:
     tri = timed("triangle_count", lambda: triangle_count(g))
     extra["triangles"] = tri.triangle_count
 
+    from neo4j_graph_algorithms_ray.pipelines.betweenness import betweenness_centrality
+    from neo4j_graph_algorithms_ray.pipelines.louvain import louvain
+    from neo4j_graph_algorithms_ray.pipelines.scc import strongly_connected_components
+
+    lv = timed("louvain", lambda: louvain(g, max_iterations=10))
+    extra["louvain_communities"] = lv.community_count
+    bc = timed(
+        "betweenness_sampled",
+        lambda: betweenness_centrality(g, direction="OUTGOING", sample_sources=64),
+    )
+    extra["betweenness_sources"] = bc.metrics["sources"]
+    scc = timed("scc", lambda: strongly_connected_components(g))
+    extra["scc_outer_rounds"] = scc.metrics["outer_rounds"]
+
     docs = Dp.read_documents(SF_DIR)
     timed("dedup_exact", lambda: Dp.exact_dedup(docs).materialize())
     timed("token_counts", lambda: Dp.token_counts(docs).materialize())

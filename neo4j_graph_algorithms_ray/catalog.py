@@ -42,6 +42,7 @@ _CATALOG = [
     ("NaN", "function", "IsFiniteFunc.java", "functions.scalars.nan"),
     ("dedup.exact", "dataprep", "(training-data op)", "pipelines.docs.exact_dedup"),
     ("dedup.minhash", "dataprep", "(training-data op)", "pipelines.docs.minhash_dedup_pairs"),
+    ("dedup.minhash.signatures", "dataprep", "(training-data op)", "pipelines.docs.minhash_signatures"),
     ("dedup.simhash", "dataprep", "(training-data op)", "pipelines.docs.simhash_near_pairs"),
     ("text.tokens", "dataprep", "(training-data op)", "pipelines.docs.token_counts"),
     ("text.quality", "dataprep", "(training-data op)", "pipelines.docs.quality_scores"),

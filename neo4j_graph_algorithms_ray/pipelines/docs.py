@@ -172,8 +172,14 @@ def minhash_dedup_pairs(
     near-dup-heavy corpus the candidate set is a large fraction of the
     corpus, so a driver-side broadcast dict would OOM at scale).
     """
+    import ray
+
     cands = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k)
-    npart = 16  # hash-join fan: candidate pairs are a small fraction of docs
+    # hash-join fan sized to the session: each join spawns npart aggregator
+    # actors that reserve CPU fractions — two chained 16-way joins in a small
+    # (4-cpu test) session reserve every core and deadlock the map stages
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(16, ncpu // 2))
     texts = docs.select_columns(["doc_id", "text"])
     with_a = cands.join(
         texts.rename_columns({"doc_id": "id_a", "text": "text_a"}), "inner", npart, on=("id_a",)

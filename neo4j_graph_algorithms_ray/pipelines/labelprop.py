@@ -102,7 +102,18 @@ def label_propagation(
             _RouteSeeds(actors, graph.bounds), batch_format="pyarrow", batch_size=65536, concurrency=1
         ).count()
 
-    # static voter node-weights exchange
+    ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
+    start_iter = 0
+    if resume and ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            ckpt.validate_resume(m, algo="labelprop", bounds=graph.bounds)
+            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
+            start_iter = m["iteration"] + 1
+
+    # static voter node-weights exchange — after resume, so restored
+    # checkpointed node weights (not defaults) feed the voter weights
     wrefs = [
         a.serve_nodeweights.options(num_returns=P).remote() if P > 1 else a.serve_nodeweights.remote()
         for a in actors
@@ -110,14 +121,6 @@ def label_propagation(
     ray.get(
         [actors[p].set_voter_weights.remote(*chunks) for p, chunks in enumerate(_transpose_exchange(wrefs, P))]
     )
-    ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
-    start_iter = 0
-    if resume and ckpt is not None:
-        m = ckpt.latest()
-        if m is not None:
-            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
-            ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
-            start_iter = m["iteration"] + 1
     load_s = time.perf_counter() - t0
 
     t1 = time.perf_counter()

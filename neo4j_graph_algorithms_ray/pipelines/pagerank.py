@@ -214,6 +214,7 @@ def pagerank(
     if resume and ckpt is not None:
         m = ckpt.latest()
         if m is not None:
+            ckpt.validate_resume(m, algo="pagerank", bounds=graph.bounds)
             files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
             ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
             start_iter = m["iteration"] + 1

@@ -19,11 +19,12 @@ Distributed shape (SURVEY.md §2.2 "Triangle count"):
    wedge counts by O(sqrt(m)),
 4. **partition** oriented edges by source range (same bounds as the graph) —
    each partition holds complete adjacency for its vertex range,
-5. **count** — ``MembershipShard`` actors pin sorted adjacency per range;
-   a streaming ``map_batches`` pipeline over partitions generates wedges
-   (vectorized stride enumeration, chunked) and probes the closing edge on
-   the owning shard, yielding triangle triples ``{a,b,c}`` (the reference's
-   ``TriangleStream``),
+5. **count** — wedge rows stream out of P*K generation tasks (vectorized
+   stride enumeration over source-range splits) and shuffle by
+   ``(owner(v), hash(w))`` bucket to a co-partitioned local membership
+   check (vectorized binary search over that partition's sorted adjacency),
+   yielding triangle triples ``{a,b,c}`` (the reference's
+   ``TriangleStream``) — no cross-actor probes on the critical path,
 6. **aggregate** — per-corner counts (partial bincount + groupby.sum),
    coefficients via a degree join, global count / average as tiny aggregates.
 """
@@ -41,6 +42,10 @@ from ray.data.aggregate import Sum
 
 from .graph_build import BuiltGraph, partition_edges
 import os
+
+# vertex count above which degree orientation switches from a broadcast
+# array to Dataset hash joins (tests lower it to exercise the join path)
+BROADCAST_MAX_V = 5_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -65,49 +70,17 @@ def _load_tri_partition(tri_dir: str, part: int):
     )
 
 
-class MembershipShard:
-    """Read-only sorted adjacency for one oriented-edge partition.
-
-    The distributed form of the reference's edge-existence probe
-    (``AdjacencyMatrix.hasOutgoing:144-154`` — binary search in a sorted
-    neighbor list).  Never calls other actors: safe to probe from anywhere.
-    """
-
-    def __init__(self, part: int, bounds, tri_dir: str):
-        self.lo = int(bounds[part])
-        self.hi = int(bounds[part + 1])
-        a, b, _ = _load_tri_partition(tri_dir, part)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        counts = np.bincount(a - self.lo, minlength=self.hi - self.lo)
-        self.indptr = np.concatenate([[0], np.cumsum(counts)])
-        self.adj = b
-
-    def ready(self) -> int:
-        return len(self.adj)
-
-    def check(self, vs: np.ndarray, ws: np.ndarray) -> np.ndarray:
-        """Vectorized membership: is (v,w) an oriented edge, per query pair."""
-        out = np.zeros(len(vs), dtype=bool)
-        vloc = vs - self.lo
-        order = np.argsort(vloc, kind="stable")
-        vs_s = vloc[order]
-        ws_s = ws[order]
-        starts = np.flatnonzero(np.concatenate([[True], vs_s[1:] != vs_s[:-1]]))
-        res = np.zeros(len(vs), dtype=bool)
-        for si, ei in zip(starts, np.concatenate([starts[1:], [len(vs_s)]])):
-            v = vs_s[si]
-            row = self.adj[self.indptr[v] : self.indptr[v + 1]]
-            if len(row):
-                pos = np.searchsorted(row, ws_s[si:ei])
-                pos = np.minimum(pos, len(row) - 1)
-                res[si:ei] = row[pos] == ws_s[si:ei]
-        out[order] = res
-        return out
-
-
 # ---------------------------------------------------------------------------
-# wedge generation + closing-edge probe (streaming)
+# wedge generation + co-partitioned closing-edge check
+#
+# The closing-edge test is the reference's sorted-adjacency membership probe
+# (``AdjacencyMatrix.hasOutgoing:144-154`` / ``HugeGraphIntersectImpl``),
+# distributed as a *shuffle*, not as cross-actor RPCs: wedge rows (v, w | a)
+# are routed to the partition that owns v's oriented adjacency and checked
+# there with one vectorized binary search per group.  No actor round-trips
+# on the critical path, and both stages fan out to many more work items
+# than P (source-range splits for generation, (owner, w-hash) buckets for
+# checking), so all cores stay busy.
 # ---------------------------------------------------------------------------
 
 
@@ -130,57 +103,120 @@ def _wedge_pairs(seg_id: np.ndarray):
     return np.concatenate(firsts), np.concatenate(seconds)
 
 
-class WedgeWorker:
-    """map_batches stage over partition ids: yields triangle triples.
+def _membership_mask(lo: int, hi: int, a: np.ndarray, b: np.ndarray, vs: np.ndarray, ws: np.ndarray):
+    """Vectorized (v,w)-in-oriented-edges test against partition [lo,hi)."""
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    counts = np.bincount(a_s - lo, minlength=hi - lo)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    out = np.zeros(len(vs), dtype=bool)
+    vloc = vs - lo
+    qorder = np.argsort(vloc, kind="stable")
+    vs_s = vloc[qorder]
+    ws_s = ws[qorder]
+    starts = np.flatnonzero(np.concatenate([[True], vs_s[1:] != vs_s[:-1]]))
+    res = np.zeros(len(vs), dtype=bool)
+    for si, ei in zip(starts, np.concatenate([starts[1:], [len(vs_s)]])):
+        v = vs_s[si]
+        row = b_s[indptr[v] : indptr[v + 1]]
+        if len(row):
+            pos = np.searchsorted(row, ws_s[si:ei])
+            pos = np.minimum(pos, len(row) - 1)
+            res[si:ei] = row[pos] == ws_s[si:ei]
+    out[qorder] = res
+    return out
 
-    Stateful (holds the membership actor handles + graph bounds); reads its
-    oriented-edge partitions, enumerates wedges per source vertex in
-    rank-sorted adjacency order, probes closing edges on the owning shard,
-    and yields ``{a, b, c}`` batches (a generator UDF — output streams with
-    backpressure instead of materializing all wedges).
+
+class WedgeGen:
+    """map_batches stage over (part, k, K) work items: yields wedge rows.
+
+    Each item covers the k-th of K contiguous source-vid chunks of one
+    oriented-edge partition, so generation parallelism is P*K tasks.  Output
+    rows {a, v, w, bucket} stream out with backpressure; ``bucket`` routes
+    each wedge to the checker that holds v's adjacency.
     """
 
-    def __init__(self, tri_dir: str, bounds, actors, chunk: int = 1 << 18):
+    def __init__(self, tri_dir: str, bounds, sub: int, chunk: int = 1 << 20):
         self.tri_dir = tri_dir
         self.bounds = np.asarray(bounds)
-        self.actors = actors
+        self.sub = sub
         self.chunk = chunk
-
-    def _probe(self, u, v, w):
-        owner = np.searchsorted(self.bounds, v, side="right") - 1
-        order = np.argsort(owner, kind="stable")
-        u, v, w, owner = u[order], v[order], w[order], owner[order]
-        cuts = np.flatnonzero(np.concatenate([[True], owner[1:] != owner[:-1]]))
-        ends = np.concatenate([cuts[1:], [len(owner)]])
-        refs, slices = [], []
-        for si, ei in zip(cuts, ends):
-            refs.append(self.actors[owner[si]].check.remote(v[si:ei], w[si:ei]))
-            slices.append((si, ei))
-        masks = ray.get(refs)
-        hit = np.zeros(len(u), dtype=bool)
-        for (si, ei), m in zip(slices, masks):
-            hit[si:ei] = m
-        return u[hit], v[hit], w[hit]
 
     def __call__(self, batch: pa.Table):
         yielded = False
-        for part in batch["part"].to_pylist():
+        for part, k, K in zip(
+            batch["part"].to_pylist(), batch["k"].to_pylist(), batch["K"].to_pylist()
+        ):
             a, b, deg_b = _load_tri_partition(self.tri_dir, int(part))
             if len(a) == 0:
                 continue
             order = np.lexsort((b, deg_b, a))  # per-a neighbors in rank order
             a, b = a[order], b[order]
-            i, j = _wedge_pairs(a)
+            # k-th contiguous source chunk (a is sorted): equal-row slices
+            cuts = np.linspace(0, len(a), K + 1).astype(np.int64)
+            # align slice starts to source boundaries so no run is split
+            sl = np.searchsorted(a, a[np.minimum(cuts[k], len(a) - 1)]) if cuts[k] < len(a) else len(a)
+            sr = np.searchsorted(a, a[np.minimum(cuts[k + 1], len(a) - 1)]) if cuts[k + 1] < len(a) else len(a)
+            if sr <= sl:
+                continue
+            aa, bb = a[sl:sr], b[sl:sr]
+            i, j = _wedge_pairs(aa)
             for s in range(0, len(i), self.chunk):
                 ii, jj = i[s : s + self.chunk], j[s : s + self.chunk]
-                u, v, w = a[ii], b[ii], b[jj]
-                tu, tv, tw = self._probe(u, v, w)
-                if len(tu):
-                    yielded = True
-                    yield pa.table({"a": pa.array(tu), "b": pa.array(tv), "c": pa.array(tw)})
+                u, v, w = aa[ii], bb[ii], bb[jj]
+                owner = np.searchsorted(self.bounds, v, side="right") - 1
+                bucket = owner * self.sub + (w % self.sub)
+                yielded = True
+                yield pa.table(
+                    {
+                        "a": pa.array(u),
+                        "v": pa.array(v),
+                        "w": pa.array(w),
+                        "bucket": pa.array(bucket.astype(np.int64)),
+                    }
+                )
         if not yielded:
             e = pa.array([], pa.int64())
-            yield pa.table({"a": e, "b": e, "c": e})
+            yield pa.table({"a": e, "v": e, "w": e, "bucket": e})
+
+
+class WedgeCheck:
+    """map_groups stage per (owner, w-hash) bucket: local membership check.
+
+    Loads the owning partition's oriented adjacency once per group call and
+    emits the closing triangles {a, b, c}.  Stateless w.r.t. Ray (tasks);
+    partition reads are small (E/P rows) and amortized over the whole group.
+    """
+
+    def __init__(self, tri_dir: str, bounds, sub: int):
+        self.tri_dir = tri_dir
+        self.bounds = np.asarray(bounds)
+        self.sub = sub
+        self._cache: dict[int, tuple] = {}
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        e = pa.array([], pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"a": e, "b": e, "c": e})
+        part = int(g["bucket"][0].as_py()) // self.sub
+        if part not in self._cache:
+            pa_, pb_, _ = _load_tri_partition(self.tri_dir, part)
+            self._cache = {part: (pa_, pb_)}  # keep one partition resident
+        ea, eb = self._cache[part]
+        if len(ea) == 0:
+            return pa.table({"a": e, "b": e, "c": e})
+        vs = g["v"].to_numpy()
+        ws = g["w"].to_numpy()
+        hit = _membership_mask(
+            int(self.bounds[part]), int(self.bounds[part + 1]), ea, eb, vs, ws
+        )
+        return pa.table(
+            {
+                "a": pa.array(g["a"].to_numpy()[hit]),
+                "b": pa.array(vs[hit]),
+                "c": pa.array(ws[hit]),
+            }
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -249,31 +285,49 @@ def triangle_count(graph: BuiltGraph, *, chunk: int = 1 << 18) -> TriangleResult
     canon = _canonical_edges(graph).materialize()
     degrees = _degrees(canon).materialize()
 
-    # orientation by (deg, vid): broadcast the degree table (O(V) ints; for
-    # V beyond broadcast limits use Dataset.join on u and v instead)
-    deg_pdf = degrees.to_pandas()
-    deg_ref = ray.put(deg_pdf)
+    # orientation by (deg, vid).  Small-V path: broadcast the degree table
+    # once (ray.put) and index it per batch.  Above the broadcast threshold
+    # the same columns come from two Dataset hash joins instead — the same
+    # auto-fallback contract as stages/joins.lookup_vids.
+    def _orient_cols(u, v, du, dv):
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table(
+            {
+                "a": pa.array(np.where(u_first, u, v)),
+                "b": pa.array(np.where(u_first, v, u)),
+                "deg_b": pa.array(np.where(u_first, dv, du)),
+            }
+        )
 
-    class Orient:
-        def __init__(self):
-            d = ray.get(deg_ref)
-            n = int(graph.n_vertices)
-            self.deg = np.zeros(n, dtype=np.int64)
-            if len(d):
-                self.deg[d["vid"].to_numpy()] = d["deg"].to_numpy()
+    if graph.n_vertices <= BROADCAST_MAX_V:
+        deg_pdf = degrees.to_pandas()
+        deg_ref = ray.put(deg_pdf)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            u = t["u"].to_numpy()
-            v = t["v"].to_numpy()
-            du, dv = self.deg[u], self.deg[v]
-            u_first = (du < dv) | ((du == dv) & (u < v))
-            a = np.where(u_first, u, v)
-            b = np.where(u_first, v, u)
-            return pa.table(
-                {"a": pa.array(a), "b": pa.array(b), "deg_b": pa.array(np.where(u_first, dv, du))}
-            )
+        class Orient:
+            def __init__(self):
+                d = ray.get(deg_ref)
+                n = int(graph.n_vertices)
+                self.deg = np.zeros(n, dtype=np.int64)
+                if len(d):
+                    self.deg[d["vid"].to_numpy()] = d["deg"].to_numpy()
 
-    oriented = canon.map_batches(Orient, batch_format="pyarrow", concurrency=(1, 4))
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t["u"].to_numpy()
+                v = t["v"].to_numpy()
+                return _orient_cols(u, v, self.deg[u], self.deg[v])
+
+        oriented = canon.map_batches(Orient, batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        npart = max(2, graph.P)
+        du_t = degrees.rename_columns({"vid": "u", "deg": "du"})
+        dv_t = degrees.rename_columns({"vid": "v", "deg": "dv"})
+        joined = canon.join(du_t, "inner", npart, on=("u",)).join(dv_t, "inner", npart, on=("v",))
+        oriented = joined.map_batches(
+            lambda t: _orient_cols(
+                t["u"].to_numpy(), t["v"].to_numpy(), t["du"].to_numpy(), t["dv"].to_numpy()
+            ),
+            batch_format="pyarrow",
+        )
     tri_dir = os.path.join(workdir, "edges_tri")
     # write_parquet appends uniquely-named files: a re-run into a dirty dir
     # would duplicate every oriented edge (and square the wedge count) —
@@ -287,24 +341,31 @@ def triangle_count(graph: BuiltGraph, *, chunk: int = 1 << 18) -> TriangleResult
         with open(marker, "w") as f:
             f.write("ok")
 
-    # probe actors reserve no CPU: they are mostly idle and their probe work
-    # is short bursts — reserving CPUs here deadlocks against the wedge pool
-    # when P approaches the session CPU count
-    actors = [
-        ray.remote(num_cpus=0)(MembershipShard).remote(p, graph.bounds, tri_dir)
-        for p in range(graph.P)
-    ]
-    ray.get([a.ready.remote() for a in actors])
+    # wedge-gen parallelism: P partitions x K source splits; check-stage
+    # parallelism: P owners x `sub` w-hash buckets — both exceed the core
+    # count so neither stage is bounded by P
+    import ray as _ray
 
-    parts = rd.from_items([{"part": p} for p in range(graph.P)])
-    triangles = parts.map_batches(
-        WedgeWorker,
-        fn_constructor_kwargs={"tri_dir": tri_dir, "bounds": graph.bounds, "actors": actors, "chunk": chunk},
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    K = max(1, (2 * ncpu) // max(1, graph.P))
+    sub = max(1, (2 * ncpu) // max(1, graph.P))
+    items = [{"part": p, "k": k, "K": K} for p in range(graph.P) for k in range(K)]
+    parts = rd.from_items(items)
+    wedges = parts.map_batches(
+        WedgeGen,
+        fn_constructor_kwargs={"tri_dir": tri_dir, "bounds": graph.bounds, "sub": sub, "chunk": chunk},
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=(1, graph.P),
-        num_cpus=0.5,
-    ).materialize()
+        concurrency=(1, max(2, ncpu // 2)),
+    )
+    checker = WedgeCheck(tri_dir, graph.bounds, sub)
+
+    def check_group(g: pa.Table) -> pa.Table:
+        return checker(g)
+
+    triangles = (
+        wedges.groupby("bucket").map_groups(check_group, batch_format="pyarrow").materialize()
+    )
     n_triangles = triangles.count()
 
     # per-corner counts: partial bincount -> groupby.sum -> left join all vertices

@@ -37,6 +37,27 @@ class CheckpointManager:
         with open(self.manifest_path) as f:
             return json.load(f)
 
+    def validate_resume(self, manifest: dict, *, algo: str, bounds) -> None:
+        """Refuse to resume from a checkpoint of a different graph/algorithm.
+
+        A manifest from another graph with the same P and partition sizes
+        would otherwise pass the shards' row-count asserts and silently
+        resume with wrong per-vid state.
+        """
+        got_algo = manifest.get("algo")
+        if got_algo != algo:
+            raise ValueError(
+                f"checkpoint is for algo {got_algo!r}, cannot resume {algo!r} from it"
+            )
+        want = [int(b) for b in bounds]
+        got = [int(b) for b in manifest.get("bounds", [])]
+        if got != want:
+            raise ValueError(
+                "checkpoint partition bounds do not match this graph "
+                f"(checkpoint {got[:4]}...x{len(got)} vs graph {want[:4]}...x{len(want)}); "
+                "it was written for a different graph or partitioning"
+            )
+
     def commit_iteration(self, iteration: int, files: list[str], meta: dict):
         m = {"iteration": iteration, "files": sorted(files), **meta}
         tmp = self.manifest_path + ".tmp"

@@ -329,12 +329,15 @@ class MailboxPageRankShard(PageRankShard):
     consumes only round r-1 messages.
     """
 
+    DEPOSIT_TIMEOUT_S = 120.0
+
     def __init__(self, part, bounds, edges_dir, damping: float = 0.85, threads: int = 1):
         super().__init__(part, bounds, edges_dir, damping, threads)
         import asyncio
 
         self._cond = asyncio.Condition()
         self._inbox: dict[int, list] = {}
+        self._deposit_refs: list = []
         self._expected = self.P - 1
         self.peers = None
         self._peer_slice = []
@@ -392,18 +395,44 @@ class MailboxPageRankShard(PageRankShard):
             t = pa.table(
                 {"dst": pa.array(self.uniq_dst[qa:qb]), "contrib": pa.array(sums[qa:qb])}
             )
-            self.peers[q].deposit.remote(rnd, t)  # fire-and-forget, inline payload
+            # retain the ack ref: a failed deposit RPC (peer death,
+            # serialization error) must surface, not vanish — dropped refs
+            # made any lost deposit an undiagnosable all-peer deadlock
+            self._deposit_refs.append(self.peers[q].deposit.remote(rnd, t))
+        if len(self._deposit_refs) > 4 * self.P:
+            done, pending = ray.wait(
+                list(self._deposit_refs), num_returns=len(self._deposit_refs), timeout=0
+            )
+            ray.get(done)  # raise if any failed
+            self._deposit_refs = list(pending)
 
     async def run_rounds(self, start: int, count: int) -> float:
         """Execute rounds [start, start+count); round r applies r-1's messages
-        then pushes r.  Returns the max-delta of the last apply."""
+        then pushes r.  Returns the max-delta of the last apply.
+
+        Deposit waits are bounded: if a peer's round message has not arrived
+        within the timeout, raise a descriptive error naming the round and
+        the deficit instead of deadlocking every peer's loop."""
+        import asyncio
+
         md = float(self.delta.max(initial=0.0))
         for r in range(start, start + count):
             if r > 0:
                 async with self._cond:
-                    await self._cond.wait_for(
-                        lambda: len(self._inbox.get(r - 1, [])) >= self._expected
-                    )
+                    try:
+                        await asyncio.wait_for(
+                            self._cond.wait_for(
+                                lambda: len(self._inbox.get(r - 1, [])) >= self._expected
+                            ),
+                            timeout=self.DEPOSIT_TIMEOUT_S,
+                        )
+                    except asyncio.TimeoutError:
+                        got = len(self._inbox.get(r - 1, []))
+                        raise RuntimeError(
+                            f"shard {self.part}: round {r - 1} mailbox incomplete after "
+                            f"{self.DEPOSIT_TIMEOUT_S}s ({got}/{self._expected} deposits) — "
+                            "a peer died or a deposit RPC was lost"
+                        ) from None
                 tables = self._inbox.pop(r - 1, [])
                 md = self._apply_round(tables)
             self._push_round(r)
@@ -560,11 +589,16 @@ class LabelPropShard:
         )
 
     def save_state(self, ckpt_dir: str, iteration: int) -> str:
-        """Atomic per-partition label checkpoint (same protocol as PageRank)."""
+        """Atomic per-partition checkpoint (same protocol as PageRank).
+
+        Persists the seeded node weights alongside the labels: voter weights
+        are derived from them at resume, so a weighted-seeded run restores
+        identical vote semantics without the caller re-passing seeds."""
         os.makedirs(ckpt_dir, exist_ok=True)
         final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={self.part:05d}.parquet")
         tmp = final + ".tmp"
-        pq.write_table(self.labels_table(), tmp)
+        state = self.labels_table().append_column("node_w", pa.array(self.node_w))
+        pq.write_table(state, tmp)
         os.replace(tmp, final)
         return final
 
@@ -572,6 +606,8 @@ class LabelPropShard:
         t = pq.read_table(path)
         assert t.num_rows == self.n_local
         self.labels = t["label"].to_numpy().astype(np.int64, copy=True)
+        if "node_w" in t.column_names:
+            self.node_w = t["node_w"].to_numpy().astype(np.float64, copy=True)
         return self.part
 
 

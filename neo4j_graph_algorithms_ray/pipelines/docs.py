@@ -96,8 +96,8 @@ def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> 
         _MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pandas",
-        batch_size=1024,
-        concurrency=(1, 8),
+        batch_size=256,  # md5 shingle hashing is the compute; small batches fan wide
+        concurrency=(1, 16),
     )
 
     # coarse-bucket the (band, bh) keys so the shuffle has few, large groups
@@ -122,12 +122,11 @@ def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> 
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
-    pairs = band_rows.map_batches(tag, batch_format="pandas").groupby("bucket").map_groups(
+    # pairs may repeat across bands (different buckets); consumers dedup —
+    # minhash_dedup_pairs picks drop_duplicates (small) or a packed-key
+    # groupby (large) by volume
+    return band_rows.map_batches(tag, batch_format="pandas").groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas"
-    )
-    # dedup pairs surfaced by multiple bands (cross-bucket)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_b")).select_columns(
-        ["id_a", "id_b"]
     )
 
 
@@ -159,39 +158,17 @@ def minhash_signatures(docs: rd.Dataset, *, num_perm=64, k=3) -> rd.Dataset:
     )
 
 
-def minhash_dedup_pairs(
-    docs: rd.Dataset, *, threshold: float = 0.7, num_perm=64, bands=16, k=3
-) -> rd.Dataset:
-    """Verified near-dup pairs {id_a, id_b, jac_u} (jaccard >= threshold,
-    jac_u = floor(jaccard * 1e6 + 0.5)).
+# above this many candidate pairs the verify step switches from the
+# broadcast-filter fast path to distributed text joins (a near-dup-heavy
+# corpus can make the candidate set a large fraction of the corpus — a
+# driver-side dict of texts would OOM; same auto-fallback contract as
+# stages/joins.lookup_vids)
+BROADCAST_MAX_PAIRS = 1_000_000
 
-    Candidates come from LSH; exact word-ngram Jaccard verification stays
-    fully distributed: the pair table is hash-joined back to the docs table
-    on each side (two shuffle joins), then verified inside ``map_batches`` —
-    no candidate ids or texts ever materialize on the driver (on a
-    near-dup-heavy corpus the candidate set is a large fraction of the
-    corpus, so a driver-side broadcast dict would OOM at scale).
-    """
-    import ray
 
-    cands = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k)
-    # hash-join fan sized to the session: each join spawns npart aggregator
-    # actors that reserve CPU fractions — two chained 16-way joins in a small
-    # (4-cpu test) session reserve every core and deadlock the map stages
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    npart = max(2, min(16, ncpu // 2))
-    texts = docs.select_columns(["doc_id", "text"])
-    with_a = cands.join(
-        texts.rename_columns({"doc_id": "id_a", "text": "text_a"}), "inner", npart, on=("id_a",)
-    )
-    with_ab = with_a.join(
-        texts.rename_columns({"doc_id": "id_b", "text": "text_b"}), "inner", npart, on=("id_b",)
-    )
-    kk = k
-    thr = threshold
-
+def _verify_fn(threshold: float, k: int):
     def verify(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
+        if len(b) == 0 or "text_a" not in b.columns:
             return pd.DataFrame(
                 {
                     "id_a": pd.Series(dtype=np.int64),
@@ -200,12 +177,9 @@ def minhash_dedup_pairs(
                 }
             )
         j = np.array(
-            [
-                T.jaccard_word_ngrams(ta, tb, kk)
-                for ta, tb in zip(b["text_a"], b["text_b"])
-            ]
+            [T.jaccard_word_ngrams(ta, tb, k) for ta, tb in zip(b["text_a"], b["text_b"])]
         )
-        keep = j >= thr
+        keep = j >= threshold
         return pd.DataFrame(
             {
                 "id_a": b["id_a"].to_numpy()[keep],
@@ -214,6 +188,101 @@ def minhash_dedup_pairs(
             }
         )
 
+    return verify
+
+
+def minhash_dedup_pairs(
+    docs: rd.Dataset, *, threshold: float = 0.7, num_perm=64, bands=16, k=3
+) -> rd.Dataset:
+    """Verified near-dup pairs {id_a, id_b, jac_u} (jaccard >= threshold,
+    jac_u = floor(jaccard * 1e6 + 0.5)).
+
+    Candidates come from LSH banding.  Verification attaches both texts and
+    computes exact word-ngram Jaccard inside ``map_batches``; the text
+    attachment picks its shape by candidate volume:
+
+    - small candidate sets (the common case): broadcast the candidate-id
+      set, filter the docs table for just those texts, ship the small dict
+      via ``ray.put`` — one streaming pass over the corpus, no shuffle,
+    - above ``BROADCAST_MAX_PAIRS``: two distributed hash joins pair->text
+      (nothing ever materializes on the driver).
+    """
+    import ray
+
+    cands = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k).materialize()
+    n_pairs = cands.count()
+    verify = _verify_fn(threshold, k)
+
+    if n_pairs <= BROADCAST_MAX_PAIRS:
+        pdf = cands.to_pandas()
+        if len(pdf):
+            pdf = pdf.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+        if len(pdf) == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "jac_u": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        wanted = np.unique(np.concatenate([pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()]))
+        wref = ray.put(wanted)
+
+        def pick(b: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(wref)
+            return b[b["doc_id"].isin(w)]
+
+        texts = (
+            docs.select_columns(["doc_id", "text"])
+            .map_batches(pick, batch_format="pandas")
+            .to_pandas()
+        )
+        tref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+        def attach_and_verify(b: pd.DataFrame) -> pd.DataFrame:
+            tmap = ray.get(tref)
+            b = b.assign(
+                text_a=[tmap[i] for i in b["id_a"]], text_b=[tmap[i] for i in b["id_b"]]
+            )
+            return verify(b)
+
+        return rd.from_pandas(pdf).map_batches(attach_and_verify, batch_format="pandas")
+
+    # large-candidate path: distributed joins; join fan sized to the session
+    # (each join spawns npart shuffle-aggregator actors reserving CPU
+    # fractions — two chained 16-way joins deadlock a 4-cpu session)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(16, ncpu // 2))
+    # dedup pairs surfaced by multiple bands: packed single-int key (doc ids
+    # < 2^31) — a single-key groupby shuffles far cheaper than multi-key
+    cands = (
+        cands.map_batches(
+            lambda b: pd.DataFrame(
+                {"pk": (b["id_a"].to_numpy().astype(np.int64) << 32) | b["id_b"].to_numpy()}
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pk")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "id_a": b["pk"].to_numpy() >> 32,
+                    "id_b": b["pk"].to_numpy() & 0xFFFFFFFF,
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+    texts = docs.select_columns(["doc_id", "text"])
+    with_a = cands.join(
+        texts.rename_columns({"doc_id": "id_a", "text": "text_a"}), "inner", npart, on=("id_a",)
+    )
+    with_ab = with_a.join(
+        texts.rename_columns({"doc_id": "id_b", "text": "text_b"}), "inner", npart, on=("id_b",)
+    )
     return with_ab.map_batches(verify, batch_format="pandas")
 
 

@@ -280,8 +280,29 @@ def _degrees(canon: rd.Dataset) -> rd.Dataset:
     )
 
 
-def triangle_count(graph: BuiltGraph, *, chunk: int = 1 << 18) -> TriangleResult:
+def triangle_count(
+    graph: BuiltGraph, *, chunk: int = 1 << 18, mode: str = "auto"
+) -> TriangleResult:
+    """mode='actor' (default below the broadcast threshold): counting phase
+    runs as a BSP exchange over ``TriangleShard`` actors — identical bytes
+    moved as the Dataset shuffle, none of the per-groupby shuffle spin-up
+    that dominated bench wall-time.  mode='dataset': the
+    groupby-bucket shuffle formulation (auto-selected above the broadcast
+    threshold, where per-vertex arrays must not live on any single node)."""
     workdir = graph.workdir
+    if mode == "auto":
+        mode = "actor"
+    if mode == "actor":
+        raw_dir = os.path.join(workdir, "edges_tri_raw")
+        marker = os.path.join(raw_dir, "_DONE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(raw_dir, ignore_errors=True)
+            _write_canonical_raw(graph, raw_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        return _count_actor_exchange(graph, raw_dir)
     canon = _canonical_edges(graph).materialize()
     degrees = _degrees(canon).materialize()
 
@@ -341,6 +362,122 @@ def triangle_count(graph: BuiltGraph, *, chunk: int = 1 << 18) -> TriangleResult
         with open(marker, "w") as f:
             f.write("ok")
 
+    return _count_dataset_shuffle(graph, tri_dir, canon, degrees, chunk)
+
+
+def _write_canonical_raw(graph: BuiltGraph, raw_dir: str):
+    """One Dataset pass: canonical (min,max) pairs, batch-level dedup combine,
+    Hive-partitioned by the min endpoint's owner (global dedup then happens
+    locally inside each TriangleShard)."""
+    bounds = graph.bounds
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        packed = (
+            np.unique(np.stack([u, v], axis=1), axis=0)
+            if len(u)
+            else np.empty((0, 2), np.int64)
+        )
+        part = np.searchsorted(bounds, packed[:, 0], side="right") - 1
+        return pa.table(
+            {"u": pa.array(packed[:, 0]), "v": pa.array(packed[:, 1]), "part": pa.array(part)}
+        )
+
+    os.makedirs(raw_dir, exist_ok=True)
+    graph.edges_ds(columns=["src", "dst"]).map_batches(
+        canon, batch_format="pyarrow"
+    ).write_parquet(raw_dir, partition_cols=["part"])
+
+
+def _count_actor_exchange(graph: BuiltGraph, raw_dir: str) -> TriangleResult:
+    """Full triangle pipeline over TriangleShard actors (state/triangle_shards.py):
+    degree waves, boundary-degree fetch, orientation routing, wedge rounds,
+    corner exchange — every step a direct pre-aggregated actor exchange."""
+    from ..state.triangle_shards import TriangleShard
+
+    P = graph.P
+    actors = [
+        ray.remote(num_cpus=0.25)(TriangleShard).remote(p, graph.bounds, raw_dir)
+        for p in range(P)
+    ]
+    ray.get([a.ready.remote() for a in actors])
+
+    def wave(push_m, absorb_m, push_args=(), per_actor_push_args=None):
+        if P > 1:
+            if per_actor_push_args is None:
+                outs = [getattr(a, push_m).options(num_returns=P).remote(*push_args) for a in actors]
+            else:
+                outs = [
+                    getattr(a, push_m).options(num_returns=P).remote(*per_actor_push_args[i])
+                    for i, a in enumerate(actors)
+                ]
+            return ray.get(
+                [
+                    getattr(actors[p], absorb_m).remote(*[outs[q][p] for q in range(P)])
+                    for p in range(P)
+                ]
+            )
+        args = push_args if per_actor_push_args is None else per_actor_push_args[0]
+        return [ray.get(getattr(actors[0], absorb_m).remote(getattr(actors[0], push_m).remote(*args)))]
+
+    # degrees
+    wave("deg_push", "deg_absorb")
+    # boundary-degree fetch feeding orientation
+    if P > 1:
+        needs = [a.need_degs.options(num_returns=P).remote() for a in actors]
+        served = [
+            actors[q].serve_degs.options(num_returns=P).remote(*[needs[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+        per_actor_args = [[served[q][p] for q in range(P)] for p in range(P)]
+    else:
+        need = actors[0].need_degs.remote()
+        per_actor_args = [[actors[0].serve_degs.remote(need)]]
+    # orientation + routing to wedge owners
+    wave("orient_push", "orient_absorb", per_actor_push_args=per_actor_args)
+    edge_counts = ray.get([a.build_adjacency.remote() for a in actors])
+
+    # wedge rounds: source-slice K bounds in-flight wedge volume
+    K = int(max(1, min(16, (max(edge_counts) // (1 << 21)) + 1))) if edge_counts else 1
+    for k in range(K):
+        wave("gen", "absorb", push_args=(k, K))
+    # one corner-count exchange
+    wave("corner_push", "corner_absorb")
+
+    count_refs = [a.counts_table.remote() for a in actors]
+    triple_refs = [a.triples_table.remote() for a in actors]
+    partials = ray.get([a.coef_partial.remote() for a in actors])
+    n_triangles = sum(ray.get([a.n_triangles.remote() for a in actors]))
+    ray.wait(
+        count_refs + triple_refs, num_returns=len(count_refs) + len(triple_refs), fetch_local=False
+    )
+    for a in actors:
+        ray.kill(a, no_restart=True)
+    full = rd.from_arrow_refs(count_refs)
+    counts = full.select_columns(["vid", "triangles"])
+    coeffs = full.select_columns(["vid", "coefficient"])
+    triangles = rd.from_arrow_refs(triple_refs)
+    csum = sum(s for s, _ in partials)
+    n = sum(n for _, n in partials)
+    return TriangleResult(
+        triangles=triangles,
+        counts=counts,
+        coefficients=coeffs,
+        triangle_count=n_triangles,
+        node_count=graph.n_vertices,
+        average_coefficient=(csum / n) if n else 0.0,
+        metrics={"p": P, "mode": "actor", "rounds": K},
+    )
+
+
+def _count_dataset_shuffle(
+    graph: BuiltGraph, tri_dir: str, canon: rd.Dataset, degrees: rd.Dataset, chunk: int
+) -> TriangleResult:
     # wedge-gen parallelism: P partitions x K source splits; check-stage
     # parallelism: P owners x `sub` w-hash buckets — both exceed the core
     # count so neither stage is bounded by P
@@ -414,5 +551,5 @@ def triangle_count(graph: BuiltGraph, *, chunk: int = 1 << 18) -> TriangleResult
         triangle_count=n_triangles,
         node_count=graph.n_vertices,
         average_coefficient=float(avg or 0.0),
-        metrics={"p": graph.P},
+        metrics={"p": graph.P, "mode": "dataset"},
     )

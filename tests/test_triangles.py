@@ -58,14 +58,15 @@ def test_duplicate_and_bidirectional_edges_deduped(tmp_workdir):
     assert res.triangle_count == 2
 
 
-def test_tri1_join_orientation_path(tmp_workdir, monkeypatch):
-    """The >5M-vertex Dataset-join orientation fallback gives identical results."""
+def test_tri1_dataset_mode_and_join_orientation(tmp_workdir, monkeypatch):
+    """The Dataset-shuffle counting path with the >5M-vertex join-orientation
+    fallback gives identical results to the actor-exchange default."""
     from neo4j_graph_algorithms_ray.pipelines import triangles as T
 
     monkeypatch.setattr(T, "BROADCAST_MAX_V", 0)
     corpus, _ = fixture_corpus("tri1")
     g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=2)
-    res = T.triangle_count(g)
+    res = T.triangle_count(g, mode="dataset")
     assert res.triangle_count == 3
     counts = res.counts.to_pandas().sort_values("vid")["triangles"].to_numpy()
     assert (counts == 1).all()

@@ -246,7 +246,7 @@ def q_mst(sf_dir: str) -> pd.DataFrame:
     from .mst import mst_summary
 
     g = graph_for_sf(sf_dir)
-    return mst_summary(g)
+    return mst_summary(g, cc_labels=_cc(sf_dir).labels)
 
 
 def q_sha256_invariance(sf_dir: str):

@@ -4,13 +4,21 @@ kernel ``impl/MSTPrim.java``).
 The reference runs sequential Prim from a start node over the undirected
 weighted graph.  The distributed analogue is **Borůvka rounds** (SURVEY.md
 §2.2 row 14): every component picks its minimum outgoing edge, selected
-edges merge components, repeat — O(log V) rounds.  Each round is Dataset
-shuffles end-to-end (two label joins keyed on vid, a bucketed per-component
-min, a CC tree-reduce contraction of the selected edges); no O(V) state
-lives on the driver.  Ties break on the (weight, u, v) total order, making
-the forest unique and cycle-free even with equal weights; with distinct
-weights the result equals Prim's MST per component (MST uniqueness) —
-``MSTPrimProcIntegrationTest``: weightSum 12, min 1, max 5, 4 edges.
+edges merge components, repeat — O(log V) rounds.  Ties break on the
+(weight, u, v) total order, making the forest unique and cycle-free even
+with equal weights; with distinct weights the result equals Prim's MST per
+component (MST uniqueness) — ``MSTPrimProcIntegrationTest``: weightSum 12,
+min 1, max 5, 4 edges.
+
+Two execution shapes (auto-selected by vertex count):
+
+- **actor fast path** (<= 5M vertices): edge partitions pinned in shard
+  actors; component labels are a driver array shipped once per round
+  (the engine's standard small-side broadcast contract), shards return
+  tiny per-component min-edge partials — whole forest in ~log V * 10ms
+  waves instead of ~7 Dataset shuffles per round,
+- **Dataset rounds** (beyond): label joins keyed on vid, bucketed
+  per-component min, CC tree-reduce contraction — no O(V) state anywhere.
 """
 
 from __future__ import annotations
@@ -69,7 +77,135 @@ def _contract(sel: rd.Dataset, fanin: int = 8) -> rd.Dataset:
     return star
 
 
-def minimum_spanning_forest(graph: BuiltGraph, *, max_rounds: int = 64) -> MstResult:
+# vertex count above which Borůvka switches from the actor-exchange fast
+# path (component labels broadcast per round) to the all-Dataset rounds
+BROADCAST_MAX_V = 5_000_000
+
+
+class _MstShard:
+    """One edge partition of the Borůvka rounds: holds canonical (u,v,w)
+    rows; per round receives the component-label array and returns its
+    per-component minimum cross edges under the (w,u,v) total order."""
+
+    def __init__(self, part, bounds, edges_dir):
+        self.part = int(part)
+        t = _read_partition_mst(edges_dir, part)
+        s = t["src"].to_numpy().astype(np.int64, copy=False)
+        d = t["dst"].to_numpy().astype(np.int64, copy=False)
+        w = t["weight"].to_numpy().astype(np.float64, copy=False)
+        keep = s != d
+        self.u = np.minimum(s[keep], d[keep])
+        self.v = np.maximum(s[keep], d[keep])
+        self.w = w[keep]
+
+    def ready(self) -> int:
+        return len(self.u)
+
+    def round_mins(self, comp_ref):
+        import ray
+
+        comp = ray.get(comp_ref) if isinstance(comp_ref, ray.ObjectRef) else comp_ref
+        cu = comp[self.u]
+        cv = comp[self.v]
+        cross = cu != cv
+        if not cross.any():
+            return None
+        u, v, w = self.u[cross], self.v[cross], self.w[cross]
+        cu, cv = cu[cross], cv[cross]
+        comp_key = np.concatenate([cu, cv])
+        ww = np.tile(w, 2)
+        uu = np.tile(u, 2)
+        vv = np.tile(v, 2)
+        order = np.lexsort((vv, uu, ww, comp_key))
+        ck, ww, uu, vv = comp_key[order], ww[order], uu[order], vv[order]
+        first = np.unique(ck, return_index=True)[1]
+        return ck[first], ww[first], uu[first], vv[first]
+
+
+def _read_partition_mst(edges_dir, part):
+    from ..state.shards import _read_partition
+
+    return _read_partition(edges_dir, part, ["src", "dst", "weight"])
+
+
+def _boruvka_actor(graph: BuiltGraph, max_rounds: int) -> MstResult:
+    """Fast path: component labels live on the driver (O(V), under the same
+    broadcast threshold as every other small-side path) and ship to shards
+    once per round; shards return tiny per-component min-edge partials."""
+    import ray
+
+    from .components import local_components
+
+    actors = [
+        ray.remote(num_cpus=0.25)(_MstShard).remote(p, graph.bounds, graph.edges_dir)
+        for p in range(graph.P)
+    ]
+    ray.get([a.ready.remote() for a in actors])
+    n = graph.n_vertices
+    comp = np.arange(n, dtype=np.int64)
+    sel_u, sel_v, sel_w = [], [], []
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        cref = ray.put(comp)
+        parts = ray.get([a.round_mins.remote(cref) for a in actors])
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            rounds -= 1
+            break
+        ck = np.concatenate([p[0] for p in parts])
+        ww = np.concatenate([p[1] for p in parts])
+        uu = np.concatenate([p[2] for p in parts])
+        vv = np.concatenate([p[3] for p in parts])
+        order = np.lexsort((vv, uu, ww, ck))
+        ck, ww, uu, vv = ck[order], ww[order], uu[order], vv[order]
+        first = np.unique(ck, return_index=True)[1]
+        uu, vv, ww = uu[first], vv[first], ww[first]
+        # an edge may win for both of its components: dedup by packed key
+        key = uu * (n + 1) + vv
+        korder = np.argsort(key, kind="stable")
+        kfirst = korder[np.unique(key[korder], return_index=True)[1]]
+        uu, vv, ww = uu[kfirst], vv[kfirst], ww[kfirst]
+        sel_u.append(uu)
+        sel_v.append(vv)
+        sel_w.append(ww)
+        verts, roots = local_components(comp[uu], comp[vv])
+        mapping = np.arange(n, dtype=np.int64)
+        mapping[verts] = roots
+        comp = mapping[comp]
+    for a in actors:
+        ray.kill(a, no_restart=True)
+
+    if sel_u:
+        u = np.concatenate(sel_u)
+        v = np.concatenate(sel_v)
+        w = np.concatenate(sel_w)
+        order = np.lexsort((v, u))
+        u, v, w = u[order], v[order], w[order]
+    else:
+        u = v = np.array([], dtype=np.int64)
+        w = np.array([], dtype=np.float64)
+    forest = rd.from_arrow(
+        pa.table({"u": pa.array(u), "v": pa.array(v), "weight": pa.array(w)})
+    )
+    return MstResult(
+        edges=forest,
+        weight_sum=float(w.sum()),
+        weight_min=float(w.min()) if len(w) else 0.0,
+        weight_max=float(w.max()) if len(w) else 0.0,
+        relationship_count=int(len(w)),
+        metrics={"rounds": rounds, "mode": "actor"},
+    )
+
+
+def minimum_spanning_forest(graph: BuiltGraph, *, max_rounds: int = 64, mode: str = "auto") -> MstResult:
+    if mode == "auto":
+        mode = "actor" if graph.n_vertices <= BROADCAST_MAX_V else "dataset"
+    if mode == "actor":
+        return _boruvka_actor(graph, max_rounds)
+    return _boruvka_dataset(graph, max_rounds)
+
+
+def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64) -> MstResult:
     n_buckets = 64
     npart = max(2, graph.P)
     edges = _canon_edges(graph).materialize()  # {u, v, w}
@@ -212,17 +348,19 @@ def minimum_spanning_forest(graph: BuiltGraph, *, max_rounds: int = 64) -> MstRe
     )
 
 
-def mst_summary(graph: BuiltGraph) -> pd.DataFrame:
+def mst_summary(graph: BuiltGraph, cc_labels: rd.Dataset | None = None) -> pd.DataFrame:
     """Per-component forest invariant {label, n_edges, weight_u} (label =
     min vid of the component) — the SQL-checkable face of the MST.  All wide
     steps are Dataset shuffles; only the per-component summary (~#components
-    rows) reaches the driver."""
-    from .components import connected_components
-
+    rows) reaches the driver.  ``cc_labels`` lets callers reuse an already-
+    computed component labeling."""
     res = minimum_spanning_forest(graph)
-    cc = connected_components(graph)
+    if cc_labels is None:
+        from .components import connected_components
+
+        cc_labels = connected_components(graph).labels
     npart = max(2, graph.P)
-    lab_u = cc.labels.rename_columns({"vid": "u"})
+    lab_u = cc_labels.rename_columns({"vid": "u"})
     tagged = res.edges.join(lab_u, "inner", npart, on=("u",))
     agg = tagged.groupby("label").aggregate(
         Count(alias_name="n_edges"), Sum("weight", alias_name="ws")

@@ -106,30 +106,36 @@ def _exchange_groupby(actors, P, bounds):
 def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every):
     """Single-wave pipelined loop: call k applies round k-1 and pushes round k.
 
-    Convergence is checked with one round of lag (the driver reads round
-    k-1's max-delta after submitting round k), so tol-mode runs exactly one
-    extra apply — deterministic, and the extra apply only tightens the
-    scores.  Fixed-iteration mode submits exactly ``iterations`` applies.
+    Convergence is checked with a **two-round lag**: at a check point the
+    driver reads the max-delta of a round submitted two iterations earlier,
+    which has (nearly always) already finished — so the check does not drain
+    the run-ahead pipeline.  A round-k barrier every 8 rounds costs a full
+    round of latency (~3ms/round amortized at P=8, measured at the 47M-edge
+    bench size); the lagged check costs the same deterministic overshoot
+    semantics with ~zero stall.  tol-mode therefore runs up to three extra
+    applies — extra applies only tighten the scores.  Fixed-iteration mode
+    submits exactly ``iterations`` applies.
     """
     import ray as _ray
 
-    import ray as _ray2  # noqa: F401  (alias kept for clarity below)
-
     check_every = 8 if (iterations is None and tol is not None) else n_iter
     msgs = [a.step.options(num_returns=2).remote() for a in actors]  # initial push
+    md_history: dict[int, list] = {}
     max_delta = float("inf")
     converged = False
     ran = 0
     for it in range(n_iter):
         msg_refs = [m[0] for m in msgs]
         # spread-ref submission (scheduler resolves the P deps per task); the
-        # driver runs ahead up to `check_every` rounds without a barrier, so
-        # round latency is the actors' critical path, not a per-round sync
+        # driver runs ahead without a barrier, so round latency is the
+        # actors' critical path, not a per-round sync
         msgs = [a.step.options(num_returns=2).remote(*msg_refs) for a in actors]
+        md_history[it] = [m[1] for m in msgs]
+        md_history.pop(it - 3, None)
         ran = it + 1
         if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
             files = _ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
-            max_delta = max(_ray.get([m[1] for m in msgs]))
+            max_delta = max(_ray.get(md_history[it]))
             ckpt.commit_iteration(
                 it,
                 files,
@@ -140,12 +146,13 @@ def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ever
                 break
             continue
         if iterations is None and tol is not None and (it + 1) % check_every == 0:
-            max_delta = max(_ray.get([m[1] for m in msgs]))
+            lagged = max(it - 2, 0)
+            max_delta = max(_ray.get(md_history.get(lagged, md_history[it])))
             if max_delta < tol:
                 converged = True
                 break
     if max_delta == float("inf"):
-        max_delta = max(_ray.get([m[1] for m in msgs]))
+        max_delta = max(_ray.get(md_history[ran - 1]))
     return ran, converged, max_delta
 
 

@@ -276,3 +276,10 @@ def test_mscoloring_line_fixture(tmp_workdir):
     colors = df["color"].to_numpy()
     want = np.repeat(np.arange(16) * 10 + 9, 10)  # max vid of each line
     np.testing.assert_array_equal(colors, want)
+
+
+def test_mst_dataset_mode_matches(tmp_workdir):
+    g = _graph("mst1", tmp_workdir)
+    res = minimum_spanning_forest(g, mode="dataset")
+    assert res.relationship_count == 4
+    np.testing.assert_allclose(res.weight_sum, 12.0)

@@ -89,6 +89,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids, Q = S.load_queries(sf, 5)
         return S.knn_ivf(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
 
+    def embedding_near_dups(sf):
+        # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.5);
+        # 0.3 exercises the bucketed blocker with a real, non-empty pair set
+        import pandas as _pd
+
+        df = S.embedding_near_dup_pairs(S.read_embeddings(sf), threshold=0.3).to_pandas()
+        if len(df.columns) == 0:  # empty Dataset loses its schema
+            df = _pd.DataFrame({c: _pd.Series(dtype="int64") for c in ("id_a", "id_b", "cos_u")})
+        return df
+
     def multimodal_meta(sf):
         binr = M.attach_binary_payload(D.read_documents(sf))
         return M.decode_metadata(binr).select_columns(
@@ -139,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf": knn_ivf,
+        "embedding_near_dups": embedding_near_dups,
         # multimodal plumbing
         "multimodal_meta": multimodal_meta,
         # relational coverage
@@ -199,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": O.minhash_pairs_sql(threshold=0.7),
         "simhash_signatures": O.simhash_signatures_sql(),
         "knn_ivf": O.knn_ivf_sql(n_queries=5, k=10, n_centroids=16, nprobe=4),
+        "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.3),
         "edge_extract": pre + "SELECT src_key, dst_key FROM raw_edges",
         "vertices": pre + "SELECT key, vid FROM verts",
         "degrees": pre

@@ -50,6 +50,7 @@ _CATALOG = [
     ("text.fingerprint", "dataprep", "(training-data op)", "pipelines.docs.fingerprints"),
     ("knn.bruteforce", "dataprep", "(training-data op)", "pipelines.similarity.knn_bruteforce"),
     ("knn.ivf", "dataprep", "(training-data op)", "pipelines.similarity.knn_ivf"),
+    ("dedup.embedding", "dataprep", "(training-data op)", "pipelines.similarity.embedding_near_dup_pairs"),
     ("multimodal.decode", "dataprep", "(training-data op)", "pipelines.multimodal.decode_metadata"),
     ("checkpoint.resume", "infra", "(north-rule requirement)", "state.checkpoint.CheckpointManager"),
 ]

@@ -481,6 +481,38 @@ FROM documents d LEFT JOIN sigu s ON s.doc_id = d.doc_id"""
 # ---------------------------------------------------------------------------
 
 
+def embedding_near_dups_sql(
+    threshold: float = 0.9, n_centroids: int = 16, nprobe: int = 2
+) -> str:
+    """Bucketed embedding-cosine near-dup pairs: vectors multi-probe-assigned
+    to their nprobe nearest centroids (quantized-cosine rank, cid-asc ties),
+    all-pairs within shared buckets, exact threshold on quantized cosine."""
+    thr_u = int(np.floor(threshold * 1e6 + 0.5))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY CAST(floor(list_cosine_similarity(b.e, c.ce) * 1000000 + 0.5) AS BIGINT) DESC,
+                      c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(floor(list_cosine_similarity(x.e, y.e) * 1000000 + 0.5) AS BIGINT) AS cos_u
+  FROM cand c JOIN base x ON x.vec_id = c.id_a JOIN base y ON y.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos_u FROM scored WHERE cos_u >= {thr_u}"""
+
+
 def knn_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 16, nprobe: int = 4) -> str:
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -93,6 +93,108 @@ def knn_bruteforce(emb: rd.Dataset, qids: np.ndarray, Q: np.ndarray, *, k: int =
     return cand.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
+def embedding_near_dup_pairs(
+    emb: rd.Dataset,
+    *,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs {id_a, id_b, cos_u}.
+
+    Scale shape: each vector is assigned to its ``nprobe`` nearest coarse
+    centroids (deterministic first-C centroids, quantized-cosine ranking —
+    the knn_ivf quantizer), candidate pairs are generated **within buckets
+    only** (all-pairs per bucket via one matmul — no corpus-wide O(n^2)),
+    then exact-cosine verified against the threshold.  Multi-probe
+    assignment catches near-dups straddling a centroid boundary; like any
+    LSH-family blocker, recall < 1 by design (measured in tests).
+    Duplicate pairs from shared buckets are deduped.  SQL-checkable:
+    oracles.embedding_near_dups_sql replays the same bucketing in DuckDB.
+    """
+    cent = (
+        emb.map_batches(lambda b: b[b["vec_id"] < n_centroids], batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    C = _normalize(_batch_matrix(cent))
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            M = _normalize(_batch_matrix(b))
+            sim_u = np.floor((M @ self.C.T) * 1e6 + 0.5).astype(np.int64)  # (n, C)
+            # per row: sim desc, cid asc on ties (stable argsort of -sim)
+            order = np.argsort(-sim_u, axis=1, kind="stable")
+            outs = []
+            for r in range(nprobe):
+                bucket = order[:, r]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "bucket": bucket.astype(np.int64),
+                            "vec_id": b["vec_id"].to_numpy(),
+                            "embedding": list(b["embedding"]),
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+    rows = emb.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
+    thr = threshold
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=np.int64),
+                    "id_b": pd.Series(dtype=np.int64),
+                    "cos_u": pd.Series(dtype=np.int64),
+                }
+            )
+        M = _normalize(_batch_matrix(g))
+        cos_u = np.floor((M @ M.T) * 1e6 + 0.5).astype(np.int64)
+        ids = g["vec_id"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = cos_u[ii, jj] >= int(np.floor(thr * 1e6 + 0.5))
+        return pd.DataFrame(
+            {"id_a": ids[ii][keep], "id_b": ids[jj][keep], "cos_u": cos_u[ii, jj][keep]}
+        )
+
+    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # dedup pairs found in multiple shared buckets (packed single-int key)
+    from ray.data.aggregate import Min as _Min
+
+    return (
+        pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "pk": (b["id_a"].to_numpy().astype(np.int64) << 32)
+                    | b["id_b"].to_numpy(),
+                    "cos_u": b["cos_u"].to_numpy(),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pk")
+        .aggregate(_Min("cos_u", alias_name="cos_u"))
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "id_a": b["pk"].to_numpy() >> 32,
+                    "id_b": b["pk"].to_numpy() & 0xFFFFFFFF,
+                    "cos_u": b["cos_u"].to_numpy(),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
 def knn_ivf(
     emb: rd.Dataset,
     qids: np.ndarray,

@@ -137,3 +137,27 @@ def test_token_counts_and_quality_kernels():
     assert T.count_matches(s.str.lower(), T.STOPWORD_RE).tolist() == [3, 0]
     pred = T.lang_predict(pd.Series(["the cat and the dog is here", "der hund und die katze ist", "xyz"]))
     assert pred.tolist() == ["en", "de", "unknown"]
+
+
+def test_embedding_near_dups_blocker():
+    """Bucketed cosine near-dup: exact within probed buckets, planted dup found."""
+    import numpy as np
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    base = rng.normal(size=(80, 16)).astype(np.float32)
+    base[50] = base[20] + rng.normal(scale=0.01, size=16).astype(np.float32)  # planted
+    ds = rd.from_pandas(
+        __import__("pandas").DataFrame(
+            {"vec_id": np.arange(80, dtype=np.int64), "embedding": list(base)}
+        )
+    )
+    pairs = embedding_near_dup_pairs(ds, threshold=0.95, n_centroids=8, nprobe=2).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (20, 50) in found
+    # every reported pair really clears the threshold (exact verify)
+    M = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for a, b in found:
+        assert np.floor(float(M[a] @ M[b]) * 1e6 + 0.5) >= np.floor(0.95 * 1e6 + 0.5)

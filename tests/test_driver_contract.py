@@ -92,6 +92,7 @@ ORACLE_QUERIES = [
     "fingerprints",
     "knn_bruteforce",
     "knn_ivf",
+    "embedding_near_dups",
     "multimodal_meta",
     "lineitem_summary",
     "top_customers",

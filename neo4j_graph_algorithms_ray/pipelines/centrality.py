@@ -16,7 +16,8 @@ Reference semantics:
   weighted Bellman-Ford rounds; same fixpoint as the reference's
   delta-stepping for non-negative weights, ``ShortestPathDeltaStepping.java``).
 
-Sources run in batches of 32 (bitmask MS-BFS, ``MultiSourceBFS.java:52``).
+Sources run in batches of 64 (uint64-bitmask MS-BFS; the reference's
+``MultiSourceBFS.java:52`` packs 32).
 Default is **exact** (every vertex a source, like the reference).
 ``sample_sources=k`` bounds work at scale by drawing k sources with a seeded
 Philox generator (random source sampling in the spirit of RA-Brandes'
@@ -82,7 +83,7 @@ def _msbfs_pass(
     max_depth: int = 64,
     collect_asp: bool = False,
 ):
-    """Run MS-BFS from ``sources`` in batches of 32; stats stay in-actor.
+    """Run MS-BFS from ``sources`` in batches of 64; stats stay in-actor.
 
     Returns (actors, asp_refs): per-vertex stats are fetched by the caller
     via ``stats_table``; when ``collect_asp`` the per-batch
@@ -96,8 +97,8 @@ def _msbfs_pass(
     ray.get([a.ready.remote() for a in actors])
     ray.get([a.begin_pass.remote() for a in actors])
     asp_refs = []
-    for i in range(0, len(sources), 32):
-        b = sources[i : i + 32]
+    for i in range(0, len(sources), 64):
+        b = sources[i : i + 64]
         _run_batch(actors, P, b, max_depth)
         if collect_asp:
             asp_refs.extend(a.asp_rows.remote() for a in actors)

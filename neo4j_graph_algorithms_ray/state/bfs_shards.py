@@ -1,8 +1,9 @@
-"""Multi-source BFS shard actors (reference: ``MultiSourceBFS.java`` — up to
-ω=32 concurrent BFS traversals encoded as per-vertex bitmasks, aggregated
-neighbor processing).
+"""Multi-source BFS shard actors (reference: ``MultiSourceBFS.java`` —
+concurrent BFS traversals encoded as per-vertex bitmasks, aggregated
+neighbor processing; the reference packs ω=32 per long-half, here ω=64 in a
+uint64 word — double the sources per wave sequence at the same wave count).
 
-Shard-local state per batch of <=32 sources: ``visited``/``new`` uint32 masks
+Shard-local state per batch of <=64 sources: ``visited``/``new`` uint64 masks
 for the shard's vertex range.  One BSP round = expand the newly-visited
 frontier along local out-edges with per-destination bitwise-OR combining
 (``np.bitwise_or.reduceat`` over the dst-sorted CSR — same layout as the
@@ -20,7 +21,7 @@ from .shards import EdgeShardBase, _read_partition
 
 
 class MsBfsShard(EdgeShardBase):
-    """One vertex range of an (up to) 32-source concurrent BFS."""
+    """One vertex range of an (up to) 64-source concurrent BFS."""
 
     def __init__(self, part, bounds, edges_dir, rev_edges_dir=None, direction="OUTGOING"):
         # build the traversal edge list according to direction (like LP)
@@ -57,10 +58,10 @@ class MsBfsShard(EdgeShardBase):
         return self.part
 
     def start(self, sources: np.ndarray):
-        """Begin a batch: sources are global vids (<=32); bit i = sources[i]."""
+        """Begin a batch: sources are global vids (<=64); bit i = sources[i]."""
         self.n_sources = len(sources)
-        self.visited = np.zeros(self.n_local, dtype=np.uint32)
-        self.new = np.zeros(self.n_local, dtype=np.uint32)
+        self.visited = np.zeros(self.n_local, dtype=np.uint64)
+        self.new = np.zeros(self.n_local, dtype=np.uint64)
         self.depth = 0
         if not hasattr(self, "farness"):
             self.begin_pass()
@@ -70,7 +71,7 @@ class MsBfsShard(EdgeShardBase):
         self.batch_sources = np.asarray(sources, dtype=np.int64)
         for i, s in enumerate(sources):
             if self.lo <= s < self.hi:
-                bit = np.uint32(1) << np.uint32(i)
+                bit = np.uint64(1) << np.uint64(i)
                 self.visited[s - self.lo] |= bit
                 self.new[s - self.lo] |= bit
                 self.bit_depth[s - self.lo, i] = 0
@@ -82,13 +83,13 @@ class MsBfsShard(EdgeShardBase):
         if len(self.seg_starts):
             ors = np.bitwise_or.reduceat(masks, self.seg_starts)
         else:
-            ors = np.array([], dtype=np.uint32)
+            ors = np.array([], dtype=np.uint64)
         out = []
         for dchunk, mchunk in zip(self._split_by_owner(self.uniq_dst), self._split_by_owner(ors)):
             nz = mchunk != 0
             out.append(
                 pa.table(
-                    {"dst": pa.array(dchunk[nz]), "mask": pa.array(mchunk[nz].astype(np.uint32))}
+                    {"dst": pa.array(dchunk[nz]), "mask": pa.array(mchunk[nz].astype(np.uint64))}
                 )
             )
         return tuple(out) if self.P > 1 else out[0]
@@ -96,11 +97,11 @@ class MsBfsShard(EdgeShardBase):
     def absorb(self, *tables) -> int:
         """Apply incoming frontier masks at depth+1; returns #new bits set."""
         self.depth += 1
-        inc = np.zeros(self.n_local, dtype=np.uint32)
+        inc = np.zeros(self.n_local, dtype=np.uint64)
         for t in tables:
             if t is not None and t.num_rows:
                 idx = t["dst"].to_numpy().astype(np.int64) - self.lo
-                m = t["mask"].to_numpy().astype(np.uint32)
+                m = t["mask"].to_numpy().astype(np.uint64)
                 np.bitwise_or.at(inc, idx, m)
         new = inc & ~self.visited
         self.visited |= new
@@ -109,13 +110,13 @@ class MsBfsShard(EdgeShardBase):
         if len(nz):
             # vectorized popcount of the newly-set source bits
             unpacked = np.unpackbits(
-                new[nz].view(np.uint8).reshape(len(nz), 4), axis=1, bitorder="little"
+                new[nz].view(np.uint8).reshape(len(nz), 8), axis=1, bitorder="little"
             )
             counts = unpacked.sum(axis=1).astype(np.int64)
             self.reached[nz] += counts
             self.farness[nz] += counts * float(self.depth)
             self.inv_farness[nz] += counts / float(self.depth)
-            # record per-bit first-visit depth (bit i of uint32 = byte i//8, bit i%8)
+            # record per-bit first-visit depth (little-endian byte order: column i = bit i)
             nb = unpacked[:, : self.n_sources].astype(bool)
             rows, cols = np.nonzero(nb)
             self.bit_depth[nz[rows], cols] = self.depth

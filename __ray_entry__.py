@@ -129,12 +129,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_centrality": G.q_harmonic,
         "closeness_centrality": G.q_closeness,
         "betweenness": G.q_betweenness,
+        "betweenness_sampled": G.q_betweenness_sampled,
         "scc": G.q_scc,
         "louvain": G.q_louvain,
         "mst": G.q_mst,
         # triangles (SQL-expressible -> oracle-checked)
         "triangle_counts": G.q_triangle_counts,
         "triangle_global": G.q_triangle_global,
+        "triangle_stream": G.q_triangle_stream,
         "clustering_coefficients": G.q_clustering_coefficients,
         # training-data ops: dedup
         "dedup_exact": lambda sf: D.exact_dedup(D.read_documents(sf)),
@@ -181,6 +183,18 @@ _LANG_SQL = {
 }
 
 
+def _betweenness_sampled_sql(pre: str) -> str:
+    """RA-Brandes oracle: the seeded 64-source sample and the n/64 scale are
+    reproduced from the same generator the Ray pipeline uses."""
+    from neo4j_graph_algorithms_ray import oracles as O
+    from neo4j_graph_algorithms_ray.pipelines.centrality import pick_sources
+    from neo4j_graph_algorithms_ray.sources.corpus import corpus_params_for
+
+    n_files = corpus_params_for(_ORACLE_SF)[0]
+    sources = pick_sources(n_files, 64)
+    return O.betweenness_sql(pre, sources=sources, scale=n_files / len(sources))
+
+
 def oracle_sql() -> dict[str, str]:
     from neo4j_graph_algorithms_ray import oracles as O
     from neo4j_graph_algorithms_ray.pipelines.graph_queries import PAGERANK_ORACLE_ITERS
@@ -203,8 +217,10 @@ def oracle_sql() -> dict[str, str]:
         "closeness_centrality": O.closeness_sql(pre),
         "harmonic_centrality": O.harmonic_sql(pre),
         "betweenness": O.betweenness_sql(pre),
+        "betweenness_sampled": _betweenness_sampled_sql(pre),
         "scc": O.scc_sql(pre),
         "mst": O.mst_summary_sql(pre),
+        "triangle_stream": pre + "\nSELECT x AS a, y AS b, z AS c FROM tris",
         # dedup sketches (md5-based kernels, constants embedded in the SQL)
         "minhash_signatures": O.minhash_signatures_sql(),
         "minhash_pairs": O.minhash_pairs_sql(threshold=0.7),

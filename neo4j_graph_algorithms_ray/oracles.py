@@ -206,19 +206,28 @@ FROM verts CROSS JOIN n LEFT JOIN inv ON inv.v = verts.vid"""
     )
 
 
-def betweenness_sql(pre: str, max_depth: int = 34) -> str:
-    """Brandes betweenness (directed, unweighted, exact) as unrolled
-    per-depth CTEs: forward sigma accumulation (number of shortest paths)
-    then backward dependency accumulation
-    (``BetweennessCentrality.java:108-146``), quantized at 1e6.
+def betweenness_sql(pre: str, max_depth: int = 34, sources=None, scale: float = 1.0) -> str:
+    """Brandes betweenness (directed, unweighted) as unrolled per-depth
+    CTEs: forward sigma accumulation (number of shortest paths) then
+    backward dependency accumulation (``BetweennessCentrality.java:108-146``),
+    quantized at 1e6.
+
+    ``sources=None`` = exact (every vertex).  A list of source vids replays
+    RA-Brandes sampling (the seeded sample is embedded in the SQL, like the
+    minhash permutation constants) with the ``scale`` extrapolation factor
+    (``RABrandesBetweennessCentrality.java:177``).
 
     ``max_depth`` bounds the BFS level unroll; components in the synthetic
     corpora are intra-repo (< files-per-repo vertices), so 34 levels cover
     every geodesic at the oracle tiers.
     """
-    blocks = [_dist_closure("edges", "TRUE", max_depth)]
+    src_filter = (
+        "TRUE" if sources is None else f"vid IN ({', '.join(str(int(s)) for s in sources)})"
+    )
+    blocks = [_dist_closure("edges", src_filter, max_depth)]
     blocks.append(
-        ", sig0 AS MATERIALIZED (SELECT vid AS s, vid AS v, CAST(1 AS DOUBLE) AS sigma FROM verts)"
+        ", sig0 AS MATERIALIZED (SELECT vid AS s, vid AS v, CAST(1 AS DOUBLE) AS sigma "
+        f"FROM verts WHERE {src_filter})"
     )
     for k in range(1, max_depth + 1):
         blocks.append(
@@ -264,8 +273,8 @@ def betweenness_sql(pre: str, max_depth: int = 34) -> str:
         + """
 , cent AS (SELECT v, sum(delta) AS c FROM del_all WHERE s <> v GROUP BY v)
 SELECT verts.vid,
-       CAST(floor(coalesce(cent.c, 0) * 1000000 + 0.5) AS BIGINT) AS cent_u
-FROM verts LEFT JOIN cent ON cent.v = verts.vid"""
+       CAST(floor(coalesce(cent.c, 0) * {scale} * 1000000 + 0.5) AS BIGINT) AS cent_u
+FROM verts LEFT JOIN cent ON cent.v = verts.vid""".format(scale=float(scale))
     )
 
 

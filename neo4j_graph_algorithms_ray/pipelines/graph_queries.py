@@ -232,6 +232,29 @@ def q_betweenness(sf_dir: str) -> pd.DataFrame:
     return df[["vid", "cent_u"]]
 
 
+def q_betweenness_sampled(sf_dir: str) -> pd.DataFrame:
+    """RA-Brandes sampled betweenness (64 seeded-random sources, scaled by
+    n/64 — RABrandesBetweennessCentrality.java:177); 1e6-quantized."""
+    from .betweenness import betweenness_centrality
+
+    g = graph_for_sf(sf_dir)
+    res = betweenness_centrality(g, direction="OUTGOING", sample_sources=64)
+    df = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    df["cent_u"] = np.floor(df["centrality"].to_numpy() * 1e6 + 0.5).astype("int64")
+    return df[["vid", "cent_u"]]
+
+
+def q_triangle_stream(sf_dir: str) -> pd.DataFrame:
+    """The enumerated triangle triples (algo.triangle.stream,
+    TriangleProc.java:58 / TriangleStream.java:145-151)."""
+    return (
+        _tri(sf_dir)
+        .triangles.to_pandas()
+        .sort_values(["a", "b", "c"])
+        .reset_index(drop=True)
+    )
+
+
 def q_shortest_path(sf_dir: str) -> pd.DataFrame:
     """Single-pair shortest path (vid 0 -> farthest reachable), path rows."""
     from .paths import shortest_path

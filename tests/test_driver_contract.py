@@ -77,8 +77,10 @@ ORACLE_QUERIES = [
     "closeness_centrality",
     "harmonic_centrality",
     "betweenness",
+    "betweenness_sampled",
     "scc",
     "mst",
+    "triangle_stream",
     "triangle_counts",
     "triangle_global",
     "clustering_coefficients",

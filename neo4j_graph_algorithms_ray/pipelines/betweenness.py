@@ -50,11 +50,18 @@ def betweenness_centrality(
     sample_sources: int | None = None,
     max_depth: int = 10_000,
     source_batch: int = 64,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    max_batches: int | None = None,
 ) -> BetweennessResult:
     """``source_batch`` sources run concurrently per pass (unlike MS-BFS's
     bitmask ω=32, Brandes state carries a plain per-source axis, so the batch
     width trades per-vertex memory — S*18 bytes — against the number of BSP
-    wave sequences; wider batches halve driver-visible rounds)."""
+    wave sequences; wider batches halve driver-visible rounds).
+
+    Checkpointing is per completed source batch (exact mode over a large
+    graph is a long accumulation; a killed job resumes at the next batch)."""
+    from ..state.checkpoint import CheckpointManager
     t0 = time.perf_counter()
     rev = graph.ensure_reverse_layout() if direction in ("INCOMING", "BOTH") else None
     actors = make_shard_actors(
@@ -71,10 +78,22 @@ def betweenness_centrality(
         ray.get(actors[0].register_requests.remote(actors[0].needed_vids.remote()))
     ray.get([a.begin_pass.remote() for a in actors])
 
+    ckpt = CheckpointManager(checkpoint_dir, "betweenness") if checkpoint_dir else None
+    start_batch = 0
+    if resume and ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            ckpt.validate_resume(m, algo="betweenness", bounds=graph.bounds)
+            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
+            start_batch = m["iteration"] + 1
+
     n = graph.n_vertices
     sources = pick_sources(n, sample_sources)
-    for i in range(0, len(sources), source_batch):
-        batch = sources[i : i + source_batch]
+    batches = [sources[i : i + source_batch] for i in range(0, len(sources), source_batch)]
+    stop = len(batches) if max_batches is None else min(len(batches), start_batch + max_batches)
+    for bi in range(start_batch, stop):
+        batch = batches[bi]
         ray.get([a.start.remote(batch) for a in actors])
         # forward: BSP sigma push until the frontier dies
         depth = 0
@@ -101,6 +120,13 @@ def betweenness_centrality(
                 ]
             )
         ray.get([a.finish_batch.remote() for a in actors])
+        if ckpt is not None:
+            files = ray.get([a.save_state.remote(ckpt.state_dir(), bi) for a in actors])
+            ckpt.commit_iteration(
+                bi,
+                files,
+                {"bounds": [int(b) for b in graph.bounds], "algo": "betweenness"},
+            )
 
     scale = 1.0
     if sample_sources is not None and len(sources) < n:

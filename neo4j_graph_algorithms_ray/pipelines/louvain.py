@@ -38,7 +38,15 @@ def _transpose(refs, P):
     return [[refs[q][p] for q in range(P)] for p in range(P)]
 
 
-def louvain(graph: BuiltGraph, *, max_iterations: int = 10) -> LouvainResult:
+def louvain(
+    graph: BuiltGraph,
+    *,
+    max_iterations: int = 10,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> LouvainResult:
+    from ..state.checkpoint import CheckpointManager
+
     t0 = time.perf_counter()
     rev = graph.ensure_reverse_layout()
     actors = make_shard_actors(LouvainShard, graph, actor_kwargs={"rev_edges_dir": rev})
@@ -56,6 +64,16 @@ def louvain(graph: BuiltGraph, *, max_iterations: int = 10) -> LouvainResult:
 
     m2 = sum(ray.get([a.deg_sum.remote() for a in actors]))
     ray.get([a.set_m2.remote(m2) for a in actors])
+
+    ckpt = CheckpointManager(checkpoint_dir, "louvain") if checkpoint_dir else None
+    start_iter = 0
+    if resume and ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            ckpt.validate_resume(m, algo="louvain", bounds=graph.bounds)
+            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
+            start_iter = m["iteration"] + 1
     load_s = time.perf_counter() - t0
 
     def wave(method, setter):
@@ -68,8 +86,8 @@ def louvain(graph: BuiltGraph, *, max_iterations: int = 10) -> LouvainResult:
         )
 
     t1 = time.perf_counter()
-    ran = 0
-    for it in range(max_iterations):
+    ran = start_iter
+    for it in range(start_iter, max_iterations):
         total_changed = 0
         for parity in (0, 1):
             wave("serve_comm", "set_voter_comm")
@@ -94,6 +112,17 @@ def louvain(graph: BuiltGraph, *, max_iterations: int = 10) -> LouvainResult:
                 ray.get(actors[0].set_stot.remote(actors[0].serve_stot.remote(need)))
             total_changed += sum(ray.get([a.step.remote(parity) for a in actors]))
         ran = it + 1
+        if ckpt is not None:
+            files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+            ckpt.commit_iteration(
+                it,
+                files,
+                {
+                    "changed": total_changed,
+                    "bounds": [int(b) for b in graph.bounds],
+                    "algo": "louvain",
+                },
+            )
         if total_changed == 0:
             break
     compute_s = time.perf_counter() - t1

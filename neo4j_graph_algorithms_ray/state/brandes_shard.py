@@ -174,6 +174,28 @@ class BrandesShard:
         self.centrality += dep.sum(axis=1)
         return self.part
 
+    def save_state(self, ckpt_dir: str, iteration: int) -> str:
+        """Atomic per-partition centrality checkpoint after a source batch
+        (``iteration`` = completed batch index)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={self.part:05d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(self.centrality_table(), tmp)
+        os.replace(tmp, final)
+        return final
+
+    def load_state(self, path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        assert t.num_rows == self.n_local
+        self.centrality = t["centrality"].to_numpy().astype(np.float64, copy=True)
+        return self.part
+
     def centrality_table(self, scale: float = 1.0) -> pa.Table:
         return pa.table(
             {

@@ -199,3 +199,24 @@ class LouvainShard:
                 "community": pa.array(self.comm),
             }
         )
+
+    def save_state(self, ckpt_dir: str, iteration: int) -> str:
+        """Atomic per-partition community checkpoint (PageRank protocol)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={self.part:05d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(self.comm_table(), tmp)
+        os.replace(tmp, final)
+        return final
+
+    def load_state(self, path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        assert t.num_rows == self.n_local
+        self.comm = t["community"].to_numpy().astype(np.int64, copy=True)
+        return self.part

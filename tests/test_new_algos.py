@@ -283,3 +283,52 @@ def test_mst_dataset_mode_matches(tmp_workdir):
     res = minimum_spanning_forest(g, mode="dataset")
     assert res.relationship_count == 4
     np.testing.assert_allclose(res.weight_sum, 12.0)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume for the round-2 iterative algorithms
+# ---------------------------------------------------------------------------
+
+
+def test_louvain_checkpoint_resume(tmp_workdir, tmp_path):
+    g = _graph("louvain", tmp_workdir)
+    full = louvain(g, max_iterations=10)
+    # phase 1: stop after 1 iteration (checkpointed)
+    ck = str(tmp_path / "ck")
+    part1 = louvain(g, max_iterations=1, checkpoint_dir=ck)
+    assert part1.iterations == 1
+    # phase 2: resume and run to convergence — identical communities
+    part2 = louvain(g, max_iterations=10, checkpoint_dir=ck, resume=True)
+    a = full.communities.to_pandas().sort_values("vid")["community"].to_numpy()
+    b = part2.communities.to_pandas().sort_values("vid")["community"].to_numpy()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_betweenness_checkpoint_resume(tmp_workdir, tmp_path):
+    corpus = powerlaw_corpus_table(n_files=90, n_repos=3, avg_out=4.0, seed=23)
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=2)
+    full = betweenness_centrality(g, direction="OUTGOING", source_batch=32)
+    ck = str(tmp_path / "ck")
+    # phase 1: first batch only (simulated interrupt after batch 0)
+    from neo4j_graph_algorithms_ray.pipelines.centrality import pick_sources
+    from neo4j_graph_algorithms_ray.state.checkpoint import CheckpointManager
+
+    r1 = betweenness_centrality(
+        g, direction="OUTGOING", source_batch=32, max_batches=1, checkpoint_dir=ck
+    )
+    # phase 2: resume with the full source set — batches 1.. complete the sum
+    r2 = betweenness_centrality(
+        g, direction="OUTGOING", source_batch=32, checkpoint_dir=ck, resume=True
+    )
+    a = full.scores.to_pandas().sort_values("vid")["centrality"].to_numpy()
+    b = r2.scores.to_pandas().sort_values("vid")["centrality"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_resume_rejects_other_graph_checkpoint(tmp_workdir, tmp_path):
+    g = _graph("louvain", tmp_workdir)
+    ck = str(tmp_path / "ck")
+    louvain(g, max_iterations=1, checkpoint_dir=ck)
+    g2 = _graph("scc1", tmp_workdir + "/other", P=3)
+    with pytest.raises(ValueError, match="bounds"):
+        louvain(g2, max_iterations=2, checkpoint_dir=ck, resume=True)

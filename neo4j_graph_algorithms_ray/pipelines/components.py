@@ -69,6 +69,129 @@ def _contract_batch(t: pa.Table) -> pa.Table:
     return pa.table({"v": pa.array(verts), "root": pa.array(roots)})
 
 
+def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int = 64) -> rd.Dataset:
+    """Alternating large-star / small-star rounds (Kiveris et al. 2014).
+
+    Every round is two bucketed groupby shuffles over the current edge set;
+    per-reduce state is one vertex's neighbor list, so no task ever
+    materializes a component — the property that lets this run past the
+    tree-reduce path's ~10^8-vertices-per-final-task ceiling.  Convergence:
+    the edge multiset stops changing (count + order-free checksum), at which
+    point every edge is a (child, min-root) star pointer.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    n_buckets = 64
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(0).to_numpy().astype(np.int64, copy=False)
+        d = t.column(1).to_numpy().astype(np.int64, copy=False)
+        keep = s != d
+        u = np.minimum(s[keep], d[keep])
+        v = np.maximum(s[keep], d[keep])
+        m = np.unique(np.stack([u, v], axis=1), axis=0) if len(u) else np.empty((0, 2), np.int64)
+        return pa.table({"u": pa.array(m[:, 0]), "v": pa.array(m[:, 1])})
+
+    cur = edges.map_batches(canon, batch_format="pyarrow").materialize()
+
+    def _checksum(ds: rd.Dataset) -> tuple[int, float]:
+        agg = ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "s": pa.array(
+                        [float((t["u"].to_numpy() * 31.0 + t["v"].to_numpy()).sum())]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Sum("n"), Sum("s"))
+        return int(agg["sum(n)"] or 0), float(agg["sum(s)"] or 0.0)
+
+    def _star_round(ds: rd.Dataset, large: bool) -> rd.Dataset:
+        def emit(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy()
+            v = t["v"].to_numpy()
+            if large:  # symmetric: each endpoint sees the other
+                key = np.concatenate([u, v])
+                val = np.concatenate([v, u])
+            else:  # key by the larger endpoint only
+                key = v
+                val = u
+            return pa.table(
+                {
+                    "key": pa.array(key),
+                    "val": pa.array(val),
+                    "bucket": pa.array((key % n_buckets).astype(np.int64)),
+                }
+            )
+
+        is_large = large
+
+        def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0 or "key" not in g.columns:
+                return pd.DataFrame(
+                    {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+                )
+            outs_u, outs_v = [], []
+            for key, grp in g.groupby("key", sort=False):
+                vals = grp["val"].to_numpy()
+                m = min(int(vals.min()), int(key))
+                if is_large:
+                    big = vals[vals > key]
+                    tgt = np.unique(big)
+                else:
+                    tgt = np.unique(np.concatenate([vals, [key]]))
+                    tgt = tgt[tgt != m]
+                if len(tgt):
+                    outs_u.append(np.minimum(tgt, m))
+                    outs_v.append(np.maximum(tgt, m))
+            if not outs_u:
+                return pd.DataFrame(
+                    {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+                )
+            uu = np.concatenate(outs_u)
+            vv = np.concatenate(outs_v)
+            m2 = np.unique(np.stack([uu, vv], axis=1), axis=0)
+            return pd.DataFrame({"u": m2[:, 0], "v": m2[:, 1]})
+
+        out = (
+            ds.map_batches(emit, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+        )
+        # cross-bucket dedup via canonicalizing map (cheap page) then return
+        return out.map_batches(
+            lambda t: canon(pa.table({"src": t["u"], "dst": t["v"]}))
+            if t.num_rows
+            else pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    prev = _checksum(cur)
+    for _ in range(max_rounds):
+        cur = _star_round(cur, large=True)
+        cur = _star_round(cur, large=False)
+        now = _checksum(cur)
+        if now == prev:
+            break
+        prev = now
+
+    # final edge set is (root, child) star pointers with root = min vid
+    verts = graph.vertices_ds().select_columns(["vid"])
+    star = cur.map_batches(
+        lambda t: pa.table({"vid": t["v"], "label": t["u"]}), batch_format="pyarrow"
+    )
+    joined = verts.join(star, "left_outer", max(1, graph.P), on=("vid",))
+    return joined.map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "label": pc.coalesce(t["label"], t["vid"]).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def mscoloring(graph: "BuiltGraph") -> rd.Dataset:
     """MSColoring (``MSColoring.java:96-121``, ``MSColoringProc.java:53``):
     every node converges to the **max** id reachable over either direction —
@@ -103,8 +226,17 @@ def connected_components(
     threshold: float | None = None,
     fanin: int = 8,
     max_rounds: int = 64,
+    mode: str = "treereduce",
 ) -> ComponentsResult:
-    """Edge table -> per-vertex component labels (min-vid canonical)."""
+    """Edge table -> per-vertex component labels (min-vid canonical).
+
+    ``mode='treereduce'`` (default): block-local contraction + logarithmic
+    tree-reduce — the final reduce task sees ~one row per non-isolated
+    vertex, fine to ~10^8 vertices.  ``mode='starcontract'``: alternating
+    large-star/small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") where every round is a plain groupby shuffle and
+    **no task ever holds more than one vertex's neighborhood row set** —
+    the beyond-10^8 path, same output contract."""
     cols = ["src", "dst", "weight"] if threshold is not None else ["src", "dst"]
     edges = graph.edges_ds(columns=cols)
     if threshold is not None:
@@ -112,6 +244,11 @@ def connected_components(
         edges = edges.map_batches(
             lambda t: t.filter(pc.greater_equal(t["weight"], thr)).select(["src", "dst"]),
             batch_format="pyarrow",
+        )
+    if mode == "starcontract":
+        labels_ds = _star_contraction(graph, edges, max_rounds=max_rounds)
+        return ComponentsResult(
+            labels=labels_ds, nodes=graph.n_vertices, metrics={"mode": mode, "threshold": threshold}
         )
 
     star = edges.map_batches(_contract_batch, batch_format="pyarrow", batch_size=None).materialize()

@@ -79,3 +79,31 @@ def test_local_components_kernel():
     verts, roots = local_components(src, dst)
     assert verts.tolist() == [1, 2, 3, 5, 6, 7, 8, 9]
     assert roots.tolist() == [1, 1, 1, 5, 5, 5, 8, 8]
+
+
+def test_star_contraction_matches_treereduce(tmp_workdir):
+    """Kiveris alternating large-star/small-star rounds give identical
+    min-vid labels to the tree-reduce contraction."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.components import connected_components
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from neo4j_graph_algorithms_ray.sources.corpus import powerlaw_corpus_table
+
+    corpus = powerlaw_corpus_table(n_files=200, n_repos=6, avg_out=4.0, seed=17)
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=3)
+    a = (
+        connected_components(g)
+        .labels.to_pandas()
+        .sort_values("vid")["label"]
+        .to_numpy()
+    )
+    b = (
+        connected_components(g, mode="starcontract")
+        .labels.to_pandas()
+        .sort_values("vid")["label"]
+        .to_numpy()
+    )
+    import numpy as np
+
+    np.testing.assert_array_equal(a, b)

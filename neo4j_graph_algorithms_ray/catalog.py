@@ -14,6 +14,7 @@ _CATALOG = [
     ("pagerank.stream", "algorithm", "algo.pageRank.stream", "pipelines.pagerank (result .scores Dataset)"),
     ("unionfind", "algorithm", "algo.unionFind / UnionFindProc.java", "pipelines.components.connected_components"),
     ("unionfind.threshold", "algorithm", "algo.unionFind threshold config", "pipelines.components (threshold=)"),
+    ("unionfind.starcontract", "algorithm", "HugeParallelUnionFind analogue for >10^8 vertices", "pipelines.components (mode='starcontract')"),
     ("labelpropagation", "algorithm", "algo.labelPropagation / LabelPropagationProc.java", "pipelines.labelprop.label_propagation"),
     ("trianglecount", "algorithm", "algo.triangleCount / TriangleProc.java", "pipelines.triangles.triangle_count"),
     ("triangle.stream", "algorithm", "algo.triangle.stream", "pipelines.triangles (result .triangles Dataset)"),

@@ -22,9 +22,10 @@ Ray-Data-native shape (SURVEY.md §2.2):
    compared as partitions, FIXTURES.md §3).
 
 Scale note: the final reduce step sees ~one row per non-isolated vertex.
-That is fine up to O(10^8) vertices per task; beyond, switch to the
-alternating large-star/small-star groupby algorithm (Kiveris et al., "CC in
-MapReduce"), which this layout supports without changing the result contract.
+That is fine up to O(10^8) vertices per task; beyond, pass
+``mode='starcontract'`` for the alternating large-star/small-star groupby
+algorithm (Kiveris et al., "CC in MapReduce and Beyond") — same min-vid
+result contract, no per-task component materialization.
 """
 
 from __future__ import annotations

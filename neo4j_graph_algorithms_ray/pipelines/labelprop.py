@@ -153,7 +153,13 @@ def label_propagation(
             break
     compute_s = time.perf_counter() - t1
 
-    labels = rd.from_arrow_refs([a.labels_table.remote() for a in actors])
+    label_refs = [a.labels_table.remote() for a in actors]
+    ray.wait(label_refs, num_returns=len(label_refs), fetch_local=False)
+    # release the pool eagerly — reservations must not linger for the
+    # lifetime of the (lazy) result Dataset in long multi-query sessions
+    for a in actors:
+        ray.kill(a, no_restart=True)
+    labels = rd.from_arrow_refs(label_refs)
     return LabelPropResult(
         labels=labels,
         ran_iterations=ran,

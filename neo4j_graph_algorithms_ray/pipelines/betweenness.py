@@ -9,9 +9,12 @@
   the accumulated dependencies halved (each geodesic counted from both
   endpoints; the proc's ``direction:'both'`` fixture expects exactly half).
 
-Execution: ``BrandesShard`` actors (state/brandes_shard.py) — forward
-sigma-push BSP rounds, backward per-depth dependency pulls; centrality
-accumulates in-actor across batches.
+Execution: ``BrandesShard`` actors (state/brandes_shard.py) — both passes are
+fused run-ahead push exchanges.  The forward loop submits rounds on ObjectRef
+chains and reads the newly-reached counts with a two-round lag (the PageRank
+``_run_fused`` pattern), so frontier death costs two overshoot rounds instead
+of a per-round driver sync; the backward pass needs no driver data at all and
+is submitted as one fire-and-forget chain of ``max_depth`` rounds.
 """
 
 from __future__ import annotations
@@ -37,10 +40,40 @@ class BetweennessResult:
     metrics: dict = field(default_factory=dict)
 
 
-def _transpose(refs, P):
-    if P == 1:
-        return [[refs[0]]]
-    return [[refs[q][p] for q in range(P)] for p in range(P)]
+def _run_batch(actors, batch, max_depth: int) -> int:
+    """One source batch: fused forward rounds until the frontier dies, then a
+    fire-and-forget backward chain.  Returns the batch's max BFS depth."""
+    ray.get([a.start.remote(batch) for a in actors])
+
+    # forward: round r's messages are round r+1's args; counts[r] (= vertices
+    # newly reached at depth r) are read two rounds behind the submissions
+    msgs = [a.fwd_step.options(num_returns=2).remote() for a in actors]
+    counts: dict[int, list] = {}
+    deepest = 0
+    r = 0
+    while r < max_depth:
+        r += 1
+        refs = [m[0] for m in msgs]
+        msgs = [a.fwd_step.options(num_returns=2).remote(*refs) for a in actors]
+        counts[r] = [m[1] for m in msgs]
+        lag = r - 2
+        if lag >= 1:
+            if sum(ray.get(counts.pop(lag))) == 0:
+                break
+            deepest = lag
+    # drain the in-flight tail (≤2 rounds) to pin down the exact max depth
+    for j in sorted(counts):
+        if sum(ray.get(counts[j])) > 0:
+            deepest = j
+
+    if deepest > 0:
+        ray.get([a.bwd_init.remote(deepest) for a in actors])
+        bmsgs = [a.bwd_step.remote() for a in actors]
+        for _ in range(deepest - 1):
+            bmsgs = [a.bwd_step.remote(*bmsgs) for a in actors]
+        ray.wait(bmsgs, num_returns=len(bmsgs), fetch_local=False)
+    ray.get([a.finish_batch.remote() for a in actors])
+    return deepest
 
 
 def betweenness_centrality(
@@ -55,27 +88,23 @@ def betweenness_centrality(
     max_batches: int | None = None,
 ) -> BetweennessResult:
     """``source_batch`` sources run concurrently per pass (unlike MS-BFS's
-    bitmask ω=32, Brandes state carries a plain per-source axis, so the batch
+    bitmask ω=64, Brandes state carries a plain per-source axis, so the batch
     width trades per-vertex memory — S*18 bytes — against the number of BSP
     wave sequences; wider batches halve driver-visible rounds).
 
     Checkpointing is per completed source batch (exact mode over a large
     graph is a long accumulation; a killed job resumes at the next batch)."""
     from ..state.checkpoint import CheckpointManager
+
     t0 = time.perf_counter()
-    rev = graph.ensure_reverse_layout() if direction in ("INCOMING", "BOTH") else None
+    # the backward dependency push runs over the reverse adjacency, so every
+    # direction needs both layouts (BOTH symmetrizes them into one)
+    rev = graph.ensure_reverse_layout()
     actors = make_shard_actors(
         BrandesShard, graph, actor_kwargs={"rev_edges_dir": rev, "direction": direction}
     )
     P = graph.P
     ray.get([a.ready.remote() for a in actors])
-    if P > 1:
-        needs = [a.needed_vids.options(num_returns=P).remote() for a in actors]
-        ray.get(
-            [actors[q].register_requests.remote(*[needs[p][q] for p in range(P)]) for q in range(P)]
-        )
-    else:
-        ray.get(actors[0].register_requests.remote(actors[0].needed_vids.remote()))
     ray.get([a.begin_pass.remote() for a in actors])
 
     ckpt = CheckpointManager(checkpoint_dir, "betweenness") if checkpoint_dir else None
@@ -93,33 +122,7 @@ def betweenness_centrality(
     batches = [sources[i : i + source_batch] for i in range(0, len(sources), source_batch)]
     stop = len(batches) if max_batches is None else min(len(batches), start_batch + max_batches)
     for bi in range(start_batch, stop):
-        batch = batches[bi]
-        ray.get([a.start.remote(batch) for a in actors])
-        # forward: BSP sigma push until the frontier dies
-        depth = 0
-        for depth in range(max_depth):
-            outs = [
-                a.fwd_push.options(num_returns=P).remote() if P > 1 else a.fwd_push.remote()
-                for a in actors
-            ]
-            new = ray.get(
-                [actors[p].fwd_absorb.remote(*chunks) for p, chunks in enumerate(_transpose(outs, P))]
-            )
-            if sum(new) == 0:
-                break
-        # backward: dependency accumulation from the deepest level down
-        for d in range(depth, -1, -1):
-            served = [
-                a.serve_bwd.options(num_returns=P).remote() if P > 1 else a.serve_bwd.remote()
-                for a in actors
-            ]
-            ray.get(
-                [
-                    actors[p].bwd_step.remote(d, *chunks)
-                    for p, chunks in enumerate(_transpose(served, P))
-                ]
-            )
-        ray.get([a.finish_batch.remote() for a in actors])
+        _run_batch(actors, batches[bi], max_depth)
         if ckpt is not None:
             files = ray.get([a.save_state.remote(ckpt.state_dir(), bi) for a in actors])
             ckpt.commit_iteration(

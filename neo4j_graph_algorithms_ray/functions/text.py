@@ -73,23 +73,98 @@ def lang_predict(texts: pd.Series) -> np.ndarray:
 MINHASH_PRIME = np.uint64((1 << 31) - 1)
 
 
+_DUCK_CON = None
+
+
+def _duck():
+    """Per-process DuckDB connection used as a vectorized hash kernel.
+
+    ``md5_number_lower(s)`` is bit-identical to
+    ``int.from_bytes(md5(s)[8:16], 'little')`` (verified), so the C++ md5 is a
+    drop-in for the Python loop at ~20x the throughput.  ``threads=1``: the
+    kernel runs inside Ray map actors — parallelism comes from the actor
+    pool, not from DuckDB fanning out threads per batch.
+    """
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect(config={"threads": 1})
+    return _DUCK_CON
+
+
+def _string_table(values):
+    import pyarrow as pa
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        return pa.table({"s": values})
+    return pa.table({"s": pa.array(values, pa.string())})
+
+
 def hash_strings(values) -> np.ndarray:
     """Deterministic 64-bit hashes (low 64 bits of md5, little-endian)."""
-    import hashlib
+    n = len(values)
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    try:
+        _t = _string_table(values)
+        out = _duck().execute("SELECT md5_number_lower(s) AS h FROM _t").fetch_arrow_table()
+        return out["h"].to_numpy().astype(np.uint64, copy=False)
+    except Exception:  # no duckdb / exotic input: slow exact fallback
+        import hashlib
 
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:16], "little")
-    return out
+        vals = values.tolist() if hasattr(values, "tolist") else values
+        out = np.empty(n, dtype=np.uint64)
+        for i, v in enumerate(vals):
+            out[i] = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:16], "little")
+        return out
+
+
+def hash_strings_hex(values, algo: str = "md5") -> list[str]:
+    """Vectorized hex digests (md5/sha256) with a hashlib fallback."""
+    n = len(values)
+    if n == 0:
+        return []
+    try:
+        _t = _string_table(values)
+        fn = {"md5": "md5", "sha256": "sha256"}[algo]
+        out = _duck().execute(f"SELECT {fn}(s) AS h FROM _t").fetch_arrow_table()
+        return out["h"].to_pylist()
+    except Exception:
+        import hashlib
+
+        vals = values.tolist() if hasattr(values, "tolist") else values
+        h = getattr(hashlib, algo)
+        return [h(v.encode("utf-8")).hexdigest() for v in vals]
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingles -> 64-bit md5 hashes."""
-    toks = WS_TOKEN_RE.findall(text)
-    if len(toks) < k:
-        return hash_strings([" ".join(toks)]) if toks else np.array([], dtype=np.uint64)
-    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return hash_strings(grams)
+    H, _ = batch_shingle_hashes([text], k)
+    return H
+
+
+def batch_shingle_hashes(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for many docs in ONE vectorized md5 pass.
+
+    Returns ``(hashes, counts)``: the concatenated per-doc shingle hashes and
+    the per-doc shingle counts (segment ``i`` spans
+    ``[cumsum(counts)[i]-counts[i], cumsum(counts)[i])``).
+    """
+    grams: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = WS_TOKEN_RE.findall(t)
+        if len(toks) >= k:
+            n = len(toks) - k + 1
+            grams.extend(" ".join(toks[j : j + k]) for j in range(n))
+            counts[i] = n
+        elif toks:
+            grams.append(" ".join(toks))
+            counts[i] = 1
+        else:
+            counts[i] = 0
+    return hash_strings(grams), counts
 
 
 class MinHasher:
@@ -107,6 +182,24 @@ class MinHasher:
         x = (shingles % MINHASH_PRIME)[:, None]
         hv = (x * self.a[None, :] + self.b[None, :]) % MINHASH_PRIME
         return hv.min(axis=0)
+
+    def batch_signatures(self, texts, k: int = 3) -> np.ndarray:
+        """(n_docs, num_perm) signatures — one md5 pass + segmented min.
+
+        Empty docs get the all-``MINHASH_PRIME`` sentinel signature (same as
+        ``signature([])``).
+        """
+        H, counts = batch_shingle_hashes(texts, k)
+        sig = np.full((len(counts), self.num_perm), MINHASH_PRIME, dtype=np.uint64)
+        if len(H):
+            x = (H % MINHASH_PRIME)[:, None]
+            hv = (x * self.a[None, :] + self.b[None, :]) % MINHASH_PRIME
+            starts = np.cumsum(counts) - counts
+            # zero-count docs occupy no hash rows, so the nonzero starts
+            # alone still delimit exact reduceat segments
+            nz = counts > 0
+            sig[nz] = np.minimum.reduceat(hv, starts[nz], axis=0)
+        return sig
 
 
 def minhash_perm_constants(num_perm: int = 64, seed: int = 12345):
@@ -127,16 +220,30 @@ def band_keys(sig_matrix: np.ndarray, bands: int) -> list[list[str]]:
 
 def simhash64(text: str) -> np.uint64:
     """64-bit SimHash over word tokens (unweighted)."""
-    toks = WS_TOKEN_RE.findall(text.lower())
-    if not toks:
-        return np.uint64(0)
-    hv = hash_strings(toks)
-    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
+    return batch_simhash64([text])[0]
+
+
+def batch_simhash64(texts) -> np.ndarray:
+    """SimHashes for many docs — one md5 pass + segmented ±1 bit sums."""
+    toks_all: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = WS_TOKEN_RE.findall(t.lower())
+        toks_all.extend(toks)
+        counts[i] = len(toks)
+    out = np.zeros(len(counts), dtype=np.uint64)
+    if toks_all:
+        hv = hash_strings(toks_all)
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        signed = 2 * bits - 1  # (total_tokens, 64)
+        starts = np.cumsum(counts) - counts
+        nz = counts > 0
+        acc = np.add.reduceat(signed, starts[nz], axis=0)
+        out[nz] = (
+            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
     return out
 
 
@@ -150,11 +257,24 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def jaccard_word_ngrams(t1: str, t2: str, k: int = 3) -> float:
-    s1 = set(map(int, shingle_hashes(t1, k)))
-    s2 = set(map(int, shingle_hashes(t2, k)))
-    if not s1 and not s2:
-        return 1.0
-    return len(s1 & s2) / max(1, len(s1 | s2))
+    return float(batch_jaccard_word_ngrams([t1], [t2], k)[0])
+
+
+def batch_jaccard_word_ngrams(texts_a, texts_b, k: int = 3) -> np.ndarray:
+    """Exact shingle-set Jaccard for many pairs — two md5 passes total."""
+    Ha, ca = batch_shingle_hashes(texts_a, k)
+    Hb, cb = batch_shingle_hashes(texts_b, k)
+    ea, eb = np.cumsum(ca), np.cumsum(cb)
+    out = np.empty(len(ca), dtype=np.float64)
+    for i in range(len(ca)):
+        A = np.unique(Ha[ea[i] - ca[i] : ea[i]])
+        B = np.unique(Hb[eb[i] - cb[i] : eb[i]])
+        if len(A) == 0 and len(B) == 0:
+            out[i] = 1.0
+            continue
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        out[i] = inter / max(1, len(A) + len(B) - inter)
+    return out
 
 
 def rolling_hash(text: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:

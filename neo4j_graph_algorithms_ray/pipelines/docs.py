@@ -15,7 +15,6 @@ hash)`` explode, so the only wide ops are groupbys on short keys.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -36,6 +35,16 @@ def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _shuffle_fan() -> int:
+    """Hash-shuffle partition count sized to the session (each partition
+    spawns an aggregator actor reserving a CPU fraction — oversized fans
+    deadlock small sessions, see stages/joins.py)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(16, ncpu // 2))
+
+
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     """{h: sha256(text), doc_id: min doc_id, n: group size} per distinct text.
 
@@ -44,15 +53,14 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     """
 
     def add_hash(t: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
-        return pa.table({"h": pa.array(hs), "doc_id": t["doc_id"]})
+        return pa.table({"h": pa.array(T.hash_strings_hex(t["text"], "sha256")), "doc_id": t["doc_id"]})
 
     from ray.data.aggregate import Min
 
     return (
         docs.select_columns(["doc_id", "text"])
         .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
+        .groupby("h", num_partitions=_shuffle_fan())
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n"))
     )
 
@@ -62,47 +70,88 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-class _MinHashStage:
-    """Per-doc shingle->MinHash->band rows (hashers built once per actor)."""
+from functools import lru_cache
 
-    def __init__(self, num_perm=64, bands=16, k=3):
-        self.mh = T.MinHasher(num_perm=num_perm)
-        self.bands = bands
-        self.rows = num_perm // bands
-        self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack(
-            [self.mh.signature(T.shingle_hashes(t, self.k)) for t in batch["text"]]
-        )  # (n_docs, num_perm)
-        n = len(batch)
-        view = sigs[:, : self.bands * self.rows].reshape(n, self.bands, self.rows)
-        # vectorized band hash: join band rows to strings, one SipHash pass
-        flat = view.reshape(n * self.bands, self.rows)
-        strs = pd.Series(map(lambda r: "|".join(map(str, r)), flat), dtype=object)
-        bh = T.hash_strings(strs).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "band": np.tile(np.arange(self.bands), n),
-                "bh": bh,
-                "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
-            }
-        )
+@lru_cache(maxsize=4)
+def _minhasher(num_perm: int) -> "T.MinHasher":
+    # cached per worker process: map_batches runs as plain tasks (the
+    # vectorized kernel is ~30ms per 512 docs, so an actor pool's spin-up
+    # would cost more than the whole stage), and reused workers keep this
+    return T.MinHasher(num_perm=num_perm)
+
+
+def _band_rows(batch: pd.DataFrame, *, num_perm: int, bands: int, k: int) -> pd.DataFrame:
+    """Per-doc shingle->MinHash->band rows."""
+    mh = _minhasher(num_perm)
+    rows = num_perm // bands
+    sigs = mh.batch_signatures(list(batch["text"]), k)  # (n_docs, num_perm)
+    n = len(batch)
+    # band key = splitmix-style mix of the band's signature values — purely
+    # an internal grouping key (the oracle compares band *values*, and a
+    # 2^-64 false collision only adds a candidate the jaccard filter
+    # re-checks), so no need for an md5 string-join
+    flat = sigs[:, : bands * rows].reshape(n * bands, rows)
+    h = np.full(len(flat), 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for c in range(rows):
+        h = (h ^ flat[:, c]) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(29)
+    return pd.DataFrame(
+        {
+            "band": np.tile(np.arange(bands), n),
+            "bh": h.view(np.int64),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+        }
+    )
+
+
+def _groups_to_pairs(band: np.ndarray, bh: np.ndarray, did: np.ndarray) -> pd.DataFrame:
+    """All (id_a < id_b) pairs sharing a (band, bh) key — fully vectorized.
+
+    Groups are bucketed by size class so pair generation is a handful of
+    matrix ``triu_indices`` gathers instead of a Python loop per group.
+    """
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
+    if len(did) == 0:
+        return empty
+    order = np.lexsort((did, bh, band))
+    band, bh, did = band[order], bh[order], did[order]
+    keep = np.empty(len(did), dtype=bool)  # dedup (band, bh, doc_id) triples
+    keep[0] = True
+    keep[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]) | (did[1:] != did[:-1])
+    band, bh, did = band[keep], bh[keep], did[keep]
+    gnew = np.empty(len(did), dtype=bool)
+    gnew[0] = True
+    gnew[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    counts = np.diff(np.append(np.flatnonzero(gnew), len(did)))
+    starts = np.cumsum(counts) - counts
+    out_a, out_b = [], []
+    for s in np.unique(counts):
+        if s < 2:
+            continue
+        gs = starts[counts == s]
+        m = did[gs[:, None] + np.arange(s)[None, :]]  # (n_groups, s), rows ascending
+        ii, jj = np.triu_indices(s, k=1)
+        out_a.append(m[:, ii].ravel())
+        out_b.append(m[:, jj].ravel())
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+    ).drop_duplicates()
 
 
 def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> rd.Dataset:
     """{id_a, id_b} candidate near-dup pairs (band-bucket collisions, deduped)."""
     band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        _band_rows,
+        fn_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pandas",
-        batch_size=256,  # md5 shingle hashing is the compute; small batches fan wide
-        concurrency=(1, 16),
+        batch_size=512,
     )
 
     # coarse-bucket the (band, bh) keys so the shuffle has few, large groups
-    # (per-tiny-group map_groups overhead dominates otherwise); exact pair
-    # generation happens in a vectorized pandas groupby inside each bucket
+    # (per-tiny-group map_groups overhead dominates otherwise)
     n_buckets = 64
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -111,22 +160,17 @@ def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> 
         return b
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for (_, _), grp in g.groupby(["band", "bh"], sort=False):
-            ids = np.sort(grp["doc_id"].unique())
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            outs.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
-        if not outs:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
+        return _groups_to_pairs(
+            g["band"].to_numpy(), g["bh"].to_numpy(), g["doc_id"].to_numpy()
+        )
 
     # pairs may repeat across bands (different buckets); consumers dedup —
     # minhash_dedup_pairs picks drop_duplicates (small) or a packed-key
     # groupby (large) by volume
-    return band_rows.map_batches(tag, batch_format="pandas").groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas"
+    return (
+        band_rows.map_batches(tag, batch_format="pandas")
+        .groupby("bucket", num_partitions=_shuffle_fan())
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
 
 
@@ -143,7 +187,7 @@ def minhash_signatures(docs: rd.Dataset, *, num_perm=64, k=3) -> rd.Dataset:
             self.mh = T.MinHasher(num_perm=num_perm)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            sigs = np.stack([self.mh.signature(T.shingle_hashes(t, k)) for t in b["text"]])
+            sigs = self.mh.batch_signatures(list(b["text"]), k)
             n = len(b)
             return pd.DataFrame(
                 {
@@ -176,9 +220,7 @@ def _verify_fn(threshold: float, k: int):
                     "jac_u": pd.Series(dtype=np.int64),
                 }
             )
-        j = np.array(
-            [T.jaccard_word_ngrams(ta, tb, k) for ta, tb in zip(b["text_a"], b["text_b"])]
-        )
+        j = T.batch_jaccard_word_ngrams(list(b["text_a"]), list(b["text_b"]), k)
         keep = j >= threshold
         return pd.DataFrame(
             {
@@ -295,7 +337,7 @@ def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
     """{doc_id, simhash: int64 (bit-cast)} per doc."""
 
     def stage(b: pd.DataFrame) -> pd.DataFrame:
-        sh = np.array([T.simhash64(t) for t in b["text"]], dtype=np.uint64)
+        sh = T.batch_simhash64(list(b["text"]))
         return pd.DataFrame({"doc_id": b["doc_id"], "simhash": sh.view(np.int64)})
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
@@ -361,12 +403,16 @@ def simhash_near_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
             )
         return pd.concat(outs, ignore_index=True)
 
-    pairs = rows.map_batches(tag, batch_format="pandas").groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        rows.map_batches(tag, batch_format="pandas")
+        .groupby("bucket", num_partitions=_shuffle_fan())
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return pairs.groupby(["id_a", "id_b"], num_partitions=_shuffle_fan()).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -439,8 +485,7 @@ def fingerprints(docs: rd.Dataset) -> rd.Dataset:
     """{doc_id, fp} — md5 of the whitespace-normalized lowercased text."""
 
     def stage(b: pd.DataFrame) -> pd.DataFrame:
-        norm = T.normalize_ws(b["text"])
-        fp = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in norm]
+        fp = T.hash_strings_hex(T.normalize_ws(b["text"]), "md5")
         return pd.DataFrame({"doc_id": b["doc_id"], "fp": fp})
 
     return docs.select_columns(["doc_id", "text"]).map_batches(stage, batch_format="pandas")

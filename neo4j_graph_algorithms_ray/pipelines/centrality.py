@@ -40,24 +40,37 @@ from ..state.shards import make_shard_actors
 from .graph_build import BuiltGraph
 
 
-def _transpose(refs, P):
-    if P == 1:
-        return [[refs[0]]]
-    return [[refs[q][p] for q in range(P)] for p in range(P)]
+def run_fused_rounds(actors, step_method: str, max_rounds: int) -> int:
+    """Drive a fused push-exchange to fixpoint (shared by MS-BFS and SSSP).
+
+    Round r's packed messages are round r+1's args (an ObjectRef chain the
+    driver never fetches); the per-round progress counters are read with a
+    two-round lag, so fixpoint costs two overshoot rounds (which push empty
+    messages) instead of a per-round driver sync.  Returns the last round
+    that made progress; all in-flight calls are drained before returning."""
+    msgs = [getattr(a, step_method).options(num_returns=2).remote() for a in actors]
+    counts: dict[int, list] = {}
+    last_progress = 0
+    r = 0
+    while r < max_rounds:
+        r += 1
+        refs = [m[0] for m in msgs]
+        msgs = [getattr(a, step_method).options(num_returns=2).remote(*refs) for a in actors]
+        counts[r] = [m[1] for m in msgs]
+        lag = r - 2
+        if lag >= 1:
+            if sum(ray.get(counts.pop(lag))) == 0:
+                break
+            last_progress = lag
+    for j in sorted(counts):  # drain the ≤2 in-flight tail rounds
+        if sum(ray.get(counts[j])) > 0:
+            last_progress = j
+    return last_progress
 
 
 def _run_batch(actors, P, sources: np.ndarray, max_depth: int):
     ray.get([a.start.remote(sources) for a in actors])
-    for _ in range(max_depth):
-        outs = [
-            a.expand.options(num_returns=P).remote() if P > 1 else a.expand.remote()
-            for a in actors
-        ]
-        new = ray.get(
-            [actors[p].absorb.remote(*chunks) for p, chunks in enumerate(_transpose(outs, P))]
-        )
-        if sum(new) == 0:
-            break
+    run_fused_rounds(actors, "step", max_depth)
 
 
 def pick_sources(n: int, sample_sources: int | None, seed: int = 42) -> np.ndarray:
@@ -179,20 +192,9 @@ def shortest_paths(
     graph: BuiltGraph, source: int, *, weighted: bool = False, max_rounds: int = 10_000
 ) -> SsspResult:
     actors = make_shard_actors(SsspShard, graph, actor_kwargs={"weighted": weighted})
-    P = graph.P
     ray.get([a.ready.remote() for a in actors])
     ray.get([a.start.remote(int(source)) for a in actors])
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
-        outs = [
-            a.relax.options(num_returns=P).remote() if P > 1 else a.relax.remote()
-            for a in actors
-        ]
-        improved = ray.get(
-            [actors[p].absorb.remote(*chunks) for p, chunks in enumerate(_transpose(outs, P))]
-        )
-        if sum(improved) == 0:
-            break
+    rounds = run_fused_rounds(actors, "step", max_rounds)
     dists = rd.from_arrow(pa.concat_tables(ray.get([a.dist_table.remote() for a in actors])))
     for a in actors:
         ray.kill(a, no_restart=True)

@@ -42,24 +42,12 @@ def shortest_path(
     """Shortest path source -> target; ``target=None`` picks the farthest
     reachable vertex (max finite distance, tie -> max vid), which gives the
     driver contract a deterministic single-pair query."""
+    from .centrality import run_fused_rounds
+
     actors = make_shard_actors(SsspShard, graph, actor_kwargs={"weighted": weighted})
-    P = graph.P
     ray.get([a.ready.remote() for a in actors])
     ray.get([a.start.remote(int(source)) for a in actors])
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
-        outs = [
-            a.relax.options(num_returns=P).remote() if P > 1 else a.relax.remote()
-            for a in actors
-        ]
-        improved = ray.get(
-            [
-                actors[p].absorb.remote(*[outs[q][p] for q in range(P)] if P > 1 else [outs[0]])
-                for p in range(P)
-            ]
-        )
-        if sum(improved) == 0:
-            break
+    rounds = run_fused_rounds(actors, "step", max_rounds)
 
     bounds = graph.bounds
 

@@ -7,9 +7,16 @@ Shard-local state per batch of <=64 sources: ``visited``/``new`` uint64 masks
 for the shard's vertex range.  One BSP round = expand the newly-visited
 frontier along local out-edges with per-destination bitwise-OR combining
 (``np.bitwise_or.reduceat`` over the dst-sorted CSR — same layout as the
-PageRank combiner), route mask tables to owning shards, absorb, report how
-many new bits were set.  Distance-dependent statistics (closeness farness,
+PageRank combiner), route masks to owning shards, absorb, report how many
+new bits were set.  Distance-dependent statistics (closeness farness,
 harmonic inverse-farness, BFS depth) are accumulated as bits first turn on.
+
+Both shard kinds use the *fused run-ahead push exchange* (the PageRank
+``step`` pattern, state/shards.py): one actor call per shard per round
+applies the previous round's packed messages and pushes the next round's;
+contributions to the shard's own vid range are parked in-process instead of
+round-tripping through the object store, and the driver chains ObjectRefs
+with a two-round-lagged termination read instead of syncing every round.
 """
 
 from __future__ import annotations
@@ -69,6 +76,8 @@ class MsBfsShard(EdgeShardBase):
         # (int16: depths < 2^15; 64 KiB per 1k local vertices per batch)
         self.bit_depth = np.full((self.n_local, len(sources)), -1, dtype=np.int16)
         self.batch_sources = np.asarray(sources, dtype=np.int64)
+        self._first = True
+        self._parked = None  # (local idx, masks) contributions to own range
         for i, s in enumerate(sources):
             if self.lo <= s < self.hi:
                 bit = np.uint64(1) << np.uint64(i)
@@ -77,32 +86,56 @@ class MsBfsShard(EdgeShardBase):
                 self.bit_depth[s - self.lo, i] = 0
         return self.part
 
-    def expand(self):
-        """Push the frontier along local edges; one mask table per shard."""
-        masks = self.new[self.esrc_by_dst]  # per-edge (dst-sorted) source mask
+    def step(self, *incoming):
+        """Fused apply(previous round's packed masks) + push(next round's).
+
+        ``incoming`` are packed ``{dst, mask}`` tables (dst-sorted, one per
+        peer shard); this shard slices its own vid range out of each via
+        binary search.  Own-range contributions were parked in-process by the
+        previous push.  First call (after ``start``) only pushes the seeded
+        frontier.  Returns ``(packed_message, n_newly_visited)``; rounds past
+        frontier death push empty messages (harmless driver overshoot)."""
+        n_new = 0
+        if self._first:
+            self._first = False
+        else:
+            n_new = self._apply_round(incoming)
+        # push: frontier ORs per unique destination along the dst-sorted CSR
         if len(self.seg_starts):
-            ors = np.bitwise_or.reduceat(masks, self.seg_starts)
+            ors = np.bitwise_or.reduceat(self.new[self.esrc_by_dst], self.seg_starts)
         else:
             ors = np.array([], dtype=np.uint64)
-        out = []
-        for dchunk, mchunk in zip(self._split_by_owner(self.uniq_dst), self._split_by_owner(ors)):
-            nz = mchunk != 0
-            out.append(
-                pa.table(
-                    {"dst": pa.array(dchunk[nz]), "mask": pa.array(mchunk[nz].astype(np.uint64))}
-                )
-            )
-        return tuple(out) if self.P > 1 else out[0]
+        nz = ors != 0
+        vids, m = self.uniq_dst[nz], ors[nz]
+        a = int(np.searchsorted(vids, self.lo))
+        b = int(np.searchsorted(vids, self.hi))
+        self._parked = (vids[a:b] - self.lo, m[a:b]) if b > a else None
+        packed = pa.table(
+            {
+                "dst": pa.array(np.concatenate([vids[:a], vids[b:]])),
+                "mask": pa.array(np.concatenate([m[:a], m[b:]]).astype(np.uint64)),
+            }
+        )
+        return packed, n_new
 
-    def absorb(self, *tables) -> int:
-        """Apply incoming frontier masks at depth+1; returns #new bits set."""
+    def _apply_round(self, tables) -> int:
+        """Absorb parked + incoming frontier masks at depth+1; #new bits set."""
         self.depth += 1
         inc = np.zeros(self.n_local, dtype=np.uint64)
+        if self._parked is not None:
+            idx, m = self._parked
+            inc[idx] |= m  # idx entries unique (a uniq_dst slice)
+            self._parked = None
         for t in tables:
             if t is not None and t.num_rows:
-                idx = t["dst"].to_numpy().astype(np.int64) - self.lo
-                m = t["mask"].to_numpy().astype(np.uint64)
-                np.bitwise_or.at(inc, idx, m)
+                dst = t["dst"].to_numpy()
+                a = int(np.searchsorted(dst, self.lo))
+                b = int(np.searchsorted(dst, self.hi))
+                if a == b:
+                    continue
+                idx = dst[a:b] - self.lo
+                # dsts unique within one packed message: fancy |= is exact
+                inc[idx] |= t["mask"].to_numpy().astype(np.uint64)[a:b]
         new = inc & ~self.visited
         self.visited |= new
         self.new = new
@@ -166,20 +199,29 @@ class SsspShard(EdgeShardBase):
         self.dist = np.full(self.n_local, np.inf)
         self.active = np.zeros(self.n_local, dtype=bool)
         self.pred = np.full(self.n_local, -1, dtype=np.int64)
+        self._first = True
+        self._parked = None  # (idx, d, pred) own-range rows from the last push
         if self.lo <= source < self.hi:
             self.dist[source - self.lo] = 0.0
             self.active[source - self.lo] = True
         return self.part
 
-    def relax(self):
-        """Push tentative distances along local out-edges of active vertices.
+    def step(self, *incoming):
+        """Fused apply(previous round's min-distance messages) + relax(push).
 
         Each destination's message is its best (distance, predecessor) pair,
         predecessor tie-break = smallest source vid among equal distances —
         the deterministic convention path reconstruction (pipelines/paths.py)
-        and its SQL oracle rely on."""
-        w = self.weight if self.weighted else np.ones(len(self.dst))
-        # per-edge candidate distance (dst-sorted order)
+        and its SQL oracle rely on.  ``incoming`` are packed dst-sorted
+        ``{dst, d, pred}`` tables; own-range rows were parked in-process by
+        the previous push.  Returns ``(packed_message, n_improved)``."""
+        n_improved = 0
+        if self._first:
+            self._first = False
+        else:
+            n_improved = self._apply_round(incoming)
+        # relax: push tentative distances along out-edges of active vertices
+        w = self.weight if self.weighted else None
         cand = self.dist[self.esrc_by_dst] + (w[self.dorder] if self.weighted else 1.0)
         act = self.active[self.esrc_by_dst]
         cand = np.where(act, cand, np.inf)
@@ -197,25 +239,39 @@ class SsspShard(EdgeShardBase):
             pred = np.array([], dtype=np.int64)
         ok = np.isfinite(dmin)
         dsts, dmin, pred = dsts[ok], dmin[ok], pred[ok]
-        cuts = np.searchsorted(dsts, self.bounds[1:-1])
-        out = [
-            pa.table({"dst": pa.array(d), "d": pa.array(m), "pred": pa.array(p)})
-            for d, m, p in zip(np.split(dsts, cuts), np.split(dmin, cuts), np.split(pred, cuts))
-        ]
-        return tuple(out) if self.P > 1 else out[0]
+        a = int(np.searchsorted(dsts, self.lo))
+        b = int(np.searchsorted(dsts, self.hi))
+        self._parked = (dsts[a:b] - self.lo, dmin[a:b], pred[a:b]) if b > a else None
+        packed = pa.table(
+            {
+                "dst": pa.array(np.concatenate([dsts[:a], dsts[b:]])),
+                "d": pa.array(np.concatenate([dmin[:a], dmin[b:]])),
+                "pred": pa.array(np.concatenate([pred[:a], pred[b:]])),
+            }
+        )
+        return packed, n_improved
 
-    def absorb(self, *tables) -> int:
+    def _apply_round(self, tables) -> int:
         cand = np.full(self.n_local, np.inf)
         cpred = np.full(self.n_local, -1, dtype=np.int64)
+
+        def fold(idx, d, p):
+            better = (d < cand[idx]) | ((d == cand[idx]) & (p < cpred[idx]))
+            bi = idx[better]
+            cand[bi] = d[better]
+            cpred[bi] = p[better]
+
+        if self._parked is not None:
+            fold(*self._parked)
+            self._parked = None
         for t in tables:
             if t is not None and t.num_rows:
-                idx = t["dst"].to_numpy().astype(np.int64) - self.lo
-                d = t["d"].to_numpy()
-                p = t["pred"].to_numpy()
-                better = (d < cand[idx]) | ((d == cand[idx]) & (p < cpred[idx]))
-                bi = idx[better]
-                cand[bi] = d[better]
-                cpred[bi] = p[better]
+                dst = t["dst"].to_numpy()
+                a = int(np.searchsorted(dst, self.lo))
+                b = int(np.searchsorted(dst, self.hi))
+                if a == b:
+                    continue
+                fold(dst[a:b] - self.lo, t["d"].to_numpy()[a:b], t["pred"].to_numpy()[a:b])
         improved = cand < self.dist
         self.dist = np.where(improved, cand, self.dist)
         self.pred = np.where(improved, cpred, self.pred)

@@ -64,6 +64,42 @@ def _transpose_exchange(refs_per_shard, P):
     return [[refs_per_shard[q][p] for q in range(P)] for p in range(P)]
 
 
+def _run_fused_lp(actors, P, max_iterations):
+    """Run-ahead packed exchange (the PageRank ``_run_fused`` pattern).
+
+    Each phase every shard emits ONE packed boundary-label array (the union of
+    all peers' request sets) and the driver chains the P packed refs straight
+    into the next phase's ``step_fused`` calls — no per-phase ``ray.get``
+    barrier, so round latency is the actors' critical path.  Convergence is
+    checked with a one-iteration lag every 4 iterations; extra submitted
+    phases after convergence are no-ops (a converged labeling is a fixpoint
+    of ``_step_core``), and the exact convergence iteration is recovered from
+    the per-phase changed counts afterwards.
+    """
+    served = [a.packed_serve_vids.remote() for a in actors]
+    ray.get([a.init_packed.remote(*served) for a in actors])
+    packed = [a.serve_packed.remote() for a in actors]
+    changed_refs: list[list] = []  # one entry per phase: P refs
+    n_sub = 0
+    for it in range(max_iterations):
+        for parity in (0, 1):
+            outs = [a.step_fused.options(num_returns=2).remote(parity, *packed) for a in actors]
+            packed = [o[0] for o in outs]
+            changed_refs.append([o[1] for o in outs])
+        n_sub = it + 1
+        if n_sub % 4 == 0 and n_sub >= 2:
+            lag = 2 * (it - 1)  # phases of the previous iteration (already done)
+            tot = sum(ray.get(changed_refs[lag])) + sum(ray.get(changed_refs[lag + 1]))
+            if tot == 0:
+                break
+    counts = ray.get([r for pair in changed_refs for r in pair])  # n_phases * P flat
+    per_iter = [sum(counts[2 * i * P : (2 * i + 2) * P]) for i in range(n_sub)]
+    for i, c in enumerate(per_iter):
+        if c == 0:
+            return i + 1, True
+    return n_sub, False
+
+
 def label_propagation(
     graph: BuiltGraph,
     *,
@@ -126,31 +162,36 @@ def label_propagation(
     t1 = time.perf_counter()
     ran = start_iter
     converged = False
-    for it in range(start_iter, max_iterations):
-        total_changed = 0
-        for parity in (0, 1):  # red/black phases; labels re-served between phases
-            lrefs = [
-                a.serve_labels.options(num_returns=P).remote() if P > 1 else a.serve_labels.remote()
-                for a in actors
-            ]
-            changed = ray.get(
-                [
-                    actors[p].step.remote(parity, *chunks)
-                    for p, chunks in enumerate(_transpose_exchange(lrefs, P))
+    if ckpt is None and start_iter == 0:
+        ran, converged = _run_fused_lp(actors, P, max_iterations)
+    else:
+        # per-iteration barrier path: checkpointed / resumed runs need exact
+        # iteration accounting and a consistent state to snapshot each round
+        for it in range(start_iter, max_iterations):
+            total_changed = 0
+            for parity in (0, 1):  # red/black phases; labels re-served between phases
+                lrefs = [
+                    a.serve_labels.options(num_returns=P).remote() if P > 1 else a.serve_labels.remote()
+                    for a in actors
                 ]
-            )
-            total_changed += sum(changed)
-        ran = it + 1
-        if ckpt is not None:
-            files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
-            ckpt.commit_iteration(
-                it,
-                files,
-                {"changed": total_changed, "bounds": [int(b) for b in graph.bounds], "algo": "labelprop"},
-            )
-        if total_changed == 0:
-            converged = True
-            break
+                changed = ray.get(
+                    [
+                        actors[p].step.remote(parity, *chunks)
+                        for p, chunks in enumerate(_transpose_exchange(lrefs, P))
+                    ]
+                )
+                total_changed += sum(changed)
+            ran = it + 1
+            if ckpt is not None:
+                files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+                ckpt.commit_iteration(
+                    it,
+                    files,
+                    {"changed": total_changed, "bounds": [int(b) for b in graph.bounds], "algo": "labelprop"},
+                )
+            if total_changed == 0:
+                converged = True
+                break
     compute_s = time.perf_counter() - t1
 
     label_refs = [a.labels_table.remote() for a in actors]

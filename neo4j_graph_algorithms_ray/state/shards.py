@@ -535,6 +535,56 @@ class LabelPropShard:
             self.voter_w = np.concatenate([np.asarray(c, dtype=np.float64) for c in chunks])
         return self.part
 
+    # -- packed fused exchange ----------------------------------------------
+    def packed_serve_vids(self) -> np.ndarray:
+        """Global vids this shard serves packed: the union of every peer's
+        request set (each boundary label shipped once per phase, in one
+        object, instead of once per requesting peer)."""
+        if self._req_idx:
+            self._serve_idx = np.unique(np.concatenate(self._req_idx))
+        else:
+            self._serve_idx = np.array([], dtype=np.int64)
+        return self._serve_idx + self.lo
+
+    def init_packed(self, *served_vids):
+        """Precompute, per peer, the positions of this shard's needed voter
+        vids inside that peer's packed served array (fixed — the graph does
+        not change)."""
+        chunks = np.split(self.uniq_t, self.t_split)
+        self._peer_pos = [None] * self.P
+        self._tseg = np.concatenate([[0], self.t_split, [len(self.uniq_t)]]).astype(np.int64)
+        for q in range(self.P):
+            if q == self.part:
+                self._self_take = chunks[q] - self.lo  # live local labels
+            else:
+                self._peer_pos[q] = np.searchsorted(served_vids[q], chunks[q])
+        return self.part
+
+    def serve_packed(self) -> np.ndarray:
+        return self.labels[self._serve_idx]
+
+    def step_fused(self, parity: int, *incoming):
+        """Fused apply(packed peer labels) + update(parity phase) + serve.
+
+        ``incoming[q]`` is peer q's packed boundary-label array as of the end
+        of the previous phase (this shard's own entry is ignored — live local
+        labels are read directly).  Returns ``(packed_labels, n_changed)``;
+        the driver chains the packed outputs into the next phase's args."""
+        if len(self.uniq_t):
+            t_labels = np.empty(len(self.uniq_t), dtype=np.int64)
+            for q in range(self.P):
+                a, b = self._tseg[q], self._tseg[q + 1]
+                if a == b:
+                    continue
+                if q == self.part:
+                    t_labels[a:b] = self.labels[self._self_take]
+                else:
+                    t_labels[a:b] = np.asarray(incoming[q], dtype=np.int64)[self._peer_pos[q]]
+        else:
+            t_labels = np.array([], dtype=np.int64)
+        changed = self._step_core(parity, t_labels)
+        return self.serve_packed(), changed
+
     # -- iteration ----------------------------------------------------------
     def serve_labels(self):
         out = [self.labels[idx] for idx in self._req_idx]
@@ -542,9 +592,16 @@ class LabelPropShard:
 
     def step(self, parity: int, *label_chunks) -> int:
         """Update local vertices with ``vid % 2 == parity``; return #changed."""
+        t_labels = (
+            np.concatenate([np.asarray(c, dtype=np.int64) for c in label_chunks])
+            if label_chunks
+            else np.array([], dtype=np.int64)
+        )
+        return self._step_core(parity, t_labels)
+
+    def _step_core(self, parity: int, t_labels: np.ndarray) -> int:
         if len(self.u_local) == 0:
             return 0
-        t_labels = np.concatenate([np.asarray(c, dtype=np.int64) for c in label_chunks])
         # votes on edges whose updated endpoint is in this phase
         mask = (self.u_local + self.lo) % 2 == parity
         if not mask.any():

@@ -14,10 +14,9 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
-import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from ..state.scc_shard import SccShard
 from ..state.shards import make_shard_actors
@@ -37,10 +36,30 @@ class SccResult:
         return self.labels.groupby("label").aggregate(Count(alias_name="size"))
 
 
-def _transpose(refs, P):
-    if P == 1:
-        return [[refs[0]]]
-    return [[refs[q][p] for q in range(P)] for p in range(P)]
+def _phase_to_fixpoint(actors, begin: str, step: str, begin_args=(), max_rounds=10_000) -> None:
+    """Run one BSP phase with the fused run-ahead exchange.
+
+    ``begin`` seeds the phase (returns the seed-frontier size); ``step`` fuses
+    apply(previous round's packed messages) + push(next round's) and returns
+    ``(packed, n_progress)``.  The driver chains the packed refs straight into
+    the next round's calls and reads the *previous* round's counts after
+    submitting — a one-round-deep pipeline; the single overshoot round past
+    the fixpoint applies empty messages (a no-op by construction)."""
+    seeds = sum(ray.get([getattr(a, begin).remote(*begin_args) for a in actors]))
+    if seeds == 0:
+        return
+    msgs = [getattr(a, step).options(num_returns=2).remote() for a in actors]
+    prev = [m[1] for m in msgs]
+    for _ in range(max_rounds):
+        packed = [m[0] for m in msgs]
+        msgs = [getattr(a, step).options(num_returns=2).remote(*packed) for a in actors]
+        if sum(ray.get(prev)) == 0:
+            break
+        prev = [m[1] for m in msgs]
+    # drain: the in-flight round must finish before the next phase's begin
+    # reads shard state (actor task ordering guarantees it per-actor; the
+    # counts are fetched so errors surface here, not in the next phase)
+    ray.get([m[1] for m in msgs])
 
 
 def strongly_connected_components(
@@ -49,63 +68,31 @@ def strongly_connected_components(
     t0 = time.perf_counter()
     rev = graph.ensure_reverse_layout()
     actors = make_shard_actors(SccShard, graph, actor_kwargs={"rev_edges_dir": rev})
-    P = graph.P
     ray.get([a.ready.remote() for a in actors])
 
-    def wave(push_m, absorb_m, *args) -> int:
-        refs = [
-            getattr(a, push_m).options(num_returns=P).remote() if P > 1 else getattr(a, push_m).remote()
-            for a in actors
-        ]
-        return sum(
-            ray.get(
-                [
-                    getattr(actors[p], absorb_m).remote(*args, *chunks)
-                    for p, chunks in enumerate(_transpose(refs, P))
-                ]
-            )
-        )
-
-    def trim_to_fixpoint(first: bool):
-        if first:  # seed: zero-degree vertices, no decrements yet
-            n = sum(ray.get([a.trim_absorb.remote() for a in actors]))
-            if n == 0:
-                return
-        for _ in range(max_bsp_rounds):
-            if wave("trim_push", "trim_absorb") == 0:
-                break
-
-    trim_to_fixpoint(first=True)
+    _phase_to_fixpoint(actors, "trim_begin", "trim_step", (True,), max_bsp_rounds)
     outer = 0
     for outer in range(1, max_outer + 1):
         remaining = sum(ray.get([a.n_unassigned.remote() for a in actors]))
         if remaining == 0:
             break
-        # forward max-color propagation to fixpoint
-        sum(ray.get([a.color_init.remote() for a in actors]))
-        for _ in range(max_bsp_rounds):
-            if wave("color_push", "color_absorb") == 0:
-                break
-        # backward flood from color roots
-        sum(ray.get([a.roots_start.remote() for a in actors]))
-        for _ in range(max_bsp_rounds):
-            if wave("bwd_push", "bwd_absorb") == 0:
-                break
+        _phase_to_fixpoint(actors, "color_begin", "color_step", (), max_bsp_rounds)
+        _phase_to_fixpoint(actors, "bwd_begin", "bwd_step", (), max_bsp_rounds)
         assigned = sum(ray.get([a.finalize_sccs.remote() for a in actors]))
         assert assigned > 0, "SCC outer round made no progress"
-        trim_to_fixpoint(first=False)
+        _phase_to_fixpoint(actors, "trim_begin", "trim_step", (False,), max_bsp_rounds)
 
-    tabs = ray.get([a.labels_table.remote() for a in actors])
+    # canonicalize shard-side: label -> min vid of the SCC (root ids are
+    # max-vid colors; only multi-member SCCs travel, so the exchange is
+    # O(#multi-member SCCs) — no Dataset shuffle join on the O(V) labels)
+    pushes = [a.canon_push.remote() for a in actors]
+    canons = [a.canon_reduce.remote(*pushes) for a in actors]
+    ray.get([a.canon_apply.remote(*canons) for a in actors])
+    label_refs = [a.labels_table.remote() for a in actors]
+    ray.wait(label_refs, num_returns=len(label_refs), fetch_local=False)
     for a in actors:
         ray.kill(a, no_restart=True)
-    raw = rd.from_arrow(pa.concat_tables(tabs))
-    # canonicalize: label -> min vid of the SCC (root ids are max-vid colors)
-    canon = raw.groupby("label").aggregate(Min("vid", alias_name="canon"))
-    labels = (
-        raw.join(canon, "inner", max(1, graph.P), on=("label",))
-        .select_columns(["vid", "canon"])
-        .rename_columns({"canon": "label"})
-    )
+    labels = rd.from_arrow_refs(label_refs)
     return SccResult(
         labels=labels,
         nodes=graph.n_vertices,

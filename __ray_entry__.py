@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mscoloring": G.q_mscoloring,
         "label_propagation": G.q_label_propagation,
         "sssp": G.q_sssp,
+        "sssp_delta": G.q_sssp_delta,
         "all_shortest_paths": G.q_all_shortest_paths,
         "shortest_path": G.q_shortest_path,
         "harmonic_centrality": G.q_harmonic,
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "mscoloring": O.mscoloring_sql(pre),
         "label_propagation": O.labelprop_sql(pre, iterations=20),
         "sssp": O.sssp_sql(pre, source=0),
+        "sssp_delta": O.sssp_sql(pre, source=0),
         "all_shortest_paths": O.all_shortest_paths_sql(pre, n_sources=64),
         "shortest_path": O.shortest_path_sql(pre, source=0),
         "closeness_centrality": O.closeness_sql(pre),

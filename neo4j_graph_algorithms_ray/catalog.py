@@ -22,7 +22,8 @@ _CATALOG = [
     ("closeness", "algorithm", "algo.closeness / MSClosenessCentrality.java", "pipelines.centrality.closeness_centrality"),
     ("harmonic", "algorithm", "algo.harmonic / MSHarmonicCentrality.java", "pipelines.centrality.harmonic_centrality"),
     ("msbfs", "kernel", "MultiSourceBFS.java (omega=32 bitmask BFS)", "state.bfs_shards.MsBfsShard"),
-    ("shortestPath", "algorithm", "algo.shortestPath[.deltaStepping] / ShortestPathDeltaStepping.java", "pipelines.centrality.shortest_paths"),
+    ("shortestPath", "algorithm", "algo.shortestPaths SSSP map / ShortestPaths.java", "pipelines.centrality.shortest_paths"),
+    ("shortestPath.deltaStepping", "algorithm", "algo.shortestPath.deltaStepping / ShortestPathDeltaStepping.java", "pipelines.centrality.shortest_paths_delta_stepping"),
     ("shortestPath.pair", "algorithm", "algo.shortestPath source->target / ShortestPathDijkstra.java", "pipelines.paths.shortest_path"),
     ("allShortestPaths.stream", "algorithm", "algo.allShortestPaths.stream / MSBFSAllShortestPaths.java", "pipelines.centrality.all_shortest_paths"),
     ("louvain", "algorithm", "algo.louvain / LouvainProc.java", "pipelines.louvain.louvain"),

@@ -199,3 +199,38 @@ def shortest_paths(
     for a in actors:
         ray.kill(a, no_restart=True)
     return SsspResult(distances=dists, rounds=rounds, nodes=graph.n_vertices)
+
+
+def shortest_paths_delta_stepping(
+    graph: BuiltGraph, source: int, delta: float, *, max_rounds: int = 10_000
+) -> SsspResult:
+    """``algo.shortestPath.deltaStepping`` (``ShortestPathDeltaSteppingProc.java:72,104``,
+    kernel ``ShortestPathDeltaStepping.java``) — bucketed parallel SSSP.
+
+    ``delta`` is the caller-supplied bucket width exactly as in the proc
+    signature.  Buckets are processed in ascending order; each bucket runs
+    its light-edge fixpoint through the fused exchange, then one heavy-edge
+    exchange.  Distances equal plain weighted SSSP (Dijkstra fixpoint);
+    ``rounds`` reports the number of bucket phases."""
+    from ..state.bfs_shards import DeltaSsspShard
+
+    actors = make_shard_actors(DeltaSsspShard, graph, actor_kwargs={"delta": float(delta)})
+    ray.get([a.ready.remote() for a in actors])
+    ray.get([a.start.remote(int(source)) for a in actors])
+    last_b = -1
+    phases = 0
+    while phases < max_rounds:
+        bs = [b for b in ray.get([a.next_bucket.remote(last_b) for a in actors]) if b >= 0]
+        if not bs:
+            break
+        b = min(bs)
+        ray.get([a.light_begin.remote(b) for a in actors])
+        run_fused_rounds(actors, "light_step", max_rounds)
+        pushes = [a.heavy_push.remote() for a in actors]
+        ray.get([a.heavy_apply.remote(*pushes) for a in actors])
+        last_b = b
+        phases += 1
+    dists = rd.from_arrow(pa.concat_tables(ray.get([a.dist_table.remote() for a in actors])))
+    for a in actors:
+        ray.kill(a, no_restart=True)
+    return SsspResult(distances=dists, rounds=phases, nodes=graph.n_vertices)

@@ -162,6 +162,21 @@ def q_sssp(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("vid").reset_index(drop=True)
 
 
+def q_sssp_delta(sf_dir: str) -> pd.DataFrame:
+    """Bucketed delta-stepping SSSP from vid 0 (finite distances only).
+
+    ``algo.shortestPath.deltaStepping`` (``ShortestPathDeltaSteppingProc.java:72``).
+    Unit edge weights + delta=2.0 -> two BFS levels per bucket; distances
+    equal the plain SSSP fixpoint, so the sssp SQL oracle applies."""
+    from .centrality import shortest_paths_delta_stepping
+
+    g = graph_for_sf(sf_dir)
+    df = shortest_paths_delta_stepping(g, source=0, delta=2.0).distances.to_pandas()
+    df = df[np.isfinite(df["distance"])].copy()
+    df["distance"] = df["distance"].astype("int64")
+    return df.sort_values("vid").reset_index(drop=True)
+
+
 def _quantize_centrality(res) -> pd.DataFrame:
     df = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
     df["cent_u"] = np.floor(df["centrality"].to_numpy() * 1e6 + 0.5).astype("int64")

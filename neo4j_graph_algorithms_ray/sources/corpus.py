@@ -153,6 +153,16 @@ _FIX: dict[str, dict] = {
         nodes=["nA", "nB", "nC", "nD", "nX"],
         edges="nA>nX:5.0 nA>nB:2.0 nB>nX:2.0 nA>nC:1.0 nC>nD:1.0 nD>nX:1.0",
     ),
+    # reference ShortestPathDeltaSteppingProcTest.java:45-95 — three s->x
+    # lines of cost 5/3/2 per hop plus the x->s back-edge; dists from s:
+    # a/b/c = 5/10/15, d/e/f = 3/6/9, g/h/i = 2/4/6, x = 8
+    "ds1": dict(
+        repo="fixture-ds1",
+        nodes=list("sabcdefghix"),
+        edges="x>s:5.0 s>a:5.0 a>b:5.0 b>c:5.0 c>x:5.0 "
+        "s>d:3.0 d>e:3.0 e>f:3.0 f>x:3.0 "
+        "s>g:2.0 g>h:2.0 h>i:2.0 i>x:2.0",
+    ),
 }
 
 

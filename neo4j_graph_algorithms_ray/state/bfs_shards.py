@@ -291,3 +291,147 @@ class SsspShard(EdgeShardBase):
                 "distance": pa.array(self.dist),
             }
         )
+
+
+class DeltaSsspShard(EdgeShardBase):
+    """Bucketed delta-stepping SSSP (``ShortestPathDeltaStepping.java``).
+
+    Buckets partition tentative distances into width-``delta`` ranges; the
+    driver processes buckets in ascending order.  Within bucket ``b``, light
+    edges (weight <= delta) are relaxed to a BSP fixpoint (improvements that
+    stay in bucket ``b`` re-activate their vertex), then heavy edges
+    (weight > delta) of every vertex settled in the phase are relaxed once —
+    heavy targets always land in later buckets.  Deviation from the
+    reference's loop (which re-runs light+heavy on reinsertion into the same
+    bucket, ``ShortestPathDeltaStepping.java:130-152``): this is the
+    textbook Meyer-Sanders phase split; distances are the same Dijkstra
+    fixpoint for non-negative weights.  Float64 distances (the reference's
+    x100_000 int scaling exists only to enable CAS on ints).
+
+    Light rounds use the fused run-ahead exchange; pushes expand only edges
+    incident to the active set through per-kind local CSRs.
+    """
+
+    def __init__(self, part, bounds, edges_dir, delta):
+        super().__init__(part, bounds, edges_dir, weighted=True)
+        self.delta = float(delta)
+        from .scc_shard import _csr
+
+        light = self.weight <= self.delta
+        lo_, self.l_indptr = _csr(self.esrc[light], self.n_local)
+        self.l_dst = self.dst[light][lo_]
+        self.l_w = self.weight[light][lo_]
+        hv = ~light
+        ho, self.h_indptr = _csr(self.esrc[hv], self.n_local)
+        self.h_dst = self.dst[hv][ho]
+        self.h_w = self.weight[hv][ho]
+
+    def start(self, source: int):
+        self.dist = np.full(self.n_local, np.inf)
+        self.pred = np.full(self.n_local, -1, dtype=np.int64)
+        self._active = np.array([], dtype=np.int64)
+        self._in_r = np.zeros(self.n_local, dtype=bool)
+        self._parked = None
+        self._first = True
+        if self.lo <= source < self.hi:
+            self.dist[source - self.lo] = 0.0
+        return self.part
+
+    def next_bucket(self, after_b: int) -> int:
+        """Min bucket index > ``after_b`` among local tentative distances
+        (-1 when none) — buckets <= ``after_b`` are settled."""
+        fin = np.isfinite(self.dist)
+        b = np.floor_divide(self.dist[fin], self.delta)
+        m = b > after_b
+        return int(b[m].min()) if m.any() else -1
+
+    def light_begin(self, b: int) -> int:
+        self.cur = int(b)
+        fin = np.flatnonzero(np.isfinite(self.dist))
+        bk = np.floor_divide(self.dist[fin], self.delta)
+        self._active = fin[bk == self.cur]
+        self._in_r = np.zeros(self.n_local, dtype=bool)
+        self._in_r[self._active] = True
+        self._first = True
+        self._parked = None
+        return int(len(self._active))
+
+    def _push(self, frontier, indptr, e_dst, e_w) -> pa.Table:
+        """Per-dst min (distance, smallest-pred tie-break) relaxations over
+        the edges incident to ``frontier``; own-range rows parked."""
+        from .scc_shard import _expand
+
+        eidx, srcrep = _expand(indptr, frontier)
+        dst = e_dst[eidx]
+        d = self.dist[srcrep] + e_w[eidx]
+        pred = srcrep.astype(np.int64) + self.lo
+        if len(dst):
+            o = np.lexsort((pred, d, dst))
+            dst, d, pred = dst[o], d[o], pred[o]
+            first = np.unique(dst, return_index=True)[1]
+            dst, d, pred = dst[first], d[first], pred[first]
+        a = int(np.searchsorted(dst, self.lo))
+        b = int(np.searchsorted(dst, self.hi))
+        self._parked = (dst[a:b] - self.lo, d[a:b], pred[a:b]) if b > a else None
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate([dst[:a], dst[b:]])),
+                "d": pa.array(np.concatenate([d[:a], d[b:]])),
+                "pred": pa.array(np.concatenate([pred[:a], pred[b:]])),
+            }
+        )
+
+    def _fold_apply(self, tables) -> np.ndarray:
+        """Fold parked + incoming min-candidates; returns improved local idx."""
+        cand = np.full(self.n_local, np.inf)
+        cpred = np.full(self.n_local, -1, dtype=np.int64)
+
+        def fold(idx, d, p):
+            better = (d < cand[idx]) | ((d == cand[idx]) & (p < cpred[idx]))
+            bi = idx[better]
+            cand[bi] = d[better]
+            cpred[bi] = p[better]
+
+        if self._parked is not None:
+            fold(*self._parked)
+            self._parked = None
+        for t in tables:
+            if t is not None and t.num_rows:
+                dst = t["dst"].to_numpy()
+                a = int(np.searchsorted(dst, self.lo))
+                b = int(np.searchsorted(dst, self.hi))
+                if a == b:
+                    continue
+                fold(dst[a:b] - self.lo, t["d"].to_numpy()[a:b], t["pred"].to_numpy()[a:b])
+        improved = cand < self.dist
+        self.dist = np.where(improved, cand, self.dist)
+        self.pred = np.where(improved, cpred, self.pred)
+        return np.flatnonzero(improved)
+
+    def light_step(self, *incoming):
+        """Fused apply + light-edge push for the current bucket.  Progress =
+        size of the re-activated (current-bucket) set."""
+        if self._first:
+            self._first = False
+            n = len(self._active)
+        else:
+            imp = self._fold_apply(incoming)
+            bk = np.floor_divide(self.dist[imp], self.delta)
+            self._active = imp[bk == self.cur]
+            self._in_r[self._active] = True
+            n = len(self._active)
+        return self._push(self._active, self.l_indptr, self.l_dst, self.l_w), int(n)
+
+    def heavy_push(self) -> pa.Table:
+        return self._push(np.flatnonzero(self._in_r), self.h_indptr, self.h_dst, self.h_w)
+
+    def heavy_apply(self, *tables) -> int:
+        return int(len(self._fold_apply(tables)))
+
+    def dist_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
+                "distance": pa.array(self.dist),
+            }
+        )

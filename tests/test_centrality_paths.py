@@ -89,3 +89,38 @@ def test_closeness_line(line_graph):
     # 10-node path: end farness 45, middle (vid 4) farness 25.
     assert c[0] == pytest.approx((n - 1) / 45)
     assert c[4] == pytest.approx((n - 1) / 25)
+
+
+# ---------------------------------------------------------------------------
+# Delta-stepping (ShortestPathDeltaSteppingProcTest fixture)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("P,delta", [(1, 3.0), (3, 3.0), (3, 1.0), (3, 100.0)])
+def test_delta_stepping_fixture(tmp_workdir, P, delta):
+    from neo4j_graph_algorithms_ray.pipelines.centrality import shortest_paths_delta_stepping
+
+    corpus, _ = fixture_corpus("ds1")
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir + f"/p{P}d{delta}", P=P)
+    # vids by sorted key: a..i = 0..8, s = 9, x = 10
+    res = shortest_paths_delta_stepping(g, source=9, delta=delta)
+    df = res.distances.to_pandas().sort_values("vid")
+    got = df["distance"].to_numpy()
+    want = np.array([5, 10, 15, 3, 6, 9, 2, 4, 6, 0, 8], dtype=float)
+    np.testing.assert_allclose(got, want)
+
+
+def test_delta_stepping_matches_sssp(tmp_workdir):
+    from neo4j_graph_algorithms_ray.pipelines.centrality import shortest_paths_delta_stepping
+
+    corpus = powerlaw_corpus_table(n_files=300, n_repos=6, avg_out=3.0, seed=7)
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=4)
+    base = shortest_paths(g, source=0, weighted=True).distances.to_pandas().sort_values("vid")
+    ds = (
+        shortest_paths_delta_stepping(g, source=0, delta=0.5)
+        .distances.to_pandas()
+        .sort_values("vid")
+    )
+    np.testing.assert_allclose(
+        ds["distance"].to_numpy(), base["distance"].to_numpy(), rtol=0, atol=1e-12
+    )

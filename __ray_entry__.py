@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_set_sizes": G.q_cc_set_sizes,
         "mscoloring": G.q_mscoloring,
         "label_propagation": G.q_label_propagation,
+        "label_propagation_weighted": G.q_label_propagation_weighted,
+        "cc_threshold": G.q_cc_threshold,
         "sssp": G.q_sssp,
         "sssp_delta": G.q_sssp_delta,
         "all_shortest_paths": G.q_all_shortest_paths,
@@ -212,6 +214,8 @@ def oracle_sql() -> dict[str, str]:
         "cc_set_sizes": O.cc_set_sizes_sql(pre),
         "mscoloring": O.mscoloring_sql(pre),
         "label_propagation": O.labelprop_sql(pre, iterations=20),
+        "label_propagation_weighted": O.labelprop_sql(pre, iterations=20, weighted=True),
+        "cc_threshold": O.cc_threshold_sql(pre, threshold=3.0),
         "sssp": O.sssp_sql(pre, source=0),
         "sssp_delta": O.sssp_sql(pre, source=0),
         "all_shortest_paths": O.all_shortest_paths_sql(pre, n_sources=64),

@@ -344,12 +344,19 @@ def pagerank_sql(pre: str, iterations: int = 40, damping: float = 0.85) -> str:
 # ---------------------------------------------------------------------------
 
 
-def labelprop_sql(pre: str, iterations: int = 20) -> str:
-    """Synchronous red/black LP over BOTH directions, unit weights, argmax
-    vote with smallest-label tie-break — the engine's pinned deterministic
-    variant (state/shards.py LabelPropShard.step).  One CTE per half-phase."""
+SYN_WEIGHT = "1 + (src + 2*dst) % 5"  # weighted_graph_for_sf's formula
+
+
+def labelprop_sql(pre: str, iterations: int = 20, weighted: bool = False) -> str:
+    """Synchronous red/black LP over BOTH directions, argmax vote with
+    smallest-label tie-break — the engine's pinned deterministic variant
+    (state/shards.py LabelPropShard.step).  One CTE per half-phase.
+    ``weighted`` votes carry the synthetic integer edge weight
+    (graph_queries.weighted_graph_for_sf) instead of unit weight."""
+    wexpr = SYN_WEIGHT if weighted else "1"
     blocks = [
-        ", vot AS MATERIALIZED (SELECT src AS u, dst AS t FROM edges UNION ALL SELECT dst AS u, src AS t FROM edges)",
+        f", vot AS MATERIALIZED (SELECT src AS u, dst AS t, {wexpr} AS w FROM edges"
+        f" UNION ALL SELECT dst AS u, src AS t, {wexpr} AS w FROM edges)",
         ", lp0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
     ]
     step = 0
@@ -362,7 +369,7 @@ def labelprop_sql(pre: str, iterations: int = 20) -> str:
   FROM lp{prev} l LEFT JOIN (
     SELECT vid, newlab FROM (
       SELECT v.u AS vid, lt.label AS newlab,
-             row_number() OVER (PARTITION BY v.u ORDER BY count(*) DESC, lt.label ASC) AS rn
+             row_number() OVER (PARTITION BY v.u ORDER BY sum(v.w) DESC, lt.label ASC) AS rn
       FROM vot v JOIN lp{prev} lt ON lt.vid = v.t
       WHERE v.u % 2 = {parity}
       GROUP BY v.u, lt.label
@@ -371,6 +378,26 @@ def labelprop_sql(pre: str, iterations: int = 20) -> str:
 )"""
             )
     return pre + "".join(blocks) + f"\nSELECT vid, label FROM lp{step}"
+
+
+def cc_threshold_sql(pre: str, threshold: float = 3.0) -> str:
+    """Min-vid CC over edges whose synthetic weight >= threshold
+    (unionFind threshold semantics, ``GraphUnionFind.java:89-93``)."""
+    return (
+        pre
+        + f"""
+, fedges AS MATERIALIZED (SELECT src, dst FROM
+    (SELECT src, dst, {SYN_WEIGHT} AS w FROM edges) WHERE w >= {threshold}),
+fded AS MATERIALIZED (SELECT src, dst FROM fedges UNION SELECT dst, src FROM fedges),
+tcomp AS (
+  WITH RECURSIVE r(v, l) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT e.dst, r.l FROM r JOIN fded e ON e.src = r.v
+  ) SELECT v, l FROM r
+)
+SELECT v AS vid, min(l) AS label FROM tcomp GROUP BY v"""
+    )
 
 
 # ---------------------------------------------------------------------------

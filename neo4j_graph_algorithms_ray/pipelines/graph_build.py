@@ -194,6 +194,35 @@ def build_graph(
         edges = edges.groupby(["src", "dst"]).aggregate(Min("weight", alias_name="weight"))
     elif dedup == "sum":
         edges = edges.groupby(["src", "dst"]).aggregate(Sum("weight", alias_name="weight"))
+    return _partition_and_manifest(edges, n_vertices, workdir, P, default_weight, sample_cap)
+
+
+def build_graph_from_edges(
+    edges: rd.Dataset,
+    n_vertices: int,
+    workdir: str,
+    *,
+    P: int = 8,
+    default_weight: float = 1.0,
+    sample_cap: int = 400_000,
+) -> BuiltGraph:
+    """Integer edge table ``{src, dst, weight}`` -> BuiltGraph.
+
+    The projection analogue of the reference's Cypher-projection source
+    (``HeavyCypherGraphFactory.java:91-169``): the caller supplies any edge
+    Dataset with dense vids already assigned (e.g. a reweighted or filtered
+    view of an existing graph's edges); only partitioning happens here.
+    The workdir holds edges only — key joins need the originating graph's
+    vertex table."""
+    import shutil
+
+    os.makedirs(workdir, exist_ok=True)
+    for sub in ("edges", "edges_rev", "edges_tri"):
+        shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
+    return _partition_and_manifest(edges, n_vertices, workdir, P, default_weight, sample_cap)
+
+
+def _partition_and_manifest(edges, n_vertices, workdir, P, default_weight, sample_cap) -> BuiltGraph:
     edges = edges.materialize()
     n_edges = edges.count()
     weighted = False

@@ -45,6 +45,41 @@ def graph_for_sf(sf_dir: str, P: int = _DEFAULT_P) -> BuiltGraph:
     return g
 
 
+def weighted_graph_for_sf(sf_dir: str, P: int = _DEFAULT_P) -> BuiltGraph:
+    """Synthetically-reweighted view of the tier graph: ``weight(src, dst) =
+    1 + (src + 2*dst) % 5`` — a deterministic integer formula both the engine
+    and the SQL oracle compute identically.  Built once per tier through the
+    edge-table projection source (``build_graph_from_edges``), exercising the
+    weighted code paths (weighted LP votes, unionFind threshold) the
+    unit-weight corpus cannot."""
+    import pyarrow as pa
+
+    from .graph_build import build_graph_from_edges
+
+    g = graph_for_sf(sf_dir, P)
+    workdir = g.workdir + ".synw"
+    marker = os.path.join(workdir, "_DONE")
+    if os.path.exists(marker):
+        return BuiltGraph.load(workdir)
+
+    def reweight(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        w = (1 + (src + 2 * dst) % 5).astype(np.float64)
+        return pa.table({"src": t["src"], "dst": t["dst"], "weight": pa.array(w)})
+
+    e = g.edges_ds(columns=["src", "dst"]).map_batches(reweight, batch_format="pyarrow")
+    g2 = build_graph_from_edges(e, g.n_vertices, workdir, P=P)
+    # share the tier's vertex table (same vids; needed for isolated-vertex
+    # assembly and key joins)
+    vlink = os.path.join(workdir, "vertices")
+    if not os.path.exists(vlink):
+        os.symlink(os.path.join(g.workdir, "vertices"), vlink)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return g2
+
+
 # -- query wrappers (return small pandas results; see __ray_entry__) --------
 
 
@@ -123,6 +158,26 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
 
     g = graph_for_sf(sf_dir)
     res = label_propagation(g, direction="BOTH", max_iterations=20)
+    return res.labels.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def q_label_propagation_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted LP votes: ``relWeight(u,t) * nodeWeight(t)`` with the
+    synthetic integer rel weights (``LabelPropagation.java:280-289``)."""
+    from .labelprop import label_propagation
+
+    g = weighted_graph_for_sf(sf_dir)
+    res = label_propagation(g, direction="BOTH", max_iterations=20)
+    return res.labels.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def q_cc_threshold(sf_dir: str) -> pd.DataFrame:
+    """unionFind with a weight threshold (``GraphUnionFind.java:82-99``,
+    ``UnionFindProcExec.java:161``): union only edges with weight >= 3."""
+    from .components import connected_components
+
+    g = weighted_graph_for_sf(sf_dir)
+    res = connected_components(g, threshold=3.0)
     return res.labels.to_pandas().sort_values("vid").reset_index(drop=True)
 
 

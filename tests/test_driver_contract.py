@@ -71,7 +71,10 @@ ORACLE_QUERIES = [
     "cc_set_sizes",
     "mscoloring",
     "label_propagation",
+    "label_propagation_weighted",
+    "cc_threshold",
     "sssp",
+    "sssp_delta",
     "all_shortest_paths",
     "shortest_path",
     "closeness_centrality",

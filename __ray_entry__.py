@@ -225,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": O.betweenness_sql(pre),
         "betweenness_sampled": _betweenness_sampled_sql(pre),
         "scc": O.scc_sql(pre),
+        "louvain": O.louvain_sql(pre, iterations=10),
         "mst": O.mst_summary_sql(pre),
         "triangle_stream": pre + "\nSELECT x AS a, y AS b, z AS c FROM tris",
         # dedup sketches (md5-based kernels, constants embedded in the SQL)

@@ -380,6 +380,53 @@ def labelprop_sql(pre: str, iterations: int = 20, weighted: bool = False) -> str
     return pre + "".join(blocks) + f"\nSELECT vid, label FROM lp{step}"
 
 
+def louvain_sql(pre: str, iterations: int = 10) -> str:
+    """Unrolled red/black single-level Louvain sweep — the engine's pinned
+    deterministic variant (state/louvain_shard.py; reference semantics
+    ``Louvain.java:123-170``).  The gain uses the exact same float64
+    expression tree as the shard (``w_in/m2 - deg*sTot/(m2*m2)``); every
+    operand is an integer-valued sum (exact in float64), so both sides
+    produce bit-identical doubles and identical argmax/tie choices."""
+    blocks = [
+        ", und AS MATERIALIZED (SELECT src AS u, dst AS t FROM dedges WHERE src <> dst)",
+        ", ldeg AS MATERIALIZED (SELECT u AS vid, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY u)",
+        ", m2v AS MATERIALIZED (SELECT CAST(sum(deg) AS DOUBLE) AS m2 FROM ldeg)",
+        ", lv0 AS MATERIALIZED (SELECT vid, vid AS comm FROM verts)",
+    ]
+    step = 0
+    for _ in range(iterations):
+        for parity in (0, 1):
+            prev, step = step, step + 1
+            blocks.append(
+                f""", st{step} AS MATERIALIZED (
+  SELECT l.comm, CAST(sum(d.deg) AS DOUBLE) AS stot
+  FROM lv{prev} l JOIN ldeg d ON d.vid = l.vid GROUP BY l.comm
+), mv{step} AS MATERIALIZED (
+  SELECT vid, cand FROM (
+    SELECT g.vid, g.cand, g.gain,
+           row_number() OVER (PARTITION BY g.vid ORDER BY g.gain DESC, g.cand ASC) AS rn
+    FROM (
+      SELECT e.u AS vid, c.comm AS cand,
+             CAST(count(*) AS DOUBLE) / any_value(m2v.m2)
+               - any_value(d.deg) * any_value(st.stot)
+                 / (any_value(m2v.m2) * any_value(m2v.m2)) AS gain
+      FROM und e
+      JOIN lv{prev} c ON c.vid = e.t
+      JOIN ldeg d ON d.vid = e.u
+      JOIN m2v ON true
+      JOIN st{step} st ON st.comm = c.comm
+      WHERE e.u % 2 = {parity}
+      GROUP BY e.u, c.comm
+    ) g
+  ) WHERE rn = 1 AND gain >= 0
+), lv{step} AS MATERIALIZED (
+  SELECT l.vid, coalesce(m.cand, l.comm) AS comm
+  FROM lv{prev} l LEFT JOIN mv{step} m ON m.vid = l.vid
+)"""
+            )
+    return pre + "".join(blocks) + f"\nSELECT vid, comm AS community FROM lv{step}"
+
+
 def cc_threshold_sql(pre: str, threshold: float = 3.0) -> str:
     """Min-vid CC over edges whose synthetic weight >= threshold
     (unionFind threshold semantics, ``GraphUnionFind.java:89-93``)."""

@@ -282,12 +282,13 @@ def q_scc(sf_dir: str) -> pd.DataFrame:
 
 
 def q_louvain(sf_dir: str) -> pd.DataFrame:
-    """Louvain communities (iterative modularity — rows-only driver check;
-    fixture conformance in tests/test_new_algos.py)."""
+    """Louvain communities — deterministic red/black sweep, verified against
+    the unrolled-CTE oracle (oracles.louvain_sql, same 10-iteration budget;
+    a converged state is a fixpoint so early convergence still matches)."""
     from .louvain import louvain
 
     g = graph_for_sf(sf_dir)
-    res = louvain(g)
+    res = louvain(g, max_iterations=10)
     return res.communities.to_pandas().sort_values("vid").reset_index(drop=True)
 
 

@@ -82,6 +82,7 @@ ORACLE_QUERIES = [
     "betweenness",
     "betweenness_sampled",
     "scc",
+    "louvain",
     "mst",
     "triangle_stream",
     "triangle_counts",
@@ -117,7 +118,6 @@ def test_query_matches_oracle(contract, con, name):
 
 ROWS_ONLY = [
     "catalog",
-    "louvain",  # iterative modularity (non-SQL); fixtures in test_new_algos
 ]
 
 

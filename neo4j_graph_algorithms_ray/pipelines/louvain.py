@@ -76,55 +76,86 @@ def louvain(
             start_iter = m["iteration"] + 1
     load_s = time.perf_counter() - t0
 
+    acks: list = []  # intermediate wave acks, drained periodically for errors
+
     def wave(method, setter):
+        """Submit one exchange wave WITHOUT a driver barrier: per-actor task
+        ordering + the ref dependencies enforce the phase sequencing, so the
+        driver only syncs on the step counts (with a lag).  Ack refs are
+        retained — a failed setter must surface at the next drain, not leave
+        silently-stale state."""
         refs = [
             getattr(a, method).options(num_returns=P).remote() if P > 1 else getattr(a, method).remote()
             for a in actors
         ]
-        return ray.get(
-            [getattr(actors[p], setter).remote(*chunks) for p, chunks in enumerate(_transpose(refs, P))]
+        acks.extend(
+            getattr(actors[p], setter).remote(*chunks) for p, chunks in enumerate(_transpose(refs, P))
         )
+
+    def submit_phase(parity: int):
+        wave("serve_comm", "set_voter_comm")
+        wave("stot_partials", "reduce_stot")
+        # dynamic sTot requests: who needs which community totals
+        if P > 1:
+            needs = [a.needed_comms.options(num_returns=P).remote() for a in actors]
+            served = [
+                actors[q].serve_stot.options(num_returns=P).remote(*[needs[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+            acks.extend(
+                actors[p].set_stot.remote(*[served[q][p] for q in range(P)]) for p in range(P)
+            )
+        else:
+            need = actors[0].needed_comms.remote()
+            acks.append(actors[0].set_stot.remote(actors[0].serve_stot.remote(need)))
+        return [a.step.remote(parity) for a in actors]
 
     t1 = time.perf_counter()
     ran = start_iter
-    for it in range(start_iter, max_iterations):
-        total_changed = 0
-        for parity in (0, 1):
-            wave("serve_comm", "set_voter_comm")
-            wave("stot_partials", "reduce_stot")
-            # dynamic sTot requests: who needs which community totals
-            if P > 1:
-                needs = [a.needed_comms.options(num_returns=P).remote() for a in actors]
-                served = [
-                    actors[q].serve_stot.options(num_returns=P).remote(
-                        *[needs[p][q] for p in range(P)]
-                    )
-                    for q in range(P)
-                ]
-                ray.get(
-                    [
-                        actors[p].set_stot.remote(*[served[q][p] for q in range(P)])
-                        for p in range(P)
-                    ]
+    if ckpt is None and start_iter == 0:
+        # run-ahead loop: submit iterations back-to-back, read changed counts
+        # one iteration behind; overshoot past a converged fixpoint is a no-op
+        step_refs: list[list] = []  # per iteration: 2*P count refs
+        n_sub = 0
+        for it in range(max_iterations):
+            refs = submit_phase(0) + submit_phase(1)
+            step_refs.append(refs)
+            n_sub = it + 1
+            if it >= 1 and sum(ray.get(step_refs[it - 1])) == 0:
+                break
+            if len(acks) > 12 * P:
+                ray.get(acks)
+                acks.clear()
+        counts = [sum(ray.get(r)) for r in step_refs]
+        ray.get(acks)
+        acks.clear()
+        ran = n_sub
+        for i, c in enumerate(counts):
+            if c == 0:
+                ran = i + 1
+                break
+    else:
+        for it in range(start_iter, max_iterations):
+            total_changed = 0
+            for parity in (0, 1):
+                refs = submit_phase(parity)
+                ray.get(acks)
+                acks.clear()
+                total_changed += sum(ray.get(refs))
+            ran = it + 1
+            if ckpt is not None:
+                files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+                ckpt.commit_iteration(
+                    it,
+                    files,
+                    {
+                        "changed": total_changed,
+                        "bounds": [int(b) for b in graph.bounds],
+                        "algo": "louvain",
+                    },
                 )
-            else:
-                need = actors[0].needed_comms.remote()
-                ray.get(actors[0].set_stot.remote(actors[0].serve_stot.remote(need)))
-            total_changed += sum(ray.get([a.step.remote(parity) for a in actors]))
-        ran = it + 1
-        if ckpt is not None:
-            files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
-            ckpt.commit_iteration(
-                it,
-                files,
-                {
-                    "changed": total_changed,
-                    "bounds": [int(b) for b in graph.bounds],
-                    "algo": "louvain",
-                },
-            )
-        if total_changed == 0:
-            break
+            if total_changed == 0:
+                break
     compute_s = time.perf_counter() - t1
 
     tabs = ray.get([a.comm_table.remote() for a in actors])

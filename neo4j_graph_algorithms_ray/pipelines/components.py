@@ -193,18 +193,20 @@ def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int =
     )
 
 
-def mscoloring(graph: "BuiltGraph") -> rd.Dataset:
+def mscoloring(graph: "BuiltGraph", cc: "ComponentsResult | None" = None) -> rd.Dataset:
     """MSColoring (``MSColoring.java:96-121``, ``MSColoringProc.java:53``):
     every node converges to the **max** id reachable over either direction —
     component labels with a max-vid canonical root (the kernel's
     bidirectional CAS max-exchange makes it undirected).  Computed from the
-    CC labels by one small per-component max join: {vid, color}."""
-    from ray.data.aggregate import Max
+    CC labels (pass ``cc`` to reuse an existing run) by a per-component max
+    (block-partial combine, driver fold under the cap) + broadcast lookup."""
+    from ..stages.joins import lookup_join, small_group_agg
 
-    res = connected_components(graph)
-    cmax = res.labels.groupby("label").aggregate(Max("vid", alias_name="color"))
-    joined = res.labels.join(cmax, "inner", max(1, graph.P), on=("label",))
-    return joined.select_columns(["vid", "color"])
+    res = cc if cc is not None else connected_components(graph)
+    cmax = small_group_agg(res.labels, "label", "vid", "max", "color")
+    return lookup_join(
+        res.labels, cmax, "label", "color", default="key", num_partitions=max(1, graph.P)
+    ).select_columns(["vid", "color"])
 
 
 @dataclass
@@ -263,22 +265,19 @@ def connected_components(
         )
         rounds += 1
 
-    # assembly: all vertices; isolated -> own vid
+    # assembly: all vertices; isolated -> own vid.  The star side holds only
+    # non-isolated vertices — broadcast-lookup under the cap, shuffle join
+    # above it (stages/joins.py lookup_join)
+    from ..stages.joins import lookup_join
+
     verts = graph.vertices_ds().select_columns(["vid"])
-    joined = verts.join(
+    labels = lookup_join(
+        verts,
         star.rename_columns({"v": "vid", "root": "label"}),
-        "left_outer",
-        max(1, graph.P),
-        on=("vid",),
-    )
-    labels = joined.map_batches(
-        lambda t: pa.table(
-            {
-                "vid": t["vid"],
-                "label": pc.coalesce(t["label"], t["vid"]).cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
+        "vid",
+        "label",
+        default="key",
+        num_partitions=max(1, graph.P),
     )
     return ComponentsResult(
         labels=labels,

@@ -95,32 +95,22 @@ def q_vertices(sf_dir: str):
 
 
 def q_degrees(sf_dir: str):
-    """Out-degree per vertex (Degrees api / AdjacencyMatrix.degree:189-198)."""
-    import pyarrow as pa
-    from ray.data.aggregate import Sum
-    import numpy as np
+    """Out-degree per vertex (Degrees api / AdjacencyMatrix.degree:189-198).
+
+    Block-partial counts folded on the driver under the broadcast cap
+    (all-to-all fallback above it), then a broadcast lookup over the vertex
+    table for the zero-degree fill."""
+    from ..stages.joins import lookup_join, small_group_agg
 
     g = graph_for_sf(sf_dir)
-
-    def partial(t: pa.Table) -> pa.Table:
-        vals, counts = np.unique(t["src"].to_numpy(), return_counts=True)
-        return pa.table({"vid": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
-
+    deg = small_group_agg(g.edges_ds(columns=["src"]), "src", None, "count", "out_deg")
     deg = (
-        g.edges_ds(columns=["src", "dst"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("n", alias_name="out_deg"))
+        deg.rename(columns={"src": "vid"})
+        if isinstance(deg, pd.DataFrame)
+        else deg.rename_columns({"src": "vid"})
     )
     verts = g.vertices_ds().select_columns(["vid"])
-    import pyarrow.compute as pc
-
-    return verts.join(deg, "left_outer", g.P, on=("vid",)).map_batches(
-        lambda t: pa.table(
-            {"vid": t["vid"], "out_deg": pc.coalesce(t["out_deg"], pa.scalar(0)).cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
+    return lookup_join(verts, deg, "vid", "out_deg", default=0, num_partitions=max(1, g.P))
 
 
 PAGERANK_ORACLE_ITERS = 40  # fixed count shared with oracles.pagerank_sql
@@ -150,7 +140,11 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
 
 
 def q_cc_set_sizes(sf_dir: str) -> pd.DataFrame:
-    return _cc(sf_dir).set_sizes().to_pandas().sort_values("label").reset_index(drop=True)
+    from ..stages.joins import small_group_agg
+
+    r = small_group_agg(_cc(sf_dir).labels, "label", None, "count", "size")
+    df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+    return df.sort_values("label").reset_index(drop=True)
 
 
 def q_label_propagation(sf_dir: str) -> pd.DataFrame:
@@ -255,11 +249,12 @@ def q_closeness(sf_dir: str) -> pd.DataFrame:
 
 
 def q_mscoloring(sf_dir: str) -> pd.DataFrame:
-    """Max-vid component colors (MSColoringProc.java:53)."""
+    """Max-vid component colors (MSColoringProc.java:53); reuses the
+    memoized CC labels."""
     from .components import mscoloring
 
     g = graph_for_sf(sf_dir)
-    return mscoloring(g).to_pandas().sort_values("vid").reset_index(drop=True)
+    return mscoloring(g, cc=_cc(sf_dir)).to_pandas().sort_values("vid").reset_index(drop=True)
 
 
 def q_all_shortest_paths(sf_dir: str) -> pd.DataFrame:

@@ -84,3 +84,138 @@ def lookup_vids(
         vertices_ds, "inner", num_partitions, on=("dst_key",), right_on=("key",)
     ).rename_columns({"vid": "dst"})
     return j.select_columns(["src", "dst", "weight"])
+
+
+def _int_lookup_batch(t: pa.Table, ref, key, value, default) -> pa.Table:
+    """Append ``value`` looked up from the broadcast sorted int-key table;
+    misses fill with the row's own key (``default='key'``) or a scalar.
+    Task-pool stage: ``ray.get`` of the broadcast ref is a zero-copy local
+    plasma read per task — no actor-pool spin-up for a cheap kernel."""
+    df = ray.get(ref)
+    keys = df[key].to_numpy() if key in df.columns else np.array([], dtype=np.int64)
+    vals = df[value].to_numpy() if value in df.columns else np.array([], dtype=np.int64)
+    k = t[key].to_numpy()
+    fill = k if default == "key" else np.full(len(k), default, dtype=np.int64)
+    if len(keys):
+        pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+        hit = keys[pos] == k
+        out = np.where(hit, vals[pos], fill)
+    else:
+        out = fill
+    cols = {c: t[c] for c in t.column_names if c != value}
+    cols[value] = pa.array(out.astype(np.int64))
+    return pa.table(cols)
+
+
+def lookup_join(
+    big: rd.Dataset,
+    small: rd.Dataset | pd.DataFrame,
+    key: str,
+    value: str,
+    *,
+    default: "str | int" = "key",
+    num_partitions: int = 8,
+    cap: int = BROADCAST_MAX_ROWS,
+) -> rd.Dataset:
+    """Left-join ``{small.key -> small.value}`` onto ``big`` (int64 keys).
+
+    The small side is broadcast (``ray.put`` once, binary-searched per batch)
+    when it fits under ``cap`` rows — the reference's O(1) array-lookup
+    "join" (SURVEY §2.6) — otherwise this falls back to the hash-shuffle
+    ``Dataset.join``.  ``default`` fills misses: ``'key'`` = the big row's
+    own key value, else the scalar given."""
+    if isinstance(small, pd.DataFrame):
+        n = len(small)
+        small_df = small
+    else:
+        small = small.materialize()
+        n = small.count()
+        small_df = None
+    if n <= cap:
+        if small_df is None:
+            small_df = small.to_pandas()
+        if len(small_df):
+            small_df = small_df.sort_values(key)
+        ref = ray.put(small_df)
+        return big.map_batches(
+            _int_lookup_batch,
+            fn_kwargs={"ref": ref, "key": key, "value": value, "default": default},
+            batch_format="pyarrow",
+            batch_size=131072,
+        )
+    if small_df is not None:
+        small = rd.from_pandas(small_df)
+    joined = big.join(small, "left_outer", num_partitions, on=(key,))
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t[key] if default == "key" else pa.array(np.full(t.num_rows, default, dtype=np.int64))
+        cols = {c: t[c] for c in t.column_names if c != value}
+        cols[value] = pc.coalesce(t[value], f).cast(pa.int64())
+        return pa.table(cols)
+
+    return joined.map_batches(_coalesce, batch_format="pyarrow")
+
+
+def small_group_agg(
+    ds: rd.Dataset,
+    key: str,
+    value: str | None,
+    op: str,
+    out: str,
+    *,
+    cap: int = BROADCAST_MAX_ROWS,
+) -> "pd.DataFrame | rd.Dataset":
+    """Per-block partial groupby for small group counts.
+
+    Combines ``op`` ∈ {'sum','max','min','count'} per key INSIDE each block
+    (map-side pre-aggregation), then folds the partial tables on the driver —
+    O(#groups) driver memory, hard-capped: if the accumulated partial rows
+    exceed 4x``cap`` the fold aborts and the all-to-all
+    ``groupby().aggregate`` path runs instead (returning a Dataset)."""
+    import pyarrow.compute as pc
+
+    vcol = value if value is not None else key
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy()
+        o = np.argsort(k, kind="stable")
+        ks = k[o]
+        uniq, seg = (
+            np.unique(ks, return_index=True) if len(ks) else (ks, np.array([], dtype=np.int64))
+        )
+        if op == "count":
+            v = np.diff(np.append(seg, len(ks))).astype(np.int64)
+        else:
+            vals = t[vcol].to_numpy()[o]
+            red = {"sum": np.add, "max": np.maximum, "min": np.minimum}[op]
+            v = red.reduceat(vals, seg) if len(seg) else vals[:0]
+        return pa.table({key: pa.array(uniq), out: pa.array(v)})
+
+    parts = []
+    total = 0
+    overflow = False
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pandas", batch_size=None
+    ):
+        parts.append(b)
+        total += len(b)
+        if total > 4 * cap:
+            overflow = True
+            break
+    if not overflow:
+        if not parts:
+            return pd.DataFrame({key: pd.Series([], dtype="int64"), out: pd.Series([], dtype="int64")})
+        allp = pd.concat(parts, ignore_index=True)
+        fold = {"sum": "sum", "count": "sum", "max": "max", "min": "min"}[op]
+        return allp.groupby(key, as_index=False).agg(**{out: (out, fold)}).sort_values(key).reset_index(drop=True)
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    agg = {
+        "sum": Sum(vcol, alias_name=out),
+        "max": Max(vcol, alias_name=out),
+        "min": Min(vcol, alias_name=out),
+        "count": Count(alias_name=out),
+    }[op]
+    return ds.groupby(key).aggregate(agg)

@@ -1,0 +1,828 @@
+"""``algo.*`` procedure facade — the reference's public call surface.
+
+The reference exposes every algorithm as a pair of Cypher procedures
+(``readme.adoc:90-105``): a write-mode proc ``CALL algo.<name>(label, relType,
+{config})`` returning a one-row stats record, and a ``.stream`` proc returning
+per-node rows.  This module re-creates that surface 1:1 on Ray Data:
+
+- the *graph argument* is the Cypher-projection analogue
+  (``HeavyCypherGraphFactory.java:91-169`` — the reference's own
+  "graph from a table" mode): a ``BuiltGraph``, a graph workdir path, or any
+  edge table (``ray.data.Dataset`` / ``pyarrow.Table`` / ``pandas.DataFrame``
+  with int64 ``src, dst[, weight]`` columns),
+- *config* uses the reference's ``ProcedureConfiguration`` keys
+  (``ProcedureConfiguration.java:114-406``): ``iterations``,
+  ``dampingFactor``, ``direction``, ``write``, ``writeProperty``,
+  ``partitionProperty``, ``threshold``, ``concurrency``, ``defaultValue`` …,
+- write-mode procs return a one-row ``pandas.DataFrame`` whose columns are the
+  reference's YIELD names (``algo/.../results/*.java``), with the write-back
+  sink being partitioned Parquet (``writePath``; default
+  ``<workdir>/write/<writeProperty>``) instead of node-property writes,
+- ``.stream`` procs return a ``ray.data.Dataset`` with the reference's stream
+  record columns (``nodeId, score`` etc.) — lazily, no driver materialization.
+
+Usage::
+
+    from neo4j_graph_algorithms_ray.procs import algo
+    stats = algo.pageRank(edges, {"iterations": 20, "dampingFactor": 0.85})
+    scores = algo.pageRank.stream(edges)          # Dataset(nodeId, score)
+    parts  = algo.unionFind.stream(graph)         # Dataset(nodeId, setId)
+
+Variant procs that the reference dispatches to distinct single-JVM kernels
+(``unionFind.queue|forkJoin|forkJoinMerge``, ``scc.iterative|multistep|
+recursive.tarjan|recursive.tunedTarjan``) are aliases of the one distributed
+implementation here — same semantics, same results (the variants differ only
+in shared-memory scheduling, which has no distributed analogue).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .pipelines.graph_build import BuiltGraph, build_graph_from_edges
+
+# ---------------------------------------------------------------------------
+# plumbing
+# ---------------------------------------------------------------------------
+
+
+def _now() -> float:
+    return time.perf_counter()
+
+
+def _millis(t0: float) -> int:
+    return int((_now() - t0) * 1000)
+
+
+def _cfg(config, kw) -> dict:
+    c = dict(config or {})
+    c.update(kw)
+    return c
+
+
+def _as_graph(graph, cfg) -> tuple[BuiltGraph, int]:
+    """Resolve the proc's graph argument; returns (graph, loadMillis).
+
+    Accepts a ``BuiltGraph`` (no load cost), a workdir path with a
+    ``graph.json`` manifest, a parquet path of edges, or an in-memory edge
+    table.  Edge tables are partitioned into a throwaway workdir
+    (``cfg['workdir']`` or a fresh tempdir) — the facade analogue of the
+    reference loading the store on every proc call.
+    """
+    t0 = _now()
+    if isinstance(graph, BuiltGraph):
+        return graph, 0
+    if isinstance(graph, str):
+        if os.path.exists(os.path.join(graph, "graph.json")):
+            return BuiltGraph.load(graph), _millis(t0)
+        graph = rd.read_parquet(graph)
+    if isinstance(graph, pd.DataFrame):
+        graph = rd.from_pandas(graph)
+    elif isinstance(graph, pa.Table):
+        graph = rd.from_arrow(graph)
+    if not isinstance(graph, rd.Dataset):
+        raise TypeError(
+            "graph must be a BuiltGraph, a workdir/parquet path, or an edge "
+            f"table (Dataset/Table/DataFrame), got {type(graph).__name__}"
+        )
+    default_w = float(cfg.get("defaultValue", 1.0))
+    cols = graph.columns()
+    if "weight" not in cols:
+        graph = graph.add_column("weight", lambda df: np.full(len(df), default_w))
+    if "nodeCount" in cfg:
+        # the node-statement analogue of the Cypher projection
+        # (HeavyCypherGraphFactory.java:91-107): without it, vertices that
+        # appear in no edge are invisible to an edge-table projection
+        n_vertices = int(cfg["nodeCount"])
+    else:
+        from ray.data.aggregate import Max
+
+        mx = graph.aggregate(Max("src"), Max("dst"))
+        n_vertices = int(max(mx["max(src)"], mx["max(dst)"])) + 1
+    workdir = cfg.get("workdir") or tempfile.mkdtemp(prefix="algo_graph_", dir="/tmp")
+    P = int(cfg.get("concurrency", 8))
+    g = build_graph_from_edges(graph, n_vertices, workdir, P=P, default_weight=default_w)
+    return g, _millis(t0)
+
+
+def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        return t.select(list(mapping)).rename_columns(list(mapping.values()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _write_back(ds: rd.Dataset, graph: BuiltGraph, cfg, default_prop: str) -> tuple[int, str, bool]:
+    """Parquet write-back sink (Exporter.java:49-117 analogue).
+
+    Returns (writeMillis, writeProperty, write).  ``writeMillis`` is -1 when
+    ``write: False`` — same sentinel the reference stats rows carry.
+    """
+    write = bool(cfg.get("write", True))
+    prop = cfg.get("writeProperty", default_prop)
+    if not write:
+        return -1, prop, False
+    t0 = _now()
+    path = cfg.get("writePath") or os.path.join(graph.workdir, "write", prop)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # write_parquet appends; clean slate
+    ds.write_parquet(path)
+    return _millis(t0), prop, True
+
+
+def _stats(**fields) -> pd.DataFrame:
+    return pd.DataFrame([fields])
+
+
+class Proc:
+    """A callable write-mode proc carrying sub-procs as attributes
+    (``algo.pageRank`` callable + ``algo.pageRank.stream``)."""
+
+    def __init__(self, fn, **subs):
+        self._fn = fn
+        self.__doc__ = fn.__doc__
+        for k, v in subs.items():
+            setattr(self, k, v)
+
+    def __call__(self, *args, **kw):
+        return self._fn(*args, **kw)
+
+
+class Namespace:
+    """Non-callable attribute bag (``algo.scc.recursive``)."""
+
+    def __init__(self, **subs):
+        for k, v in subs.items():
+            setattr(self, k, v)
+
+
+# ---------------------------------------------------------------------------
+# pageRank  (PageRankProc.java:67,92; defaults :54-56)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_run(graph, cfg):
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.pagerank import pagerank
+
+    iters = int(cfg.get("iterations", 20))
+    damping = float(cfg.get("dampingFactor", 0.85))
+    r = pagerank(g, damping=damping, iterations=iters, tol=None)
+    return g, load_ms, r, iters, damping
+
+
+def pageRank(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.pageRank(...)`` — stats row (PageRankScore.Stats)."""
+    cfg = _cfg(config, kw)
+    g, load_ms, r, iters, damping = _pagerank_run(graph, cfg)
+    out = _rename(r.scores, {"vid": "nodeId", "score": "score"})
+    w_ms, prop, write = _write_back(out, g, cfg, "pagerank")
+    return _stats(
+        nodes=r.nodes,
+        iterations=iters,
+        loadMillis=load_ms + r.metrics.get("loadMillis", 0),
+        computeMillis=r.metrics.get("computeMillis", 0),
+        writeMillis=w_ms,
+        dampingFactor=damping,
+        write=write,
+        writeProperty=prop,
+    )
+
+
+def pageRank_stream(graph, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.pageRank.stream(...)`` — Dataset(nodeId, score)."""
+    cfg = _cfg(config, kw)
+    _, _, r, _, _ = _pagerank_run(graph, cfg)
+    return _rename(r.scores, {"vid": "nodeId", "score": "score"})
+
+
+# ---------------------------------------------------------------------------
+# unionFind + variants  (UnionFindProc.java:51,67; threshold
+# UnionFindProcExec.java:161; mscoloring MSColoringProc.java:53,89)
+# ---------------------------------------------------------------------------
+
+
+def _unionfind_run(graph, cfg):
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.components import connected_components
+
+    thr = cfg.get("threshold")
+    t0 = _now()
+    r = connected_components(g, threshold=None if thr is None else float(thr))
+    return g, load_ms, r, _millis(t0)
+
+
+def unionFind(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.unionFind(...)`` — stats row (UnionFindResult)."""
+    cfg = _cfg(config, kw)
+    g, load_ms, r, comp_ms = _unionfind_run(graph, cfg)
+    t0 = _now()
+    set_count = r.set_count()
+    post_ms = _millis(t0)
+    out = _rename(r.labels, {"vid": "nodeId", "label": "setId"})
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("partitionProperty", "partition"))
+    return _stats(
+        loadMillis=load_ms,
+        computeMillis=comp_ms,
+        postProcessingMillis=post_ms,
+        writeMillis=w_ms,
+        nodes=r.nodes,
+        setCount=set_count,
+        write=write,
+        partitionProperty=prop,
+    )
+
+
+def unionFind_stream(graph, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.unionFind.stream(...)`` — Dataset(nodeId, setId)."""
+    cfg = _cfg(config, kw)
+    _, _, r, _ = _unionfind_run(graph, cfg)
+    return _rename(r.labels, {"vid": "nodeId", "label": "setId"})
+
+
+def mscoloring_proc(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.unionFind.mscoloring(...)`` (MSColoringProc.java:53)."""
+    cfg = _cfg(config, kw)
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.components import mscoloring
+
+    t0 = _now()
+    colors = mscoloring(g)
+    comp_ms = _millis(t0)
+    out = _rename(colors, {"vid": "nodeId", "color": "setId"})
+    set_count = len(colors.unique("color"))
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("partitionProperty", "partition"))
+    return _stats(
+        loadMillis=load_ms,
+        computeMillis=comp_ms,
+        writeMillis=w_ms,
+        nodes=g.n_vertices,
+        setCount=set_count,
+        write=write,
+        partitionProperty=prop,
+    )
+
+
+def mscoloring_stream(graph, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.unionFind.mscoloring.stream(...)`` — Dataset(nodeId, color)
+    (MSColoring.Result, MSColoring.java:125-127)."""
+    cfg = _cfg(config, kw)
+    g, _ = _as_graph(graph, cfg)
+    from .pipelines.components import mscoloring
+
+    return _rename(mscoloring(g), {"vid": "nodeId", "color": "color"})
+
+
+# ---------------------------------------------------------------------------
+# labelPropagation  (LabelPropagationProc.java:67; defaults :51-56)
+# ---------------------------------------------------------------------------
+
+
+def labelPropagation(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.labelPropagation(...)`` — stats row (LabelPropagationStats).
+
+    ``seeds`` config (a Dataset ``{vid, partition[, weight]}``) stands in for
+    the reference's ``partitionProperty``/``weightProperty`` node properties.
+    """
+    cfg = _cfg(config, kw)
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.labelprop import label_propagation
+
+    iters = int(cfg.get("iterations", 1))
+    direction = str(cfg.get("direction", "OUTGOING")).upper()
+    t0 = _now()
+    r = label_propagation(g, seeds=cfg.get("seeds"), direction=direction, max_iterations=iters)
+    comp_ms = _millis(t0)
+    out = _rename(r.labels, {"vid": "nodeId", "label": "label"})
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("partitionProperty", "partition"))
+    return _stats(
+        nodes=r.nodes,
+        iterations=r.ran_iterations,
+        didConverge=r.did_converge,
+        loadMillis=load_ms,
+        computeMillis=comp_ms,
+        writeMillis=w_ms,
+        write=write,
+        weightProperty=cfg.get("weightProperty", "weight"),
+        partitionProperty=prop,
+    )
+
+
+def labelPropagation_stream(graph, config=None, **kw) -> rd.Dataset:
+    """Dataset(nodeId, label).  Extension: the reference only ships the
+    write-mode proc for LP (LabelPropagationProc.java:67)."""
+    cfg = _cfg(config, kw)
+    g, _ = _as_graph(graph, cfg)
+    from .pipelines.labelprop import label_propagation
+
+    r = label_propagation(
+        g,
+        seeds=cfg.get("seeds"),
+        direction=str(cfg.get("direction", "OUTGOING")).upper(),
+        max_iterations=int(cfg.get("iterations", 1)),
+    )
+    return _rename(r.labels, {"vid": "nodeId", "label": "label"})
+
+
+# ---------------------------------------------------------------------------
+# triangles  (TriangleProc.java:58,86,117,151,224)
+# ---------------------------------------------------------------------------
+
+
+def _triangle_run(graph, cfg):
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.triangles import triangle_count
+
+    t0 = _now()
+    r = triangle_count(g)
+    return g, load_ms, r, _millis(t0)
+
+
+def triangleCount(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.triangleCount(...)`` — stats row (TriangleProc.Result)."""
+    cfg = _cfg(config, kw)
+    g, load_ms, r, comp_ms = _triangle_run(graph, cfg)
+    out = _rename(r.counts, {"vid": "nodeId", "triangles": "triangles"})
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("writeProperty", "triangles"))
+    return _stats(
+        loadMillis=load_ms,
+        computeMillis=comp_ms,
+        writeMillis=w_ms,
+        nodeCount=r.node_count,
+        triangleCount=r.triangle_count,
+        averageClusteringCoefficient=r.average_coefficient,
+    )
+
+
+def triangleCount_stream(graph, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.triangleCount.stream(...)`` — Dataset(nodeId, triangles,
+    coefficient) (TriangleCountBase.Result, TriangleCountBase.java:119-121)."""
+    cfg = _cfg(config, kw)
+    g, _, r, _ = _triangle_run(graph, cfg)
+    from .stages.joins import lookup_join
+
+    coef = r.coefficients.to_pandas().rename(columns={"coefficient": "val"})
+    joined = lookup_join(r.counts, coef, "vid", "val", default=0, num_partitions=max(1, g.P))
+    return _rename(joined, {"vid": "nodeId", "triangles": "triangles", "val": "coefficient"})
+
+
+def triangle_stream(graph, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.triangle.stream(...)`` — Dataset(nodeA, nodeB, nodeC)
+    (TriangleStream.java:223-225)."""
+    cfg = _cfg(config, kw)
+    _, _, r, _ = _triangle_run(graph, cfg)
+    return _rename(r.triangles, {"a": "nodeA", "b": "nodeB", "c": "nodeC"})
+
+
+# ---------------------------------------------------------------------------
+# louvain  (LouvainProc.java:65,105)
+# ---------------------------------------------------------------------------
+
+
+def louvain_proc(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.louvain(...)`` — stats row (LouvainResult)."""
+    cfg = _cfg(config, kw)
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.louvain import louvain
+
+    t0 = _now()
+    r = louvain(g, max_iterations=int(cfg.get("iterations", 10)))
+    comp_ms = _millis(t0)
+    out = _rename(r.communities, {"vid": "nodeId", "community": "community"})
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("writeProperty", "community"))
+    return _stats(
+        loadMillis=load_ms,
+        computeMillis=comp_ms,
+        writeMillis=w_ms,
+        nodes=r.nodes,
+        iterations=r.iterations,
+        communityCount=r.community_count,
+    )
+
+
+def louvain_stream(graph, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.louvain.stream(...)`` — Dataset(nodeId, community)."""
+    cfg = _cfg(config, kw)
+    g, _ = _as_graph(graph, cfg)
+    from .pipelines.louvain import louvain
+
+    r = louvain(g, max_iterations=int(cfg.get("iterations", 10)))
+    return _rename(r.communities, {"vid": "nodeId", "community": "community"})
+
+
+# ---------------------------------------------------------------------------
+# betweenness (+ sampled)  (BetweennessCentralityProc.java:69,101,136,163)
+# ---------------------------------------------------------------------------
+
+
+def _betweenness_run(graph, cfg, sampled: bool):
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.betweenness import betweenness_centrality
+
+    n_samples = None
+    if sampled:
+        if "probability" in cfg:
+            n_samples = max(1, int(float(cfg["probability"]) * g.n_vertices))
+        else:
+            n_samples = int(cfg.get("sampleSize", max(1, g.n_vertices // 10)))
+    t0 = _now()
+    r = betweenness_centrality(
+        g,
+        direction=str(cfg.get("direction", "OUTGOING")).upper(),
+        sample_sources=n_samples,
+        max_depth=int(cfg.get("maxDepth", 10_000)),
+    )
+    return g, load_ms, r, _millis(t0)
+
+
+def _betweenness_stats(g, load_ms, r, comp_ms, cfg) -> pd.DataFrame:
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = r.scores.aggregate(Min("centrality"), Max("centrality"), Sum("centrality"))
+    out = _rename(r.scores, {"vid": "nodeId", "centrality": "centrality"})
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("writeProperty", "centrality"))
+    return _stats(
+        loadMillis=load_ms,
+        computeMillis=comp_ms,
+        writeMillis=w_ms,
+        nodes=r.nodes,
+        minCentrality=agg["min(centrality)"],
+        maxCentrality=agg["max(centrality)"],
+        sumCentrality=agg["sum(centrality)"],
+    )
+
+
+def betweenness(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.betweenness(...)`` — stats row
+    (BetweennessCentralityProcResult)."""
+    cfg = _cfg(config, kw)
+    g, load_ms, r, comp_ms = _betweenness_run(graph, cfg, sampled=False)
+    return _betweenness_stats(g, load_ms, r, comp_ms, cfg)
+
+
+def betweenness_stream(graph, config=None, **kw) -> rd.Dataset:
+    cfg = _cfg(config, kw)
+    _, _, r, _ = _betweenness_run(graph, cfg, sampled=False)
+    return _rename(r.scores, {"vid": "nodeId", "centrality": "centrality"})
+
+
+def betweenness_sampled(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.betweenness.sampled(...)`` — RA-Brandes source sampling
+    (RABrandesBetweennessCentrality.java; ``probability`` / ``maxDepth``)."""
+    cfg = _cfg(config, kw)
+    g, load_ms, r, comp_ms = _betweenness_run(graph, cfg, sampled=True)
+    return _betweenness_stats(g, load_ms, r, comp_ms, cfg)
+
+
+def betweenness_sampled_stream(graph, config=None, **kw) -> rd.Dataset:
+    cfg = _cfg(config, kw)
+    _, _, r, _ = _betweenness_run(graph, cfg, sampled=True)
+    return _rename(r.scores, {"vid": "nodeId", "centrality": "centrality"})
+
+
+# ---------------------------------------------------------------------------
+# closeness / harmonic  (ClosenessCentralityProc.java:60,107,
+# HarmonicCentralityProc.java:61,89)
+# ---------------------------------------------------------------------------
+
+
+def _centrality_proc(kind: str):
+    def run(graph, cfg):
+        g, load_ms = _as_graph(graph, cfg)
+        from .pipelines import centrality as C
+
+        fn = C.closeness_centrality if kind == "closeness" else C.harmonic_centrality
+        kwargs = {}
+        if "direction" in cfg:
+            kwargs["direction"] = str(cfg["direction"]).upper()
+        t0 = _now()
+        r = fn(g, **kwargs)
+        return g, load_ms, r, _millis(t0)
+
+    def write_proc(graph, config=None, **kw) -> pd.DataFrame:
+        cfg = _cfg(config, kw)
+        g, load_ms, r, comp_ms = run(graph, cfg)
+        out = _rename(r.scores, {"vid": "nodeId", "centrality": "centrality"})
+        w_ms, prop, write = _write_back(out, g, cfg, cfg.get("writeProperty", "centrality"))
+        return _stats(loadMillis=load_ms, computeMillis=comp_ms, writeMillis=w_ms, nodes=r.nodes)
+
+    def stream_proc(graph, config=None, **kw) -> rd.Dataset:
+        cfg = _cfg(config, kw)
+        _, _, r, _ = run(graph, cfg)
+        return _rename(r.scores, {"vid": "nodeId", "centrality": "centrality"})
+
+    write_proc.__doc__ = (
+        f"``CALL algo.{kind}(...)`` — stats row; ``.stream`` yields "
+        "Dataset(nodeId, centrality) (MSClosenessCentrality.java:115-117)."
+    )
+    return write_proc, stream_proc
+
+
+# ---------------------------------------------------------------------------
+# scc + variant aliases  (StronglyConnectedComponentsProc.java:66-381)
+# ---------------------------------------------------------------------------
+
+
+def _scc_run(graph, cfg):
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.scc import strongly_connected_components
+
+    t0 = _now()
+    r = strongly_connected_components(g)
+    return g, load_ms, r, _millis(t0)
+
+
+def scc_proc(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.scc(...)`` — stats row (SCCResult)."""
+    cfg = _cfg(config, kw)
+    g, load_ms, r, comp_ms = _scc_run(graph, cfg)
+    from ray.data.aggregate import Max, Min
+
+    sizes = r.set_sizes()
+    agg = sizes.aggregate(Min("size"), Max("size"))
+    set_count = sizes.count()
+    out = _rename(r.labels, {"vid": "nodeId", "label": "partition"})
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("partitionProperty", "partition"))
+    return _stats(
+        loadMillis=load_ms,
+        computeMillis=comp_ms,
+        writeMillis=w_ms,
+        setCount=set_count,
+        minSetSize=agg["min(size)"],
+        maxSetSize=agg["max(size)"],
+    )
+
+
+def scc_stream(graph, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.scc.*.stream(...)`` — Dataset(nodeId, partition)
+    (SCCStreamResult.java:29-35)."""
+    cfg = _cfg(config, kw)
+    _, _, r, _ = _scc_run(graph, cfg)
+    return _rename(r.labels, {"vid": "nodeId", "label": "partition"})
+
+
+def scc_fwbw_stream(graph, startNodeId: int, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.scc.forwardBackward.stream(startNodeId, ...)`` — the SCC
+    containing ``startNodeId`` (ForwardBackwardScc.java:98)."""
+    cfg = _cfg(config, kw)
+    g, _ = _as_graph(graph, cfg)
+    from .pipelines.scc import strongly_connected_components
+
+    r = strongly_connected_components(g)
+    start = int(startNodeId)
+
+    member = r.labels.filter(expr=f"vid == {start}").take(1)
+    if not member:
+        return rd.from_arrow(pa.table({"nodeId": pa.array([], pa.int64())}))
+    lab = int(member[0]["label"])
+    return _rename(r.labels.filter(expr=f"label == {lab}"), {"vid": "nodeId"})
+
+
+# ---------------------------------------------------------------------------
+# shortest paths  (ShortestPathProc.java:73,103; ShortestPathsProc.java:60,88;
+# ShortestPathDeltaSteppingProc.java:72,104; AllShortestPathsProc.java:59)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_node(g: BuiltGraph, node) -> int:
+    """Accept a dense vid (int) or an original key (str, looked up in the
+    vertex table — the IdMap analogue)."""
+    if isinstance(node, (int, np.integer)):
+        return int(node)
+    hit = g.vertices_ds().filter(expr=f'key == "{node}"').take(1)
+    if not hit:
+        raise KeyError(f"node key not found: {node!r}")
+    return int(hit[0]["vid"])
+
+
+def shortestPath(graph, startNode, endNode=None, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.shortestPath(start, end, ...)`` — stats row
+    (DijkstraResult: nodeCount, totalCost)."""
+    cfg = _cfg(config, kw)
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.paths import shortest_path
+
+    t0 = _now()
+    r = shortest_path(
+        g,
+        _resolve_node(g, startNode),
+        None if endNode is None else _resolve_node(g, endNode),
+        weighted=g.weighted or bool(cfg.get("weighted", False)),
+    )
+    eval_ms = _millis(t0)
+    w_ms = -1
+    if cfg.get("write", True):
+        t0 = _now()
+        path = cfg.get("writePath") or os.path.join(g.workdir, "write", "sssp_path")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        rd.from_pandas(r.path).write_parquet(path)
+        w_ms = _millis(t0)
+    return _stats(
+        loadMillis=load_ms,
+        evalMillis=eval_ms,
+        writeMillis=w_ms,
+        nodeCount=r.node_count,
+        totalCost=r.total_cost,
+    )
+
+
+def shortestPath_stream(graph, startNode, endNode=None, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.shortestPath.stream(...)`` — Dataset(nodeId, cost), path
+    start→end inclusive (ShortestPathProc.java:73-76)."""
+    cfg = _cfg(config, kw)
+    g, _ = _as_graph(graph, cfg)
+    from .pipelines.paths import shortest_path
+
+    r = shortest_path(
+        g,
+        _resolve_node(g, startNode),
+        None if endNode is None else _resolve_node(g, endNode),
+        weighted=g.weighted or bool(cfg.get("weighted", False)),
+    )
+    df = r.path.rename(columns={"vid": "nodeId", "cost_u": "cost"})[["nodeId", "cost"]]
+    return rd.from_pandas(df)
+
+
+def _sssp_run(graph, startNode, cfg, delta=None):
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.centrality import shortest_paths, shortest_paths_delta_stepping
+
+    src = _resolve_node(g, startNode)
+    t0 = _now()
+    if delta is not None:
+        r = shortest_paths_delta_stepping(g, src, float(delta))
+    else:
+        r = shortest_paths(g, src, weighted=g.weighted or bool(cfg.get("weighted", False)))
+    return g, load_ms, r, _millis(t0)
+
+
+def shortestPaths(graph, startNode, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.shortestPaths(start, ...)`` — stats row
+    (ShortestPathResult: loadDuration/evalDuration/writeDuration/nodeCount)."""
+    cfg = _cfg(config, kw)
+    g, load_ms, r, eval_ms = _sssp_run(graph, startNode, cfg)
+    out = _rename(r.distances, {"vid": "nodeId", "distance": "distance"})
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("writeProperty", "sssp"))
+    return _stats(
+        loadDuration=load_ms, evalDuration=eval_ms, writeDuration=w_ms, nodeCount=r.nodes
+    )
+
+
+def shortestPaths_stream(graph, startNode, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.shortestPaths.stream(...)`` — Dataset(nodeId, distance)
+    (ShortestPaths.java:131-135)."""
+    cfg = _cfg(config, kw)
+    _, _, r, _ = _sssp_run(graph, startNode, cfg)
+    return _rename(r.distances, {"vid": "nodeId", "distance": "distance"})
+
+
+def deltaStepping(graph, startNode, delta=1.0, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.shortestPath.deltaStepping(start, delta, ...)`` — stats row
+    (DeltaSteppingProcResult)."""
+    cfg = _cfg(config, kw)
+    g, load_ms, r, eval_ms = _sssp_run(graph, startNode, cfg, delta=delta)
+    out = _rename(r.distances, {"vid": "nodeId", "distance": "distance"})
+    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("writeProperty", "sssp"))
+    return _stats(
+        loadDuration=load_ms, evalDuration=eval_ms, writeDuration=w_ms, nodeCount=r.nodes
+    )
+
+
+def deltaStepping_stream(graph, startNode, delta=1.0, config=None, **kw) -> rd.Dataset:
+    cfg = _cfg(config, kw)
+    _, _, r, _ = _sssp_run(graph, startNode, cfg, delta=delta)
+    return _rename(r.distances, {"vid": "nodeId", "distance": "distance"})
+
+
+def allShortestPaths_stream(graph, config=None, **kw) -> rd.Dataset:
+    """``CALL algo.allShortestPaths.stream(...)`` — Dataset(sourceNodeId,
+    targetNodeId, distance) (AllShortestPaths.java:193-201)."""
+    cfg = _cfg(config, kw)
+    g, _ = _as_graph(graph, cfg)
+    from .pipelines.centrality import all_shortest_paths
+
+    asp = all_shortest_paths(
+        g,
+        direction=str(cfg.get("direction", "OUTGOING")).upper(),
+        n_sources=cfg.get("sourceCount"),
+        max_depth=int(cfg.get("maxDepth", 64)),
+    )
+    return _rename(
+        asp, {"source": "sourceNodeId", "target": "targetNodeId", "distance": "distance"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# mst  (MSTPrimProc.java:65)
+# ---------------------------------------------------------------------------
+
+
+def mst(graph, config=None, **kw) -> pd.DataFrame:
+    """``CALL algo.mst(...)`` — stats row (MSTPrimResult); the forest edges are
+    written as a relationship table (the reference writes MST relationships
+    back to the store)."""
+    cfg = _cfg(config, kw)
+    g, load_ms = _as_graph(graph, cfg)
+    from .pipelines.mst import minimum_spanning_forest
+
+    t0 = _now()
+    r = minimum_spanning_forest(g)
+    comp_ms = _millis(t0)
+    w_ms = -1
+    if cfg.get("write", True):
+        t0 = _now()
+        path = cfg.get("writePath") or os.path.join(g.workdir, "write", "mst")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        r.edges.write_parquet(path)
+        w_ms = _millis(t0)
+    return _stats(
+        loadMillis=load_ms,
+        computeMillis=comp_ms,
+        writeMillis=w_ms,
+        weightSum=r.weight_sum,
+        weightMin=r.weight_min,
+        weightMax=r.weight_max,
+        relationshipCount=r.relationship_count,
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog + scalar functions
+# ---------------------------------------------------------------------------
+
+
+def list_procs(*_args, **_kw) -> pd.DataFrame:
+    """``CALL algo.list()`` (ListProc.java:42-46)."""
+    from .catalog import list_operators
+
+    return list_operators()
+
+
+from .functions.scalars import infinity, is_finite, is_infinite, nan  # noqa: E402
+
+_closeness, _closeness_stream = _centrality_proc("closeness")
+_harmonic, _harmonic_stream = _centrality_proc("harmonic")
+
+_scc_variant = Proc(scc_proc, stream=scc_stream)
+
+algo = Namespace(
+    pageRank=Proc(pageRank, stream=pageRank_stream),
+    unionFind=Proc(
+        unionFind,
+        stream=unionFind_stream,
+        # shared-memory scheduling variants — one distributed impl here
+        # (UnionFindProc2/3/4.java; semantics identical, VERDICT §2 row 2)
+        queue=Proc(unionFind, stream=unionFind_stream),
+        forkJoin=Proc(unionFind, stream=unionFind_stream),
+        forkJoinMerge=Proc(unionFind, stream=unionFind_stream),
+        mscoloring=Proc(mscoloring_proc, stream=mscoloring_stream),
+    ),
+    labelPropagation=Proc(labelPropagation, stream=labelPropagation_stream),
+    triangleCount=Proc(
+        triangleCount,
+        stream=triangleCount_stream,
+        forkJoin=Proc(triangleCount, stream=triangleCount_stream),
+    ),
+    triangle=Namespace(stream=triangle_stream),
+    louvain=Proc(louvain_proc, stream=louvain_stream),
+    betweenness=Proc(
+        betweenness,
+        stream=betweenness_stream,
+        sampled=Proc(betweenness_sampled, stream=betweenness_sampled_stream),
+    ),
+    closeness=Proc(_closeness, stream=_closeness_stream),
+    harmonic=Proc(_harmonic, stream=_harmonic_stream),
+    scc=Proc(
+        scc_proc,
+        stream=scc_stream,
+        iterative=_scc_variant,
+        multistep=_scc_variant,
+        recursive=Namespace(tarjan=_scc_variant, tunedTarjan=_scc_variant),
+        forwardBackward=Namespace(stream=scc_fwbw_stream),
+    ),
+    shortestPath=Proc(
+        shortestPath,
+        stream=shortestPath_stream,
+        deltaStepping=Proc(deltaStepping, stream=deltaStepping_stream),
+    ),
+    shortestPaths=Proc(shortestPaths, stream=shortestPaths_stream),
+    allShortestPaths=Namespace(stream=allShortestPaths_stream),
+    mst=Proc(mst),
+    list=Proc(list_procs),
+    isFinite=is_finite,
+    isInfinite=is_infinite,
+    Infinity=infinity,
+    NaN=nan,
+)

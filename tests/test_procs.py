@@ -1,0 +1,237 @@
+"""``algo.*`` proc facade — reference call-surface parity.
+
+Checks that every proc returns the reference's exact YIELD column names
+(``algo/.../results/*.java``) and that the stats/stream values agree with the
+underlying pipelines on the reference fixtures."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph
+from neo4j_graph_algorithms_ray.procs import algo
+from neo4j_graph_algorithms_ray.sources.corpus import fixture_corpus
+
+
+@pytest.fixture(scope="module")
+def pr_graph(tmp_path_factory):
+    corpus, _ = fixture_corpus("pr1")
+    return build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("prg")), P=2)
+
+
+@pytest.fixture(scope="module")
+def uf_graph(tmp_path_factory):
+    corpus, _ = fixture_corpus("uf1")
+    return build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("ufg")), P=2)
+
+
+def test_pagerank_stats_columns_and_write(pr_graph):
+    stats = algo.pageRank(pr_graph, {"iterations": 20})
+    assert list(stats.columns) == [
+        "nodes", "iterations", "loadMillis", "computeMillis", "writeMillis",
+        "dampingFactor", "write", "writeProperty",
+    ]  # PageRankScore.Stats (PageRankScore.java:38-41)
+    row = stats.iloc[0]
+    assert row["iterations"] == 20 and row["dampingFactor"] == 0.85
+    assert row["write"] and row["writeProperty"] == "pagerank"
+    out = os.path.join(pr_graph.workdir, "write", "pagerank")
+    back = rd.read_parquet(out)
+    assert back.count() == pr_graph.n_vertices
+    assert sorted(back.columns()) == ["nodeId", "score"]
+
+
+def test_pagerank_stream_matches_pipeline(pr_graph):
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import pagerank
+
+    got = algo.pageRank.stream(pr_graph, iterations=20).to_pandas().sort_values("nodeId")
+    want = pagerank(pr_graph, iterations=20).scores.to_pandas().sort_values("vid")
+    assert list(got.columns) == ["nodeId", "score"]
+    np.testing.assert_allclose(got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-12)
+
+
+def test_pagerank_write_false_sentinel(pr_graph):
+    stats = algo.pageRank(pr_graph, {"iterations": 5, "write": False})
+    assert stats.iloc[0]["writeMillis"] == -1 and not stats.iloc[0]["write"]
+
+
+def test_pagerank_from_raw_edge_table(pr_graph, tmp_path):
+    # the Cypher-projection path: plain pyarrow edge table in, same scores out
+    edges = pr_graph.edges_ds().to_arrow_refs()
+    import pyarrow as pa
+    import ray
+
+    tbl = pa.concat_tables(ray.get(edges)).select(["src", "dst"])
+    got = (
+        algo.pageRank.stream(
+            tbl,
+            {
+                "workdir": str(tmp_path),
+                "concurrency": 2,
+                "iterations": 20,
+                "nodeCount": pr_graph.n_vertices,  # isolated vertices aren't in the edge table
+            },
+        )
+        .to_pandas()
+        .sort_values("nodeId")
+    )
+    want = algo.pageRank.stream(pr_graph, iterations=20).to_pandas().sort_values("nodeId")
+    np.testing.assert_allclose(got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-12)
+
+
+def test_unionfind_stats_and_variants(uf_graph):
+    stats = algo.unionFind(uf_graph, write=False)
+    assert list(stats.columns) == [
+        "loadMillis", "computeMillis", "postProcessingMillis", "writeMillis",
+        "nodes", "setCount", "write", "partitionProperty",
+    ]
+    assert stats.iloc[0]["setCount"] == 3  # UnionFindProcIntegrationTest
+    # scheduling-variant aliases dispatch to the same implementation
+    for variant in (algo.unionFind.queue, algo.unionFind.forkJoin, algo.unionFind.forkJoinMerge):
+        assert variant(uf_graph, write=False).iloc[0]["setCount"] == 3
+    stream = algo.unionFind.stream(uf_graph).to_pandas()
+    assert sorted(stream.columns) == ["nodeId", "setId"]
+    assert stream["setId"].nunique() == 3
+
+
+def test_mscoloring_alias(uf_graph):
+    stats = algo.unionFind.mscoloring(uf_graph, write=False)
+    assert stats.iloc[0]["setCount"] == 3
+    stream = algo.unionFind.mscoloring.stream(uf_graph).to_pandas()
+    assert sorted(stream.columns) == ["color", "nodeId"]
+    # MSColoring takes the max reachable id as the color (MSColoring.java:96-121)
+    grp = stream.groupby("color")["nodeId"].max()
+    assert (grp.index == grp.to_numpy()).all()
+
+
+def test_labelpropagation_stats(uf_graph):
+    stats = algo.labelPropagation(uf_graph, {"iterations": 10, "write": False})
+    assert list(stats.columns) == [
+        "nodes", "iterations", "didConverge", "loadMillis", "computeMillis",
+        "writeMillis", "write", "weightProperty", "partitionProperty",
+    ]  # LabelPropagationStats.java:23-25
+    assert stats.iloc[0]["didConverge"]
+
+
+def test_triangle_procs(tmp_path_factory):
+    corpus, _ = fixture_corpus("tri1")
+    g = build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("tri")), P=2)
+    stats = algo.triangleCount(g, write=False)
+    assert list(stats.columns) == [
+        "loadMillis", "computeMillis", "writeMillis", "nodeCount",
+        "triangleCount", "averageClusteringCoefficient",
+    ]  # TriangleProc.Result (TriangleProc.java:304-311)
+    per_node = algo.triangleCount.stream(g).to_pandas()
+    assert sorted(per_node.columns) == ["coefficient", "nodeId", "triangles"]
+    assert per_node["triangles"].sum() == 3 * stats.iloc[0]["triangleCount"]
+    triples = algo.triangle.stream(g).to_pandas()
+    assert sorted(triples.columns) == ["nodeA", "nodeB", "nodeC"]
+    assert len(triples) == stats.iloc[0]["triangleCount"]
+
+
+def test_louvain_proc(tmp_path_factory):
+    corpus, _ = fixture_corpus("louvain")
+    g = build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("lv")), P=2)
+    stats = algo.louvain(g, write=False)
+    assert list(stats.columns) == [
+        "loadMillis", "computeMillis", "writeMillis", "nodes", "iterations",
+        "communityCount",
+    ]  # LouvainResult.java:26-31
+    assert stats.iloc[0]["communityCount"] == 3
+    stream = algo.louvain.stream(g).to_pandas()
+    assert sorted(stream.columns) == ["community", "nodeId"]
+
+
+def test_betweenness_procs(tmp_path_factory):
+    corpus, _ = fixture_corpus("bc-rings")
+    g = build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("bc")), P=2)
+    stats = algo.betweenness(g, write=False)
+    assert list(stats.columns) == [
+        "loadMillis", "computeMillis", "writeMillis", "nodes",
+        "minCentrality", "maxCentrality", "sumCentrality",
+    ]  # BetweennessCentralityProcResult.java:26-32
+    assert stats.iloc[0]["maxCentrality"] == 25.0
+    sampled = algo.betweenness.sampled.stream(g, {"probability": 1.0})
+    c = sampled.to_pandas().sort_values("nodeId")["centrality"].to_numpy()
+    assert c[5] == 25.0  # probability 1.0 == exact
+
+
+def test_closeness_harmonic_procs(uf_graph):
+    for proc in (algo.closeness, algo.harmonic):
+        stats = proc(uf_graph, write=False)
+        assert list(stats.columns) == ["loadMillis", "computeMillis", "writeMillis", "nodes"]
+        stream = proc.stream(uf_graph).to_pandas()
+        assert sorted(stream.columns) == ["centrality", "nodeId"]
+        assert len(stream) == uf_graph.n_vertices
+
+
+def test_scc_procs(tmp_path_factory):
+    corpus, _ = fixture_corpus("scc1")
+    g = build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("scc")), P=2)
+    stats = algo.scc(g, write=False)
+    assert list(stats.columns) == [
+        "loadMillis", "computeMillis", "writeMillis", "setCount",
+        "minSetSize", "maxSetSize",
+    ]  # SCCResult.java:26-31
+    # variant aliases (StronglyConnectedComponentsProc.java:66-381) agree
+    assert (
+        algo.scc.multistep(g, write=False).iloc[0]["setCount"]
+        == algo.scc.recursive.tarjan(g, write=False).iloc[0]["setCount"]
+        == stats.iloc[0]["setCount"]
+    )
+    stream = algo.scc.stream(g).to_pandas()
+    assert sorted(stream.columns) == ["nodeId", "partition"]
+    # forwardBackward.stream: exactly the SCC containing the start node
+    member = algo.scc.forwardBackward.stream(g, 0).to_pandas()
+    lab0 = stream.loc[stream["nodeId"] == 0, "partition"].iloc[0]
+    want = set(stream.loc[stream["partition"] == lab0, "nodeId"])
+    assert set(member["nodeId"]) == want
+
+
+def test_shortest_path_procs(tmp_path_factory):
+    corpus, _ = fixture_corpus("sp1")
+    g = build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("sp")), P=2)
+    path = algo.shortestPath.stream(g, 0).to_pandas()
+    assert list(path.columns) == ["nodeId", "cost"]
+    assert path.iloc[0]["nodeId"] == 0 and path.iloc[0]["cost"] == 0.0
+    stats = algo.shortestPath(g, 0, write=False)
+    assert list(stats.columns) == [
+        "loadMillis", "evalMillis", "writeMillis", "nodeCount", "totalCost",
+    ]  # DijkstraResult.java:26-30
+    assert stats.iloc[0]["nodeCount"] == len(path)
+
+    sssp = algo.shortestPaths.stream(g, 0).to_pandas()
+    assert sorted(sssp.columns) == ["distance", "nodeId"]
+    dstats = algo.shortestPath.deltaStepping(g, 0, 2.0, write=False)
+    assert list(dstats.columns) == [
+        "loadDuration", "evalDuration", "writeDuration", "nodeCount",
+    ]  # DeltaSteppingProcResult.java:28-31
+    delta = algo.shortestPath.deltaStepping.stream(g, 0, 2.0).to_pandas()
+    merged = sssp.merge(delta, on="nodeId", suffixes=("_b", "_d"))
+    np.testing.assert_allclose(merged["distance_b"], merged["distance_d"])
+
+    asp = algo.allShortestPaths.stream(g).to_pandas()
+    assert sorted(asp.columns) == ["distance", "sourceNodeId", "targetNodeId"]
+    assert (asp[asp["sourceNodeId"] == asp["targetNodeId"]]["distance"] == 0).all()
+
+
+def test_mst_proc(tmp_path_factory):
+    corpus, _ = fixture_corpus("mst1")
+    g = build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("mst")), P=2)
+    stats = algo.mst(g, write=False)
+    assert list(stats.columns) == [
+        "loadMillis", "computeMillis", "writeMillis", "weightSum",
+        "weightMin", "weightMax", "relationshipCount",
+    ]  # MSTPrimResult.java:26-32
+
+
+def test_list_and_scalars():
+    cat = algo.list()
+    assert len(cat) > 25 and "name" in cat.columns
+    assert math.isinf(algo.Infinity()) and math.isnan(algo.NaN())
+    import pyarrow as pa
+
+    got = algo.isFinite(pa.array([1.0, float("inf"), float("nan"), None]))
+    assert got.to_pylist() == [True, False, False, False]

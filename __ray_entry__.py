@@ -99,6 +99,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             df = _pd.DataFrame({c: _pd.Series(dtype="int64") for c in ("id_a", "id_b", "cos_u")})
         return df
 
+    def ngram_jaccard(sf):
+        import pandas as _pd
+
+        df = D.ngram_jaccard_pairs(D.read_documents(sf), threshold=0.5).to_pandas()
+        if len(df.columns) == 0:  # empty Dataset loses its schema
+            df = _pd.DataFrame({c: _pd.Series(dtype="int64") for c in ("id_a", "id_b", "jac_u")})
+        return df
+
     def multimodal_meta(sf):
         binr = M.attach_binary_payload(D.read_documents(sf))
         return M.decode_metadata(binr).select_columns(
@@ -145,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lambda sf: D.exact_dedup(D.read_documents(sf)),
         "minhash_signatures": lambda sf: D.minhash_signatures(D.read_documents(sf)),
         "minhash_pairs": lambda sf: D.minhash_dedup_pairs(D.read_documents(sf)).to_pandas(),
+        "ngram_jaccard": ngram_jaccard,
         "simhash_signatures": lambda sf: D.simhash_signatures(D.read_documents(sf)),
         # text analysis
         "token_counts": lambda sf: D.token_counts(D.read_documents(sf)),
@@ -231,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup sketches (md5-based kernels, constants embedded in the SQL)
         "minhash_signatures": O.minhash_signatures_sql(),
         "minhash_pairs": O.minhash_pairs_sql(threshold=0.7),
+        "ngram_jaccard": O.ngram_jaccard_sql(threshold=0.5),
         "simhash_signatures": O.simhash_signatures_sql(),
         "knn_ivf": O.knn_ivf_sql(n_queries=5, k=10, n_centroids=16, nprobe=4),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.3),

@@ -533,6 +533,37 @@ FROM jac WHERE j >= {threshold}"""
     )
 
 
+def ngram_jaccard_sql(threshold: float = 0.5, k: int = 3, max_doc_freq: int = 256) -> str:
+    """Inverted-index exact n-gram Jaccard (pipelines/docs.ngram_jaccard_pairs).
+
+    Same stop-gram pruning contract as the engine: grams in more than
+    ``max_doc_freq`` docs are excluded from the intersection counts, while the
+    per-doc set sizes stay unpruned — both sides compute the identical
+    (conservative) jaccard.
+    """
+    return (
+        "WITH "
+        + _SHINGLES.format(k=k, km1=k - 1)
+        + f""",
+keep AS (SELECT h64 FROM sh64 GROUP BY h64 HAVING count(*) <= {max_doc_freq}),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh64 a JOIN sh64 b ON a.h64 = b.h64 AND a.doc_id < b.doc_id
+  WHERE a.h64 IN (SELECT h64 FROM keep)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh64 GROUP BY doc_id),
+jac AS (
+  SELECT i.id_a, i.id_b, i.ni / CAST(greatest(sa.ns + sb.ns - i.ni, 1) AS DOUBLE) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jac_u
+FROM jac WHERE j >= {threshold}"""
+    )
+
+
 def simhash_signatures_sql() -> str:
     """64-bit SimHash over lowercased whitespace tokens (duplicates counted),
     bit-cast to signed int64 exactly like numpy's uint64 -> int64 view."""

@@ -329,6 +329,160 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted index — no sketch, exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset, *, threshold: float = 0.5, k: int = 3, max_doc_freq: int = 256
+) -> rd.Dataset:
+    """Exact word-``k``-gram Jaccard near-dup pairs ``{id_a, id_b, jac_u}``
+    (``jac_u = floor(jaccard * 1e6 + 0.5)``, pairs with jaccard >= threshold).
+
+    The sketch-free sibling of MinHash-LSH: an **inverted index** on distinct
+    gram hashes.  Scale shape — per-doc gram rows from ``map_batches`` (one
+    vectorized md5 pass per batch), a bucketed groupby on the gram hash that
+    emits per-bucket *partial* pair counts (pre-aggregation: each bucket
+    reduces its pairs with ``np.unique`` before the shuffle), a single-int-key
+    ``groupby(pk).sum`` for the global intersection counts, then broadcast
+    lookups of the per-doc gram-set sizes.  Grams appearing in more than
+    ``max_doc_freq`` docs are dropped on BOTH engine and oracle sides (stop-
+    gram pruning — standard common-gram practice and the skew armor that
+    bounds any gram's pair fan-out at ``max_doc_freq**2/2``).
+
+    Jaccard needs no verify pass here (unlike LSH candidates) because the
+    intersection counts are exact: |A∩B| from the index, |A∪B| from
+    ``sz_a + sz_b - inter``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import lookup_join
+
+    did_t = "doc_id"
+
+    def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
+        H, c = T.batch_shingle_hashes(list(b["text"]), k)
+        rows = pd.DataFrame(
+            {did_t: np.repeat(b[did_t].to_numpy(), c), "gh": H.view(np.int64)}
+        )
+        # distinct per doc (each doc's grams live in exactly one input batch)
+        return rows.drop_duplicates()
+
+    grams = docs.select_columns([did_t, "text"]).map_batches(
+        gram_rows, batch_format="pandas", batch_size=512
+    )
+
+    def size_rows(b: pd.DataFrame) -> pd.DataFrame:
+        H, c = T.batch_shingle_hashes(list(b["text"]), k)
+        ends = np.cumsum(c)
+        sz = np.array(
+            [len(np.unique(H[e - n : e])) for n, e in zip(c, ends)], dtype=np.int64
+        )
+        return pd.DataFrame({did_t: b[did_t], "sz": sz})
+
+    # per-doc distinct-gram counts: second streaming pass over the docs (no
+    # shuffle) rather than a groupby over the big gram table
+    sizes = docs.select_columns([did_t, "text"]).map_batches(
+        size_rows, batch_format="pandas", batch_size=512
+    )
+
+    n_buckets = 64
+    mdf = int(max_doc_freq)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["gh"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
+        return b
+
+    def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        """Partial {pk, inter} for this bucket's gram groups (vectorized)."""
+        empty = pd.DataFrame(
+            {"pk": pd.Series(dtype=np.int64), "inter": pd.Series(dtype=np.int64)}
+        )
+        gh = g["gh"].to_numpy()
+        did = g[did_t].to_numpy()
+        if len(did) < 2:
+            return empty
+        order = np.lexsort((did, gh))
+        gh, did = gh[order], did[order]
+        gnew = np.empty(len(gh), dtype=bool)
+        gnew[0] = True
+        gnew[1:] = gh[1:] != gh[:-1]
+        counts = np.diff(np.append(np.flatnonzero(gnew), len(gh)))
+        starts = np.cumsum(counts) - counts
+        pks = []
+        for s in np.unique(counts):
+            if s < 2 or s > mdf:  # singleton grams pair nothing; stop-grams pruned
+                continue
+            gs = starts[counts == s]
+            m = did[gs[:, None] + np.arange(s)[None, :]]  # rows ascending by doc_id
+            ii, jj = np.triu_indices(s, k=1)
+            pks.append((m[:, ii].ravel() << 32) | m[:, jj].ravel())
+        if not pks:
+            return empty
+        pk, inter = np.unique(np.concatenate(pks), return_counts=True)
+        return pd.DataFrame({"pk": pk, "inter": inter.astype(np.int64)})
+
+    inter = (
+        grams.map_batches(tag, batch_format="pandas")
+        .groupby("bucket", num_partitions=_shuffle_fan())
+        .map_groups(bucket_pair_counts, batch_format="pandas")
+        .groupby("pk", num_partitions=_shuffle_fan())
+        .aggregate(Sum("inter", alias_name="inter"))
+    )
+
+    def unpack(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["pk"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": pk >> 32,
+                "id_b": pk & 0xFFFFFFFF,
+                "inter": b["inter"].to_numpy(),
+            }
+        )
+
+    pairs = inter.map_batches(unpack, batch_format="pandas")
+    sizes = sizes.materialize()
+    pairs = lookup_join(
+        pairs,
+        sizes.map_batches(
+            lambda b: b.rename(columns={did_t: "id_a", "sz": "sz_a"}), batch_format="pandas"
+        ),
+        "id_a",
+        "sz_a",
+        default=0,
+        num_partitions=_shuffle_fan(),
+    )
+    pairs = lookup_join(
+        pairs,
+        sizes.map_batches(
+            lambda b: b.rename(columns={did_t: "id_b", "sz": "sz_b"}), batch_format="pandas"
+        ),
+        "id_b",
+        "sz_b",
+        default=0,
+        num_partitions=_shuffle_fan(),
+    )
+
+    thr = float(threshold)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        inter_ = b["inter"].to_numpy(dtype=np.int64)
+        union = b["sz_a"].to_numpy(dtype=np.int64) + b["sz_b"].to_numpy(dtype=np.int64) - inter_
+        jac = inter_ / np.maximum(union, 1)
+        keep = jac >= thr
+        return pd.DataFrame(
+            {
+                "id_a": b["id_a"].to_numpy()[keep],
+                "id_b": b["id_b"].to_numpy()[keep],
+                "jac_u": np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,33 @@ def test_minhash_finds_planted_near_dups():
     assert not any({a, b} == {3, 5} for a, b in found)
 
 
+def test_ngram_jaccard_exact_pairs():
+    """Inverted-index Jaccard equals the direct pairwise kernel on all pairs."""
+    tbl = _docs_table()
+    ds = rd.from_arrow(tbl)
+    got = D.ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    texts = {i: t for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
+    ids = sorted(texts)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = T.jaccard_word_ngrams(texts[a], texts[b], 3)
+            if j >= 0.5:
+                want[(a, b)] = int(np.floor(j * 1e6 + 0.5))
+    assert {(a, b): j for a, b, j in zip(got["id_a"], got["id_b"], got["jac_u"])} == want
+    assert (0, 1) in want and want[(0, 1)] == 1_000_000  # exact dup
+
+
+def test_ngram_jaccard_stop_gram_pruning():
+    """Grams over the doc-freq cap are dropped from intersections (both the
+    operator contract and the skew armor) — with the cap below the corpus
+    dup-count, the planted dup pair disappears."""
+    tbl = _docs_table()
+    ds = rd.from_arrow(tbl)
+    out = D.ngram_jaccard_pairs(ds, threshold=0.5, max_doc_freq=1).to_pandas()
+    assert len(out) == 0  # every shared gram pruned at df cap 1
+
+
 def test_simhash_pairs():
     ds = rd.from_arrow(_docs_table())
     sigs = D.simhash_signatures(ds).to_pandas()

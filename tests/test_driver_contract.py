@@ -91,6 +91,7 @@ ORACLE_QUERIES = [
     "dedup_exact",
     "minhash_signatures",
     "minhash_pairs",
+    "ngram_jaccard",
     "simhash_signatures",
     "token_counts",
     "quality_scores",

@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_sampled": G.q_betweenness_sampled,
         "scc": G.q_scc,
         "louvain": G.q_louvain,
+        "louvain_weighted": G.q_louvain_weighted,
         "mst": G.q_mst,
         # triangles (SQL-expressible -> oracle-checked)
         "triangle_counts": G.q_triangle_counts,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_sampled": _betweenness_sampled_sql(pre),
         "scc": O.scc_sql(pre),
         "louvain": O.louvain_sql(pre, iterations=10),
+        "louvain_weighted": O.louvain_sql(pre, iterations=10, weighted=True),
         "mst": O.mst_summary_sql(pre),
         "triangle_stream": pre + "\nSELECT x AS a, y AS b, z AS c FROM tris",
         # dedup sketches (md5-based kernels, constants embedded in the SQL)

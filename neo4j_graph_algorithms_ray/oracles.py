@@ -380,16 +380,27 @@ def labelprop_sql(pre: str, iterations: int = 20, weighted: bool = False) -> str
     return pre + "".join(blocks) + f"\nSELECT vid, label FROM lp{step}"
 
 
-def louvain_sql(pre: str, iterations: int = 10) -> str:
+def louvain_sql(pre: str, iterations: int = 10, weighted: bool = False) -> str:
     """Unrolled red/black single-level Louvain sweep — the engine's pinned
     deterministic variant (state/louvain_shard.py; reference semantics
-    ``Louvain.java:123-170``).  The gain uses the exact same float64
-    expression tree as the shard (``w_in/m2 - deg*sTot/(m2*m2)``); every
-    operand is an integer-valued sum (exact in float64), so both sides
-    produce bit-identical doubles and identical argmax/tie choices."""
+    ``Louvain.java:123-170``, weighted ``WeightedLouvain.java:88-124``).  The
+    gain uses the exact same float64 expression tree as the shard
+    (``w_in/m2 - deg*sTot/(m2*m2)``); every operand is an integer-valued sum
+    (exact in float64 — ``weighted`` uses the synthetic integer weights with
+    the shard's min-per-undirected-pair dedup), so both sides produce
+    bit-identical doubles and identical argmax/tie choices."""
+    if weighted:
+        und = f""", und AS MATERIALIZED (
+  SELECT u, t, CAST(min(w) AS DOUBLE) AS w FROM (
+    SELECT src AS u, dst AS t, {SYN_WEIGHT} AS w FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS t, {SYN_WEIGHT} AS w FROM edges WHERE src <> dst
+  ) GROUP BY u, t)"""
+    else:
+        und = ", und AS MATERIALIZED (SELECT src AS u, dst AS t, CAST(1 AS DOUBLE) AS w FROM dedges WHERE src <> dst)"
     blocks = [
-        ", und AS MATERIALIZED (SELECT src AS u, dst AS t FROM dedges WHERE src <> dst)",
-        ", ldeg AS MATERIALIZED (SELECT u AS vid, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY u)",
+        und,
+        ", ldeg AS MATERIALIZED (SELECT u AS vid, CAST(sum(w) AS DOUBLE) AS deg FROM und GROUP BY u)",
         ", m2v AS MATERIALIZED (SELECT CAST(sum(deg) AS DOUBLE) AS m2 FROM ldeg)",
         ", lv0 AS MATERIALIZED (SELECT vid, vid AS comm FROM verts)",
     ]
@@ -407,7 +418,7 @@ def louvain_sql(pre: str, iterations: int = 10) -> str:
            row_number() OVER (PARTITION BY g.vid ORDER BY g.gain DESC, g.cand ASC) AS rn
     FROM (
       SELECT e.u AS vid, c.comm AS cand,
-             CAST(count(*) AS DOUBLE) / any_value(m2v.m2)
+             CAST(sum(e.w) AS DOUBLE) / any_value(m2v.m2)
                - any_value(d.deg) * any_value(st.stot)
                  / (any_value(m2v.m2) * any_value(m2v.m2)) AS gain
       FROM und e

@@ -287,6 +287,16 @@ def q_louvain(sf_dir: str) -> pd.DataFrame:
     return res.communities.to_pandas().sort_values("vid").reset_index(drop=True)
 
 
+def q_louvain_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted Louvain (``WeightedLouvain.java:88-124``): weighted degrees /
+    weight-into-community gains over the synthetic integer edge weights."""
+    from .louvain import louvain
+
+    g = weighted_graph_for_sf(sf_dir)
+    res = louvain(g, weighted=True, max_iterations=10)
+    return res.communities.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
 def q_betweenness(sf_dir: str) -> pd.DataFrame:
     """Exact Brandes betweenness over OUTGOING edges, 1e6-quantized."""
     from .betweenness import betweenness_centrality

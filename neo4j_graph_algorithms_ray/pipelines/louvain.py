@@ -41,6 +41,7 @@ def _transpose(refs, P):
 def louvain(
     graph: BuiltGraph,
     *,
+    weighted: bool = False,
     max_iterations: int = 10,
     checkpoint_dir: str | None = None,
     resume: bool = False,
@@ -49,7 +50,9 @@ def louvain(
 
     t0 = time.perf_counter()
     rev = graph.ensure_reverse_layout()
-    actors = make_shard_actors(LouvainShard, graph, actor_kwargs={"rev_edges_dir": rev})
+    actors = make_shard_actors(
+        LouvainShard, graph, actor_kwargs={"rev_edges_dir": rev, "weighted": weighted}
+    )
     P = graph.P
     ray.get([a.ready.remote() for a in actors])
 
@@ -71,6 +74,11 @@ def louvain(
         m = ckpt.latest()
         if m is not None:
             ckpt.validate_resume(m, algo="louvain", bounds=graph.bounds)
+            if bool(m.get("weighted", False)) != bool(weighted):
+                raise ValueError(
+                    "louvain resume: checkpoint was written with weighted="
+                    f"{m.get('weighted', False)} but this run passed weighted={weighted}"
+                )
             files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
             ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
             start_iter = m["iteration"] + 1
@@ -152,6 +160,7 @@ def louvain(
                         "changed": total_changed,
                         "bounds": [int(b) for b in graph.bounds],
                         "algo": "louvain",
+                        "weighted": bool(weighted),
                     },
                 )
             if total_changed == 0:

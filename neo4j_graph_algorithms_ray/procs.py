@@ -394,7 +394,13 @@ def louvain_proc(graph, config=None, **kw) -> pd.DataFrame:
     from .pipelines.louvain import louvain
 
     t0 = _now()
-    r = louvain(g, max_iterations=int(cfg.get("iterations", 10)))
+    # LouvainProc dispatches to WeightedLouvain whenever weightProperty is
+    # set (LouvainProc.java:156)
+    r = louvain(
+        g,
+        weighted=bool(cfg.get("weightProperty")) or g.weighted,
+        max_iterations=int(cfg.get("iterations", 10)),
+    )
     comp_ms = _millis(t0)
     out = _rename(r.communities, {"vid": "nodeId", "community": "community"})
     w_ms, prop, write = _write_back(out, g, cfg, cfg.get("writeProperty", "community"))
@@ -414,7 +420,11 @@ def louvain_stream(graph, config=None, **kw) -> rd.Dataset:
     g, _ = _as_graph(graph, cfg)
     from .pipelines.louvain import louvain
 
-    r = louvain(g, max_iterations=int(cfg.get("iterations", 10)))
+    r = louvain(
+        g,
+        weighted=bool(cfg.get("weightProperty")) or g.weighted,
+        max_iterations=int(cfg.get("iterations", 10)),
+    )
     return _rename(r.communities, {"vid": "nodeId", "community": "community"})
 
 

@@ -6,7 +6,11 @@ Semantics per the reference, made synchronous + deterministic (the reference
 sweeps a shared array under a work queue — order-dependent; its fixture
 asserts only the converged community count):
 
-- graph undirected (``asUndirected(true)``), degree = neighbor count,
+- graph undirected (``asUndirected(true)``), degree = neighbor count —
+  or, with ``weighted=True``, the weighted degree / weight-into-community
+  sums of ``WeightedLouvain.java:88-101,122-124`` (LouvainProc dispatches to
+  the weighted kernel whenever ``weightProperty`` is set,
+  ``LouvainProc.java:156``),
 - ``m2`` = sum of degrees (the reference's ``2m``, ``Louvain.java:95``),
 - gain(u -> C) = w_in(u,C)/m2 - deg(u) * sTot[C] / m2^2
   (``modGain``, ``Louvain.java:123-127``) where w_in counts u's neighbors in
@@ -34,7 +38,7 @@ from .shards import _read_partition
 
 
 class LouvainShard:
-    def __init__(self, part, bounds, edges_dir, rev_edges_dir):
+    def __init__(self, part, bounds, edges_dir, rev_edges_dir, weighted: bool = False):
         self.part = int(part)
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
@@ -42,8 +46,8 @@ class LouvainShard:
         self.hi = int(self.bounds[part + 1])
         self.n_local = self.hi - self.lo
 
-        fwd = _read_partition(edges_dir, part, ["src", "dst"])
-        rev = _read_partition(rev_edges_dir, part, ["src", "dst"])
+        fwd = _read_partition(edges_dir, part, ["src", "dst", "weight"])
+        rev = _read_partition(rev_edges_dir, part, ["src", "dst", "weight"])
         u = np.concatenate(
             [
                 fwd["src"].to_numpy().astype(np.int64, copy=False),
@@ -56,14 +60,36 @@ class LouvainShard:
                 rev["src"].to_numpy().astype(np.int64, copy=False),
             ]
         )
+        # weighted variant (WeightedLouvain.java:88-101,122-124): weighted
+        # degree w[u] and weight-into-community sums replace neighbor counts
+        if weighted:
+            w = np.concatenate(
+                [
+                    fwd["weight"].to_numpy().astype(np.float64, copy=False),
+                    rev["weight"].to_numpy().astype(np.float64, copy=False),
+                ]
+            )
+        else:
+            w = np.ones(len(u), dtype=np.float64)
         keep = u != t  # self-loops contribute nothing to moves
-        u, t = u[keep], t[keep]
+        u, t, w = u[keep], t[keep], w[keep]
         # undirected dedup: an a<->b pair present in both directions in the
-        # edge table must count once (asUndirected load dedups)
-        pairs = np.unique(np.stack([u, t], axis=1), axis=0) if len(u) else np.empty((0, 2), np.int64)
-        self.u_local = pairs[:, 0] - self.lo
-        tt = pairs[:, 1]
-        self.deg = np.bincount(self.u_local, minlength=self.n_local).astype(np.float64)
+        # edge table must count once (asUndirected load dedups); min weight
+        # per pair — symmetric at both endpoints, so modularity stays
+        # well-defined even when the table carries direction-dependent weights
+        if len(u):
+            order = np.lexsort((w, t, u))
+            u, t, w = u[order], t[order], w[order]
+            first = np.empty(len(u), dtype=bool)
+            first[0] = True
+            first[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+            u, t, w = u[first], t[first], w[first]
+        self.u_local = u - self.lo
+        tt = t
+        self.w_edge = w
+        self.deg = np.bincount(self.u_local, weights=w, minlength=self.n_local).astype(
+            np.float64
+        )
         self.uniq_t = np.unique(tt)
         self.t_idx = np.searchsorted(self.uniq_t, tt)
         self.t_split = np.searchsorted(self.uniq_t, self.bounds[1:-1])
@@ -160,8 +186,9 @@ class LouvainShard:
             return 0
         u = self.u_local[mask]
         cand = self.voter_comm[self.t_idx[mask]]
+        wts = self.w_edge[mask]
         order = np.lexsort((cand, u))
-        u, cand = u[order], cand[order]
+        u, cand, wts = u[order], cand[order], wts[order]
         new_group = np.empty(len(u), dtype=bool)
         new_group[0] = True
         np.not_equal(u[1:], u[:-1], out=new_group[1:])
@@ -169,7 +196,7 @@ class LouvainShard:
         g_starts = np.flatnonzero(new_group)
         g_u = u[g_starts]
         g_c = cand[g_starts]
-        w_in = np.add.reduceat(np.ones(len(u)), g_starts)
+        w_in = np.add.reduceat(wts, g_starts)
         stot = self._stot_need[np.searchsorted(self._need, g_c)]
         gain = w_in / self.m2 - self.deg[g_u] * stot / (self.m2 * self.m2)
         # per-u argmax: gain desc, then smallest candidate comm (groups are

@@ -90,6 +90,7 @@ ORACLE_QUERIES = [
     "clustering_coefficients",
     "dedup_exact",
     "minhash_signatures",
+    "louvain_weighted",
     "minhash_pairs",
     "ngram_jaccard",
     "simhash_signatures",

@@ -39,6 +39,42 @@ def test_louvain_fixture_three_communities(tmp_workdir):
     assert comm[0] != comm[4] and comm[8] not in (comm[0], comm[4])
 
 
+def test_louvain_weighted_heavy_bridge(tmp_workdir):
+    """WeightedLouvain semantics (WeightedLouvain.java:88-124): a heavy
+    bridge edge overrides clique topology; unit weights must reproduce the
+    unweighted kernel exactly."""
+    import itertools
+
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph_from_edges
+
+    edges = []
+    for base in (0, 4):  # two 4-cliques
+        for a, b in itertools.combinations(range(base, base + 4), 2):
+            edges.append((a, b, 1.0))
+    edges.append((3, 4, 50.0))  # heavy bridge
+    tbl = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+            "weight": pa.array([e[2] for e in edges], pa.float64()),
+        }
+    )
+    g = build_graph_from_edges(rd.from_arrow(tbl), 8, tmp_workdir, P=2)
+    unw = louvain(g).communities.to_pandas().sort_values("vid")["community"].to_numpy()
+    w = louvain(g, weighted=True).communities.to_pandas().sort_values("vid")["community"].to_numpy()
+    assert unw[3] != unw[4]  # unweighted: bridge is just one edge of six
+    assert w[3] == w[4]  # weighted: the 50x bridge dominates both gains
+
+    # unit weights == unweighted kernel, element for element
+    ones = tbl.set_column(2, "weight", pa.array([1.0] * len(edges), pa.float64()))
+    g1 = build_graph_from_edges(rd.from_arrow(ones), 8, tmp_workdir + "/u1", P=2)
+    a = louvain(g1).communities.to_pandas().sort_values("vid")["community"].to_numpy()
+    b = louvain(g1, weighted=True).communities.to_pandas().sort_values("vid")["community"].to_numpy()
+    np.testing.assert_array_equal(a, b)
+
+
 # ---------------------------------------------------------------------------
 # Betweenness — BetweennessCentralityIntegrationTest ring fixture
 # ---------------------------------------------------------------------------

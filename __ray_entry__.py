@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         # multimodal plumbing
         "multimodal_meta": multimodal_meta,
+        "multimodal_resized": lambda sf: M.resize(
+            M.decode_metadata(M.attach_binary_payload(D.read_documents(sf)))
+        ),
         # relational coverage
         "lineitem_summary": lineitem_summary,
         "top_customers": topk_customers,
@@ -323,6 +326,16 @@ SELECT doc_id,
        16 + (strlen(text) * 7) % 64 AS height,
        1 + strlen(text) % 8 AS n_frames
 FROM documents""",
+        "multimodal_resized": """
+WITH m AS (SELECT doc_id,
+       CAST(16 + strlen(text) % 64 AS DOUBLE) AS w,
+       CAST(16 + (strlen(text) * 7) % 64 AS DOUBLE) AS h
+FROM documents)
+SELECT doc_id,
+       CAST(floor(w * s + 0.5) AS BIGINT) AS width,
+       CAST(floor(h * s + 0.5) AS BIGINT) AS height,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS scale_u
+FROM (SELECT doc_id, w, h, least(1.0, least(32.0 / w, 32.0 / h)) AS s FROM m)""",
         "lineitem_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity) * 1000 + 0.5) AS BIGINT) AS sum_qty,

@@ -53,7 +53,12 @@ _CATALOG = [
     ("knn.bruteforce", "dataprep", "(training-data op)", "pipelines.similarity.knn_bruteforce"),
     ("knn.ivf", "dataprep", "(training-data op)", "pipelines.similarity.knn_ivf"),
     ("dedup.embedding", "dataprep", "(training-data op)", "pipelines.similarity.embedding_near_dup_pairs"),
+    ("dedup.ngram_jaccard", "dataprep", "(training-data op)", "pipelines.docs.ngram_jaccard_pairs"),
+    ("louvain.weighted", "algorithm", "WeightedLouvain.java via LouvainProc.java:156", "pipelines.louvain (weighted=True)"),
     ("multimodal.decode", "dataprep", "(training-data op)", "pipelines.multimodal.decode_metadata"),
+    ("multimodal.resize", "dataprep", "(training-data op; stubbed resampler)", "pipelines.multimodal.resize"),
+    ("multimodal.framesample", "dataprep", "(training-data op)", "pipelines.multimodal.frame_sample"),
+    ("procs.algo", "api", "Cypher procedure surface (readme.adoc:90-105)", "procs.algo (stats rows + .stream Datasets)"),
     ("checkpoint.resume", "infra", "(north-rule requirement)", "state.checkpoint.CheckpointManager"),
 ]
 

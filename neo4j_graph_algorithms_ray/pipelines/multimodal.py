@@ -101,6 +101,47 @@ def decode_metadata(binary_ds: rd.Dataset, *, concurrency=(1, 4), batch_size: in
     )
 
 
+class ResizeStage:
+    """Actor-pool resize: aspect-preserving fit into ``(max_w, max_h)``.
+
+    The pixel resample itself is stubbed (``real=True`` raises — no image
+    libs here); the Ray-side contract is real: metadata-in/metadata-out with
+    the exact output dims + scale a real resampler would produce, small
+    batches for wide rows, per-actor setup in ``__init__``.
+    """
+
+    def __init__(self, max_w: int = 32, max_h: int = 32, real: bool = False):
+        if real:
+            raise NotImplementedError("no image codecs in this environment; use real=False")
+        self.max_w = int(max_w)
+        self.max_h = int(max_h)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w = t["width"].to_numpy().astype(np.float64)
+        h = t["height"].to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, np.minimum(self.max_w / w, self.max_h / h))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": pa.array(np.floor(w * scale + 0.5).astype(np.int64)),
+                "height": pa.array(np.floor(h * scale + 0.5).astype(np.int64)),
+                "scale_u": pa.array(np.floor(scale * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+
+def resize(decoded: rd.Dataset, *, max_w: int = 32, max_h: int = 32,
+           concurrency=(1, 4), batch_size: int = 256) -> rd.Dataset:
+    """Decoded metadata -> resized dims {doc_id, width, height, scale_u}."""
+    return decoded.select_columns(["doc_id", "width", "height"]).map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample(decoded: rd.Dataset, *, every: int = 2) -> rd.Dataset:
     """Frame-sampling stub: expand each item to its sampled frame indices."""
 

@@ -102,6 +102,7 @@ ORACLE_QUERIES = [
     "knn_ivf",
     "embedding_near_dups",
     "multimodal_meta",
+    "multimodal_resized",
     "lineitem_summary",
     "top_customers",
     "events_hourly",

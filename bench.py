@@ -160,6 +160,7 @@ def plain_bench() -> dict:
     timed("token_counts", lambda: Dp.token_counts(docs).materialize())
     timed("quality_scores", lambda: Dp.quality_scores(docs).materialize())
     timed("minhash_pairs", lambda: Dp.minhash_dedup_pairs(docs).materialize())
+    timed("ngram_jaccard", lambda: Dp.ngram_jaccard_pairs(docs).materialize())
 
     def knn():
         qids, Q = S.load_queries(SF_DIR, 5)

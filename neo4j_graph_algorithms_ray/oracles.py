@@ -606,16 +606,62 @@ FROM documents d LEFT JOIN sigu s ON s.doc_id = d.doc_id"""
 # ---------------------------------------------------------------------------
 
 
+def _centroid_cte(n_centroids: int = 16, iters: int = 2, sample: int = 4096) -> str:
+    """Trained-quantizer CTE chain ending in ``cent(cid, ce)`` — replays
+    ``similarity.coarse_centroids`` exactly: raw-float seeds, quantized-cosine
+    argmax assignment (cid-asc ties), per-dim means of 1e-6-quantized raw
+    coordinates re-quantized at 1e-9 (every accumulation an exact integer
+    sum), empty clusters keep their previous centroid."""
+    blocks = [
+        f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+samp AS (SELECT vec_id, e FROM base WHERE vec_id < {sample}),
+dims AS (SELECT unnest(range(1, (SELECT max(len(e)) FROM samp) + 1)) AS i),
+sq AS (SELECT s.vec_id, d.i, CAST(floor(s.e[d.i] * 1000000 + 0.5) AS BIGINT) AS eq
+       FROM samp s CROSS JOIN dims d),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {n_centroids})"""
+    ]
+    prev = "c0"
+    for it in range(1, int(iters) + 1):
+        blocks.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY CAST(floor(list_cosine_similarity(s.e, c.ce) * 1000000 + 0.5) AS BIGINT) DESC,
+                      c.cid ASC) AS rn
+    FROM samp s CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+m{it} AS (
+  SELECT a.cid, q.i,
+         floor(CAST(sum(q.eq) AS DOUBLE) / (count(*) * 1000000.0) * 1000000000 + 0.5)
+           / 1000000000.0 AS v
+  FROM a{it} a JOIN sq q ON q.vec_id = a.vec_id
+  GROUP BY a.cid, q.i
+),
+c{it} AS (
+  SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+  FROM {prev} p
+  LEFT JOIN (SELECT cid, list(v ORDER BY i) AS ce FROM m{it} GROUP BY cid) n
+  ON n.cid = p.cid
+)"""
+        )
+        prev = f"c{it}"
+    blocks.append(f",\ncent AS (SELECT cid, ce FROM {prev})")
+    return "".join(blocks)
+
+
 def embedding_near_dups_sql(
-    threshold: float = 0.9, n_centroids: int = 16, nprobe: int = 2
+    threshold: float = 0.9, n_centroids: int = 16, nprobe: int = 2, train_iters: int = 2
 ) -> str:
     """Bucketed embedding-cosine near-dup pairs: vectors multi-probe-assigned
-    to their nprobe nearest centroids (quantized-cosine rank, cid-asc ties),
-    all-pairs within shared buckets, exact threshold on quantized cosine."""
+    to their nprobe nearest k-means centroids (quantized-cosine rank, cid-asc
+    ties), all-pairs within shared buckets, exact threshold on quantized
+    cosine."""
     thr_u = int(np.floor(threshold * 1e6 + 0.5))
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {n_centroids}),
+WITH {_centroid_cte(n_centroids, train_iters)},
 assign AS (
   SELECT vec_id, cid AS bucket FROM (
     SELECT b.vec_id, c.cid,
@@ -638,10 +684,11 @@ scored AS (
 SELECT id_a, id_b, cos_u FROM scored WHERE cos_u >= {thr_u}"""
 
 
-def knn_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 16, nprobe: int = 4) -> str:
+def knn_ivf_sql(
+    n_queries: int = 5, k: int = 10, n_centroids: int = 16, nprobe: int = 4, train_iters: int = 2
+) -> str:
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {n_centroids}),
+WITH {_centroid_cte(n_centroids, train_iters)},
 q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < {n_queries}),
 assign AS (
   SELECT vec_id, cid FROM (

@@ -8,7 +8,8 @@
 - ``knn_ivf`` — the scale path: coarse-quantize vectors to the nearest of C
   centroids (a bucket column), probe only the query's ``nprobe`` nearest
   buckets, exact re-rank inside.  Recall measured against brute force in
-  tests; centroid choice is deterministic (first C vectors by vec_id).
+  tests; the quantizer is a deterministic, SQL-replayable k-means
+  (``coarse_centroids``).
 
 Output contract (shared with the DuckDB oracle): ``{query_id, vec_id, cos_u}``
 where ``cos_u = floor(cosine * 1e6 + 0.5)`` (int64, round-half-up) and ordering/tie-break is
@@ -41,15 +42,60 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
+def _filter_below(ds: rd.Dataset, cap: int) -> rd.Dataset:
+    """vec_id < cap, filtered in Arrow (object-dtype pandas embedding columns
+    confuse Ray's block size estimation and force copies)."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(cap))), batch_format="pyarrow"
+    )
+
+
 def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic query set: the first ``n_queries`` vectors by vec_id."""
-    q = (
-        read_embeddings(sf_dir)
-        .map_batches(lambda b: b[b["vec_id"] < n_queries], batch_format="pandas")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
+    q = _filter_below(read_embeddings(sf_dir), n_queries).to_pandas().sort_values("vec_id")
     return q["vec_id"].to_numpy(), _normalize(_batch_matrix(q))
+
+
+def coarse_centroids(
+    emb: rd.Dataset, *, n_centroids: int = 16, iters: int = 2, sample: int = 4096
+) -> np.ndarray:
+    """Deterministic spherical-assignment k-means quantizer, SQL-replayable.
+
+    Training contract (mirrored term-for-term by ``oracles._centroid_cte``):
+
+    - seeds = the raw embeddings of ``vec_id < n_centroids`` (parquet floats,
+      bit-identical on both sides),
+    - per iteration: assign the training sample (``vec_id < sample`` — a
+      deterministic sample, never the whole corpus) to the argmax of the
+      1e-6-quantized cosine (ties -> lowest centroid id), then set each
+      centroid to the per-dim mean of its members' 1e-6-quantized raw
+      coordinates, itself re-quantized at 1e-9 — every accumulation is an
+      exact integer sum, so engine and DuckDB produce the same centroid
+      floats without any summation-order hazard; empty clusters keep their
+      previous centroid,
+    - cosine against unnormalized centroids is well-defined (scale
+      invariance); quantized-grid comparisons absorb the cross-engine ulp
+      noise exactly like the scoring stages (module docstring).
+    """
+    samp = _filter_below(emb, sample).to_pandas().sort_values("vec_id")
+    E = _batch_matrix(samp)  # raw (S, d)
+    En = _normalize(E)
+    Eq = np.floor(E * 1e6 + 0.5)  # int-valued float64 micro-coords (exact)
+    C = E[: int(n_centroids)].copy()
+    for _ in range(int(iters)):
+        Cn = _normalize(C)
+        sim_u = np.floor((En @ Cn.T) * 1e6 + 0.5).astype(np.int64)
+        assign = np.argmax(sim_u, axis=1)  # first max == lowest cid on ties
+        newC = C.copy()
+        for c in range(int(n_centroids)):
+            m = assign == c
+            if m.any():
+                mean = Eq[m].sum(axis=0) / (int(m.sum()) * 1e6)
+                newC[c] = np.floor(mean * 1e9 + 0.5) / 1e9
+        C = newC
+    return C
 
 
 class _ScoreStage:
@@ -99,12 +145,13 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     n_centroids: int = 16,
     nprobe: int = 2,
+    train_iters: int = 2,
 ) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs {id_a, id_b, cos_u}.
 
     Scale shape: each vector is assigned to its ``nprobe`` nearest coarse
-    centroids (deterministic first-C centroids, quantized-cosine ranking —
-    the knn_ivf quantizer), candidate pairs are generated **within buckets
+    centroids (deterministic k-means ``coarse_centroids``, quantized-cosine
+    ranking — the knn_ivf quantizer), candidate pairs are generated **within buckets
     only** (all-pairs per bucket via one matmul — no corpus-wide O(n^2)),
     then exact-cosine verified against the threshold.  Multi-probe
     assignment catches near-dups straddling a centroid boundary; like any
@@ -112,38 +159,27 @@ def embedding_near_dup_pairs(
     Duplicate pairs from shared buckets are deduped.  SQL-checkable:
     oracles.embedding_near_dups_sql replays the same bucketing in DuckDB.
     """
-    cent = (
-        emb.map_batches(lambda b: b[b["vec_id"] < n_centroids], batch_format="pandas")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    C = _normalize(_batch_matrix(cent))
+    C = _normalize(coarse_centroids(emb, n_centroids=n_centroids, iters=train_iters))
     cref = ray.put(C)
 
     class Assign:
         def __init__(self):
             self.C = ray.get(cref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            M = _normalize(_batch_matrix(b))
+        def __call__(self, t: pa.Table) -> pa.Table:
+            M = _normalize(np.stack(t["embedding"].to_pandas().to_numpy()))
             sim_u = np.floor((M @ self.C.T) * 1e6 + 0.5).astype(np.int64)  # (n, C)
             # per row: sim desc, cid asc on ties (stable argsort of -sim)
             order = np.argsort(-sim_u, axis=1, kind="stable")
-            outs = []
-            for r in range(nprobe):
-                bucket = order[:, r]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "bucket": bucket.astype(np.int64),
-                            "vec_id": b["vec_id"].to_numpy(),
-                            "embedding": list(b["embedding"]),
-                        }
-                    )
-                )
-            return pd.concat(outs, ignore_index=True)
+            n = len(M)
+            idx = np.tile(np.arange(n, dtype=np.int64), nprobe)
+            buckets = order[:, :nprobe].T.reshape(-1).astype(np.int64)
+            # Arrow take keeps the list-typed embedding column (no object-
+            # dtype round trip through pandas)
+            out = t.select(["vec_id", "embedding"]).take(pa.array(idx))
+            return out.append_column("bucket", pa.array(buckets))
 
-    rows = emb.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
+    rows = emb.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
     thr = threshold
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -203,20 +239,17 @@ def knn_ivf(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    train_iters: int = 2,
 ) -> rd.Dataset:
-    """IVF-flat: bucket by nearest centroid, probe nprobe buckets, exact re-rank.
+    """IVF-flat: k-means coarse quantizer (``coarse_centroids``), bucket by
+    nearest centroid, probe nprobe buckets, exact re-rank.
 
     Every ordering decision (bucket argmax, probe selection, partial and
     final top-k) happens on the 1e-6-quantized cosine grid with vec-id/
     centroid-id ascending tie-breaks, so the DuckDB oracle (oracles.py
     ``knn_ivf_sql``) reproduces the result exactly.
     """
-    cent = (
-        emb.map_batches(lambda b: b[b["vec_id"] < n_centroids], batch_format="pandas")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    C = _normalize(_batch_matrix(cent))  # (C, d)
+    C = _normalize(coarse_centroids(emb, n_centroids=n_centroids, iters=train_iters))
     cref = ray.put(C)
     qref = ray.put((qids, Q))
 
@@ -237,14 +270,16 @@ def knn_ivf(
             probed = _probe_sets(self.qids, self.Q, self.C)
             self.probe_buckets = np.array(sorted({c for s in probed.values() for c in s}))
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            M = _normalize(_batch_matrix(b))
+        def __call__(self, t: pa.Table) -> pa.Table:
+            M = _normalize(np.stack(t["embedding"].to_pandas().to_numpy()))
             sim_u = np.floor((M @ self.C.T) * 1e6 + 0.5).astype(np.int64)
             bucket = np.argmax(sim_u, axis=1)  # first max = lowest cid on ties
             keep = np.isin(bucket, self.probe_buckets)
-            return b[keep].assign(bucket=bucket[keep])
+            return t.filter(pa.array(keep)).append_column(
+                "bucket", pa.array(bucket[keep].astype(np.int64))
+            )
 
-    filtered = emb.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
+    filtered = emb.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
     class Score:
         def __init__(self):

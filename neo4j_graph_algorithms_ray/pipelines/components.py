@@ -36,7 +36,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from .graph_build import BuiltGraph
 
@@ -81,7 +80,7 @@ def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int =
     point every edge is a (child, min-root) star pointer.
     """
     import pandas as pd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     n_buckets = 64
 
@@ -131,30 +130,40 @@ def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int =
         is_large = large
 
         def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            """Per-key star emission, fully vectorized (segment reductions
+            over (key, val)-sorted rows — no Python loop over keys; key
+            cardinality scales with V)."""
+            empty = pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+            )
             if len(g) == 0 or "key" not in g.columns:
-                return pd.DataFrame(
-                    {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
-                )
-            outs_u, outs_v = [], []
-            for key, grp in g.groupby("key", sort=False):
-                vals = grp["val"].to_numpy()
-                m = min(int(vals.min()), int(key))
-                if is_large:
-                    big = vals[vals > key]
-                    tgt = np.unique(big)
-                else:
-                    tgt = np.unique(np.concatenate([vals, [key]]))
-                    tgt = tgt[tgt != m]
-                if len(tgt):
-                    outs_u.append(np.minimum(tgt, m))
-                    outs_v.append(np.maximum(tgt, m))
-            if not outs_u:
-                return pd.DataFrame(
-                    {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
-                )
-            uu = np.concatenate(outs_u)
-            vv = np.concatenate(outs_v)
-            m2 = np.unique(np.stack([uu, vv], axis=1), axis=0)
+                return empty
+            key = g["key"].to_numpy()
+            val = g["val"].to_numpy()
+            order = np.lexsort((val, key))
+            key, val = key[order], val[order]
+            keep = np.empty(len(key), dtype=bool)  # dedup (key, val) rows
+            keep[0] = True
+            keep[1:] = (key[1:] != key[:-1]) | (val[1:] != val[:-1])
+            key, val = key[keep], val[keep]
+            first = np.concatenate([[True], key[1:] != key[:-1]])
+            seg_id = np.cumsum(first) - 1
+            # per-segment min target = first val (rows sorted by val in-key)
+            m_seg = np.minimum(val[first], key[first])
+            m_row = m_seg[seg_id]
+            if is_large:
+                mask = val > key  # neighbors above the key re-point to m
+                uu, vv = m_row[mask], val[mask]
+            else:
+                mask = val != m_row  # all distinct targets except m itself
+                uu, vv = m_row[mask], val[mask]
+                kk = key[first]
+                kmask = kk != m_seg  # the key vertex is a target too
+                uu = np.concatenate([uu, m_seg[kmask]])
+                vv = np.concatenate([vv, kk[kmask]])
+            if not len(uu):
+                return empty
+            m2 = np.unique(np.stack([np.minimum(uu, vv), np.maximum(uu, vv)], axis=1), axis=0)
             return pd.DataFrame({"u": m2[:, 0], "v": m2[:, 1]})
 
         out = (
@@ -219,8 +228,11 @@ class ComponentsResult:
         return len(self.labels.unique("label"))
 
     def set_sizes(self) -> rd.Dataset:
-        """{label, size} — mirrors DisjointSetStruct.getSetSize (dss/DisjointSetStruct.java:238-244)."""
-        return self.labels.groupby("label").aggregate(Count(alias_name="size"))
+        """{label, size} — mirrors DisjointSetStruct.getSetSize (dss/DisjointSetStruct.java:238-244).
+        Component cardinality scales with V -> bucketed aggregate (stages/agg.py)."""
+        from ..stages.agg import bucketed_agg
+
+        return bucketed_agg(self.labels, "label", {"size": (None, "count")})
 
 
 def connected_components(

@@ -21,7 +21,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from ..functions import text as T
 
@@ -35,33 +34,25 @@ def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _shuffle_fan() -> int:
-    """Hash-shuffle partition count sized to the session (each partition
-    spawns an aggregator actor reserving a CPU fraction — oversized fans
-    deadlock small sessions, see stages/joins.py)."""
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(16, ncpu // 2))
+from ..stages.agg import bucketed_agg, shuffle_fan as _shuffle_fan
 
 
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     """{h: sha256(text), doc_id: min doc_id, n: group size} per distinct text.
 
     hash-partitioned first-wins dedup: vectorized content hash inside
-    map_batches, then one groupby shuffle on the digest.
+    map_batches, then one bucketed digest aggregate (stages/agg.py — digest
+    cardinality ~ #docs, far beyond the native Aggregate's per-key budget).
     """
 
     def add_hash(t: pa.Table) -> pa.Table:
         return pa.table({"h": pa.array(T.hash_strings_hex(t["text"], "sha256")), "doc_id": t["doc_id"]})
 
-    from ray.data.aggregate import Min
-
-    return (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h", num_partitions=_shuffle_fan())
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n"))
+    return bucketed_agg(
+        docs.select_columns(["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow"),
+        "h",
+        {"doc_id": ("doc_id", "min"), "n": (None, "count")},
+        types={"h": pa.string()},
     )
 
 
@@ -299,24 +290,23 @@ def minhash_dedup_pairs(
     npart = max(2, min(16, ncpu // 2))
     # dedup pairs surfaced by multiple bands: packed single-int key (doc ids
     # < 2^31) — a single-key groupby shuffles far cheaper than multi-key
-    cands = (
+    cands = bucketed_agg(
         cands.map_batches(
             lambda b: pd.DataFrame(
                 {"pk": (b["id_a"].to_numpy().astype(np.int64) << 32) | b["id_b"].to_numpy()}
             ),
             batch_format="pandas",
-        )
-        .groupby("pk")
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(
-            lambda b: pd.DataFrame(
-                {
-                    "id_a": b["pk"].to_numpy() >> 32,
-                    "id_b": b["pk"].to_numpy() & 0xFFFFFFFF,
-                }
-            ),
-            batch_format="pandas",
-        )
+        ),
+        "pk",
+        {"_n": (None, "count")},
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "id_a": b["pk"].to_numpy() >> 32,
+                "id_b": b["pk"].to_numpy() & 0xFFFFFFFF,
+            }
+        ),
+        batch_format="pandas",
     )
     texts = docs.select_columns(["doc_id", "text"])
     with_a = cands.join(
@@ -354,8 +344,6 @@ def ngram_jaccard_pairs(
     intersection counts are exact: |A∩B| from the index, |A∪B| from
     ``sz_a + sz_b - inter``.
     """
-    from ray.data.aggregate import Sum
-
     from ..stages.joins import lookup_join
 
     did_t = "doc_id"
@@ -423,12 +411,12 @@ def ngram_jaccard_pairs(
         pk, inter = np.unique(np.concatenate(pks), return_counts=True)
         return pd.DataFrame({"pk": pk, "inter": inter.astype(np.int64)})
 
-    inter = (
+    inter = bucketed_agg(
         grams.map_batches(tag, batch_format="pandas")
         .groupby("bucket", num_partitions=_shuffle_fan())
-        .map_groups(bucket_pair_counts, batch_format="pandas")
-        .groupby("pk", num_partitions=_shuffle_fan())
-        .aggregate(Sum("inter", alias_name="inter"))
+        .map_groups(bucket_pair_counts, batch_format="pandas"),
+        "pk",
+        {"inter": ("inter", "sum")},
     )
 
     def unpack(b: pd.DataFrame) -> pd.DataFrame:
@@ -533,40 +521,64 @@ def simhash_near_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
         return b
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for (_, _), grp in g.groupby(["band", "bh"], sort=False):
-            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            if len(ids) < 2:
+        """Size-class-vectorized pair generation + hamming verify (no Python
+        loop over the (band, bh) groups — group count scales with the corpus)."""
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "hamming": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        band = g["band"].to_numpy()
+        bh = g["bh"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        sig = g["sig"].to_numpy().view(np.uint64)
+        order = np.lexsort((did, bh, band))
+        band, bh, did, sig = band[order], bh[order], did[order], sig[order]
+        keep = np.empty(len(did), dtype=bool)  # dedup (band, bh, doc_id)
+        keep[0] = True
+        keep[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]) | (did[1:] != did[:-1])
+        band, bh, did, sig = band[keep], bh[keep], did[keep], sig[keep]
+        gnew = np.empty(len(did), dtype=bool)
+        gnew[0] = True
+        gnew[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        counts = np.diff(np.append(np.flatnonzero(gnew), len(did)))
+        starts = np.cumsum(counts) - counts
+        out_a, out_b, out_h = [], [], []
+        for s in np.unique(counts):
+            if s < 2:
                 continue
-            sg = grp["sig"].to_numpy().view(np.uint64)
-            ii, jj = np.triu_indices(len(ids), k=1)
-            hd = T.hamming64(sg[ii], sg[jj])
-            keep = hd <= mh
-            if keep.any():
-                outs.append(
-                    pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep], "hamming": hd[keep]})
-                )
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype=np.int64),
-                    "id_b": pd.Series(dtype=np.int64),
-                    "hamming": pd.Series(dtype=np.int64),
-                }
-            )
-        return pd.concat(outs, ignore_index=True)
+            gs = starts[counts == s]
+            m = gs[:, None] + np.arange(s)[None, :]  # (n_groups, s) row indices
+            ii, jj = np.triu_indices(s, k=1)
+            ia, ib = m[:, ii].ravel(), m[:, jj].ravel()
+            hd = T.hamming64(sig[ia], sig[ib])
+            ok = hd <= mh
+            if ok.any():
+                out_a.append(did[ia[ok]])
+                out_b.append(did[ib[ok]])
+                out_h.append(hd[ok])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h).astype(np.int64),
+            }
+        )
 
     pairs = (
         rows.map_batches(tag, batch_format="pandas")
         .groupby("bucket", num_partitions=_shuffle_fan())
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["id_a", "id_b"], num_partitions=_shuffle_fan()).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    # dedup pairs surfaced by multiple bands (pair cardinality scales with
+    # the corpus — bucketed aggregate, stages/agg.py)
+    return bucketed_agg(pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")})
 
 
 # ---------------------------------------------------------------------------

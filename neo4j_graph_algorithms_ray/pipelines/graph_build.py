@@ -28,8 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
-
+from ..stages.agg import bucketed_agg
 from ..stages.extract import extract_edges
 from ..stages.ids import vertex_table_from_corpus
 from ..stages.joins import lookup_vids
@@ -190,10 +189,15 @@ def build_graph(
 
     edges_str = extract_edges(corpus_ds, default_weight=default_weight)
     edges = lookup_vids(edges_str, vertices, n_vertices)
+    # parallel-edge dedup: key cardinality ~ #edges -> bucketed aggregate
     if dedup == "first":
-        edges = edges.groupby(["src", "dst"]).aggregate(Min("weight", alias_name="weight"))
+        edges = bucketed_agg(
+            edges, ["src", "dst"], {"weight": ("weight", "min")}, types={"weight": pa.float64()}
+        )
     elif dedup == "sum":
-        edges = edges.groupby(["src", "dst"]).aggregate(Sum("weight", alias_name="weight"))
+        edges = bucketed_agg(
+            edges, ["src", "dst"], {"weight": ("weight", "sum")}, types={"weight": pa.float64()}
+        )
     return _partition_and_manifest(edges, n_vertices, workdir, P, default_weight, sample_cap)
 
 

@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from .components import _contract_batch
 from .graph_build import BuiltGraph
@@ -47,8 +47,9 @@ class MstResult:
 
 
 def _canon_edges(graph: BuiltGraph) -> rd.Dataset:
-    """Undirected dedup to (u < v) with min weight per pair."""
-    from ray.data.aggregate import Min
+    """Undirected dedup to (u < v) with min weight per pair (pair cardinality
+    ~ #edges -> bucketed aggregate, stages/agg.py)."""
+    from ..stages.agg import bucketed_agg
 
     def canon(t: pa.Table) -> pa.Table:
         u = pc.min_element_wise(t["src"], t["dst"])
@@ -56,11 +57,13 @@ def _canon_edges(graph: BuiltGraph) -> rd.Dataset:
         keep = pc.not_equal(u, v)
         return pa.table({"u": u, "v": v, "w": t["weight"]}).filter(keep)
 
-    return (
-        graph.edges_ds(columns=["src", "dst", "weight"])
-        .map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Min("w", alias_name="w"))
+    return bucketed_agg(
+        graph.edges_ds(columns=["src", "dst", "weight"]).map_batches(
+            canon, batch_format="pyarrow"
+        ),
+        ["u", "v"],
+        {"w": ("w", "min")},
+        types={"w": pa.float64()},
     )
 
 
@@ -210,12 +213,18 @@ def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64) -> MstResult:
     npart = max(2, graph.P)
     edges = _canon_edges(graph).materialize()  # {u, v, w}
     # labels live as a Dataset keyed by vid (only vertices touching edges matter)
-    labels = edges.map_batches(
-        lambda t: pa.table(
-            {"vid": pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()])}
+    from ..stages.agg import bucketed_agg
+
+    labels = bucketed_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"vid": pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()])}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
-    ).groupby("vid").count().map_batches(
+        "vid",
+        {"_n": (None, "count")},
+    ).map_batches(
         lambda t: pa.table({"vid": t["vid"], "comp": t["vid"]}), batch_format="pyarrow"
     ).materialize()
 
@@ -279,19 +288,15 @@ def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64) -> MstResult:
                 {c: pa.array(b[c].to_numpy()).cast(ty) for c, ty in zip(cols, types)}
             )
 
-        sel = (
+        sel = bucketed_agg(
             cross.map_batches(two_sided, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(bucket_min, batch_format="pandas")
-            .map_batches(normalize, batch_format="pandas")
-            .groupby(["u", "v"])  # an edge may win for both endpoints
-            .aggregate(
-                Min("w", alias_name="w"),
-                Min("cu", alias_name="cu"),
-                Min("cv", alias_name="cv"),
-            )
-            .materialize()
-        )
+            .map_batches(normalize, batch_format="pandas"),
+            ["u", "v"],  # an edge may win for both endpoints
+            {"w": ("w", "min"), "cu": ("cu", "min"), "cv": ("cv", "min")},
+            types={"w": pa.float64()},
+        ).materialize()
         chosen.append(sel.select_columns(["u", "v", "w"]).materialize())
 
         # contract the merged components and fold the mapping into labels
@@ -360,10 +365,15 @@ def mst_summary(graph: BuiltGraph, cc_labels: rd.Dataset | None = None) -> pd.Da
 
         cc_labels = connected_components(graph).labels
     npart = max(2, graph.P)
+    from ..stages.agg import bucketed_agg
+
     lab_u = cc_labels.rename_columns({"vid": "u"})
     tagged = res.edges.join(lab_u, "inner", npart, on=("u",))
-    agg = tagged.groupby("label").aggregate(
-        Count(alias_name="n_edges"), Sum("weight", alias_name="ws")
+    agg = bucketed_agg(
+        tagged,
+        "label",
+        {"n_edges": (None, "count"), "ws": ("weight", "sum")},
+        types={"ws": pa.float64()},
     )
     df = agg.to_pandas()
     df["weight_u"] = np.floor(df["ws"].to_numpy(dtype=np.float64) * 1000 + 0.5).astype(np.int64)

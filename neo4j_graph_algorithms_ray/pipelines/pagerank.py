@@ -21,10 +21,10 @@ Execution: P ``PageRankShard`` actors (state/shards.py).  Two exchange modes:
   ``np.bincount``.  This is the same data movement as a hash shuffle without
   per-iteration DAG overhead.
 - ``exchange='groupby'``: the message tables become a Dataset
-  (``from_arrow_refs``, zero-copy) which is combined with
-  ``groupby('dst').aggregate(Sum)`` and routed back to shards by a
-  ``map_batches`` stage — the literal north-star formulation, kept for
-  parity/benchmarking.
+  (``from_arrow_refs``, zero-copy) which is combined with a
+  ``groupby('dst')`` sum shuffle (stages/agg.py bucketed form — per-dst
+  cardinality ~ V) and routed back to shards by a ``map_batches`` stage —
+  the literal north-star formulation, kept for parity/benchmarking.
 
 Float64 end-to-end (the reference's x100_000 int fixed-point exists only to
 avoid atomic doubles; shard-owned state does not need it).
@@ -91,11 +91,13 @@ class _RouteApply:
 
 
 def _exchange_groupby(actors, P, bounds):
-    from ray.data.aggregate import Sum
+    from ..stages.agg import bucketed_agg
 
     refs = [a.push_all.remote() for a in actors]
     msgs = rd.from_arrow_refs(refs)
-    agg = msgs.groupby("dst").aggregate(Sum("contrib", alias_name="contrib"))
+    # per-dst cardinality ~ V -> bucketed aggregate (stages/agg.py); the
+    # native sort-based Aggregate walks groups in per-key Python
+    agg = bucketed_agg(msgs, "dst", {"contrib": ("contrib", "sum")}, types={"contrib": pa.float64()})
     routed = agg.map_batches(
         _RouteApply(actors, bounds), batch_format="pyarrow", batch_size=65536, concurrency=1
     )

@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
+from ..stages.agg import bucketed_agg
+
 
 def read_table(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
@@ -52,8 +54,12 @@ def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Join orders->customer, total spend per customer, top-k by spend."""
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    spend = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spend"), Count(alias_name="n_orders")
+    # per-customer cardinality scales with the data -> bucketed aggregate
+    spend = bucketed_agg(
+        orders,
+        "o_custkey",
+        {"total_spend": ("o_totalprice", "sum"), "n_orders": (None, "count")},
+        types={"total_spend": pa.float64()},
     )
     joined = spend.join(cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
     # deterministic order: spend desc, custkey asc
@@ -84,10 +90,12 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         w = b["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
         return pd.DataFrame({"event_type": b["event_type"], "window_start": w, "value": b["value"]})
 
-    return (
-        ev.map_batches(win, batch_format="pandas")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    # (type x hour) cardinality scales with the time span -> bucketed aggregate
+    return bucketed_agg(
+        ev.map_batches(win, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": (None, "count"), "sum_value": ("value", "sum")},
+        types={"event_type": pa.string(), "sum_value": pa.float64()},
     )
 
 

@@ -16,7 +16,6 @@ from dataclasses import dataclass, field
 import numpy as np
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from ..state.scc_shard import SccShard
 from ..state.shards import make_shard_actors
@@ -33,7 +32,9 @@ class SccResult:
         return len(self.labels.unique("label"))
 
     def set_sizes(self) -> rd.Dataset:
-        return self.labels.groupby("label").aggregate(Count(alias_name="size"))
+        from ..stages.agg import bucketed_agg
+
+        return bucketed_agg(self.labels, "label", {"size": (None, "count")})
 
 
 def _phase_to_fixpoint(actors, begin: str, step: str, begin_args=(), max_rounds=10_000) -> None:

@@ -202,10 +202,11 @@ def embedding_near_dup_pairs(
         )
 
     pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    # dedup pairs found in multiple shared buckets (packed single-int key)
-    from ray.data.aggregate import Min as _Min
+    # dedup pairs found in multiple shared buckets (packed single-int key;
+    # pair cardinality scales with the corpus -> bucketed aggregate)
+    from ..stages.agg import bucketed_agg
 
-    return (
+    return bucketed_agg(
         pairs.map_batches(
             lambda b: pd.DataFrame(
                 {
@@ -215,19 +216,18 @@ def embedding_near_dup_pairs(
                 }
             ),
             batch_format="pandas",
-        )
-        .groupby("pk")
-        .aggregate(_Min("cos_u", alias_name="cos_u"))
-        .map_batches(
-            lambda b: pd.DataFrame(
-                {
-                    "id_a": b["pk"].to_numpy() >> 32,
-                    "id_b": b["pk"].to_numpy() & 0xFFFFFFFF,
-                    "cos_u": b["cos_u"].to_numpy(),
-                }
-            ),
-            batch_format="pandas",
-        )
+        ),
+        "pk",
+        {"cos_u": ("cos_u", "min")},
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "id_a": b["pk"].to_numpy() >> 32,
+                "id_b": b["pk"].to_numpy() & 0xFFFFFFFF,
+                "cos_u": b["cos_u"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
     )
 
 

@@ -38,7 +38,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from .graph_build import BuiltGraph, partition_edges
 import os
@@ -273,10 +272,11 @@ def _degrees(canon: rd.Dataset) -> rd.Dataset:
         )
         return pa.table({"vid": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
 
-    return (
-        canon.map_batches(partial, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("n", alias_name="deg"))
+    from ..stages.agg import bucketed_agg
+
+    # per-vertex cardinality -> bucketed aggregate (stages/agg.py)
+    return bucketed_agg(
+        canon.map_batches(partial, batch_format="pyarrow"), "vid", {"deg": ("n", "sum")}
     )
 
 
@@ -511,10 +511,10 @@ def _count_dataset_shuffle(
         vals, counts = np.unique(allv, return_counts=True)
         return pa.table({"vid": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
 
-    per_corner = (
-        triangles.map_batches(corner_partial, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("n", alias_name="t"))
+    from ..stages.agg import bucketed_agg
+
+    per_corner = bucketed_agg(
+        triangles.map_batches(corner_partial, batch_format="pyarrow"), "vid", {"t": ("n", "sum")}
     )
     verts = graph.vertices_ds().select_columns(["vid"])
     counts = verts.join(per_corner, "left_outer", max(1, graph.P), on=("vid",)).map_batches(

@@ -1,0 +1,132 @@
+"""Bucketed high-cardinality groupby-aggregate.
+
+Ray Data's native ``groupby().aggregate()`` (sort-based AllToAll) walks group
+boundaries in per-group Python — measured ~1.3 ms per distinct key on this
+build regardless of row volume (26k rows / 25k keys: 34 s; same rows / 100
+keys: well under a second).  Any aggregate whose key cardinality scales with
+the data (per-pair intersection counts, per-vertex sums, content digests,
+per-customer totals) therefore becomes a hidden per-key Python loop.
+
+This stage keeps identical semantics but bounds the per-group Python work at
+``fan`` coarse groups:
+
+- **map-side combine**: a per-block pandas groupby (C kernel) first reduces
+  each block to one row per distinct key — the shuffle ships pre-aggregated
+  rows, never raw rows (the combiner the north star calls for),
+- **coarse-bucket shuffle**: rows move on ``hash(key) % fan`` (single int
+  column, ``fan`` groups) so Ray's sort/partition step sees ``fan`` groups,
+  not millions; every distinct key lands wholly in one bucket,
+- **per-bucket final combine**: one vectorized pandas groupby per bucket.
+
+Supported ops: ``sum`` / ``count`` / ``min`` / ``max`` (count folds as a sum
+of partial counts).  Reference parity note: the reference's aggregates are
+array reductions by dense id (SURVEY.md §2.7); this is their shuffle form for
+keys that don't fit a dense array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_PARTIAL_OP = {"sum": "sum", "count": "size", "min": "min", "max": "max"}
+_FOLD_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def shuffle_fan() -> int:
+    """Hash-shuffle partition count sized to the session (each partition
+    spawns an aggregator actor reserving a CPU fraction — oversized fans
+    deadlock small sessions, see stages/joins.py)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(16, ncpu // 2))
+
+
+def _bucket_ids(df: pd.DataFrame, keys: list[str], fan: int) -> np.ndarray:
+    if len(keys) == 1 and df[keys[0]].dtype.kind in "iu":
+        k = df[keys[0]].to_numpy().astype(np.uint64, copy=False)
+        h = k * np.uint64(0x9E3779B97F4A7C15)
+    else:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+    return ((h >> np.uint64(33)) % np.uint64(fan)).astype(np.int64)
+
+
+def bucketed_agg(
+    ds: rd.Dataset,
+    keys: "str | list[str]",
+    spec: dict,
+    *,
+    fan: int = 64,
+    num_partitions: int | None = None,
+    types: "dict[str, pa.DataType] | None" = None,
+) -> rd.Dataset:
+    """``groupby(keys).aggregate`` with bounded per-group Python work.
+
+    ``spec`` maps output column -> ``(input_column, op)`` with op in
+    {'sum','count','min','max'} (input column ignored for 'count').
+    ``types`` pins the output Arrow schema so empty blocks (an empty input
+    block, a padding partition from ``map_groups``) can't poison downstream
+    schema inference; without it empty blocks default every column to int64 —
+    pass ``types`` whenever any key/output column is not int64.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    fan = int(fan)
+
+    def _agg_kwargs(stage: str) -> dict:
+        table = _PARTIAL_OP if stage == "partial" else _FOLD_OP
+        out = {}
+        for name, (col, op) in spec.items():
+            src = name if stage == "fold" else (keys[0] if op == "count" else col)
+            out[name] = pd.NamedAgg(column=src, aggfunc=table[op])
+        return out
+
+    partial_kwargs = _agg_kwargs("partial")
+    fold_kwargs = _agg_kwargs("fold")
+    out_cols = keys + list(spec.keys())
+
+    def _empty_pd() -> pd.DataFrame:
+        cols = out_cols + ["__b"]
+        if types is not None:
+            t = pa.table({c: pa.array([], types.get(c, pa.int64())) for c in cols})
+            return t.to_pandas()
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+
+    def _empty_arrow() -> pa.Table:
+        t = types or {}
+        return pa.table({c: pa.array([], t.get(c, pa.int64())) for c in out_cols})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _empty_pd()
+        g = b.groupby(keys, as_index=False, sort=False, dropna=False).agg(**partial_kwargs)
+        g["__b"] = _bucket_ids(g, keys, fan)
+        return g
+
+    # fold emits ARROW blocks: downstream zero-copy ops (rename_columns /
+    # select_columns -> Project) assume Arrow-convertible blocks, and pandas
+    # blocks also round-trip object dtypes badly.
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or keys[0] not in g.columns:
+            return _empty_arrow()
+        out = g.groupby(keys, as_index=False, sort=False, dropna=False).agg(**fold_kwargs)
+        t = pa.Table.from_pandas(out[out_cols], preserve_index=False)
+        if types is not None:
+            t = t.cast(
+                pa.schema(
+                    [
+                        pa.field(c, types.get(c, t.schema.field(c).type))
+                        for c in out_cols
+                    ]
+                )
+            )
+        return t
+
+    npart = num_partitions if num_partitions is not None else shuffle_fan()
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b", num_partitions=npart)
+        .map_groups(fold, batch_format="pandas")
+    )

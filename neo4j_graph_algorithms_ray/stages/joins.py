@@ -210,12 +210,8 @@ def small_group_agg(
         allp = pd.concat(parts, ignore_index=True)
         fold = {"sum": "sum", "count": "sum", "max": "max", "min": "min"}[op]
         return allp.groupby(key, as_index=False).agg(**{out: (out, fold)}).sort_values(key).reset_index(drop=True)
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from .agg import bucketed_agg
 
-    agg = {
-        "sum": Sum(vcol, alias_name=out),
-        "max": Max(vcol, alias_name=out),
-        "min": Min(vcol, alias_name=out),
-        "count": Count(alias_name=out),
-    }[op]
-    return ds.groupby(key).aggregate(agg)
+    # overflow path: key cardinality too high for a driver fold — and far too
+    # high for the native per-key-Python Aggregate; bucketed shuffle instead
+    return bucketed_agg(ds, key, {out: (vcol if op != "count" else None, op)})

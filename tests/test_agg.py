@@ -1,0 +1,82 @@
+"""bucketed_agg (stages/agg.py) — semantics equal pandas groupby-agg."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.stages.agg import bucketed_agg
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(7)
+    n = 20_000
+    return pd.DataFrame(
+        {
+            "k1": rng.integers(0, 6_000, n).astype(np.int64),
+            "k2": rng.choice(list("abcd"), n),
+            "v": rng.normal(size=n),
+            "w": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+
+
+def test_single_int_key_all_ops(ray_session, frame):
+    ds = rd.from_pandas(frame).repartition(8)
+    got = (
+        bucketed_agg(
+            ds,
+            "k1",
+            {"s": ("v", "sum"), "n": (None, "count"), "mn": ("w", "min"), "mx": ("w", "max")},
+            types={"s": pa.float64()},
+        )
+        .to_pandas()
+        .sort_values("k1")
+        .reset_index(drop=True)
+    )
+    exp = (
+        frame.groupby("k1", as_index=False)
+        .agg(s=("v", "sum"), n=("v", "size"), mn=("w", "min"), mx=("w", "max"))
+        .sort_values("k1")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["k1"].to_numpy() == exp["k1"].to_numpy()).all()
+    np.testing.assert_allclose(got["s"], exp["s"], atol=1e-9)
+    for c in ("n", "mn", "mx"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+
+
+def test_multi_key_with_string(ray_session, frame):
+    ds = rd.from_pandas(frame).repartition(8)
+    got = (
+        bucketed_agg(
+            ds,
+            ["k2", "k1"],
+            {"s": ("v", "sum"), "n": (None, "count")},
+            types={"k2": pa.string(), "s": pa.float64()},
+        )
+        .to_pandas()
+        .sort_values(["k2", "k1"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        frame.groupby(["k2", "k1"], as_index=False)
+        .agg(s=("v", "sum"), n=("v", "size"))
+        .sort_values(["k2", "k1"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert list(got["k2"]) == list(exp["k2"])
+    np.testing.assert_allclose(got["s"], exp["s"], atol=1e-9)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_empty_input(ray_session):
+    eds = rd.from_pandas(
+        pd.DataFrame({"k": pd.Series(dtype=np.int64), "v": pd.Series(dtype=float)})
+    )
+    out = bucketed_agg(eds, "k", {"s": ("v", "sum")}, types={"s": pa.float64()})
+    assert out.count() == 0

@@ -170,6 +170,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resized": lambda sf: M.resize(
             M.decode_metadata(M.attach_binary_payload(D.read_documents(sf)))
         ),
+        "multimodal_frames": lambda sf: M.frame_sample(
+            M.decode_metadata(M.attach_binary_payload(D.read_documents(sf))), every=2
+        ),
+        "multimodal_features": lambda sf: M.feature_extract(
+            M.attach_binary_payload(D.read_documents(sf))
+        ),
         # relational coverage
         "lineitem_summary": lineitem_summary,
         "top_customers": topk_customers,
@@ -336,6 +342,25 @@ SELECT doc_id,
        CAST(floor(h * s + 0.5) AS BIGINT) AS height,
        CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS scale_u
 FROM (SELECT doc_id, w, h, least(1.0, least(32.0 / w, 32.0 / h)) AS s FROM m)""",
+        "multimodal_frames": """
+SELECT doc_id, unnest(range(0, 1 + strlen(text) % 8, 2)) AS frame
+FROM documents""",
+        "multimodal_features": """
+WITH m AS (
+  SELECT doc_id, strlen(text) AS ln,
+         len(regexp_extract_all(text, '[a-z]')) AS c0,
+         len(regexp_extract_all(text, '[A-Z]')) AS c1,
+         len(regexp_extract_all(text, '[0-9]')) AS c2,
+         len(regexp_extract_all(text, '[ \t\n\r]')) AS c3
+  FROM documents),
+u AS (
+  SELECT doc_id, ln,
+         unnest([0, 1, 2, 3, 4, 5]) AS dim,
+         unnest([c0, c1, c2, c3, ln - c0 - c1 - c2 - c3, 0]) AS n
+  FROM m)
+SELECT doc_id, dim, n,
+       CAST(floor(n / greatest(ln, 1) * 1000000 + 0.5) AS BIGINT) AS feat_u
+FROM u""",
         "lineitem_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity) * 1000 + 0.5) AS BIGINT) AS sum_qty,

@@ -58,6 +58,7 @@ _CATALOG = [
     ("multimodal.decode", "dataprep", "(training-data op)", "pipelines.multimodal.decode_metadata"),
     ("multimodal.resize", "dataprep", "(training-data op; stubbed resampler)", "pipelines.multimodal.resize"),
     ("multimodal.framesample", "dataprep", "(training-data op)", "pipelines.multimodal.frame_sample"),
+    ("multimodal.featureextract", "dataprep", "(training-data op; stubbed model)", "pipelines.multimodal.feature_extract"),
     ("procs.algo", "api", "Cypher procedure surface (readme.adoc:90-105)", "procs.algo (stats rows + .stream Datasets)"),
     ("checkpoint.resume", "infra", "(north-rule requirement)", "state.checkpoint.CheckpointManager"),
 ]

@@ -51,41 +51,62 @@ def attach_binary_payload(docs: rd.Dataset) -> rd.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(enc, batch_format="pyarrow")
 
 
+def _payload_bytes(t: pa.Table):
+    """Zero-copy view of a binary column: (flat uint8 data, int offsets)."""
+    arr = t["payload"].combine_chunks()
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, off.astype(np.int64)
+
+
 class DecodeStage:
     """Actor-pool decode: header parse -> typed metadata (+ fake feature vec).
 
     Real decoding would load the codec in ``__init__`` (once per actor) and
     decode per batch; small ``batch_size`` keeps batch x concurrency of wide
     binary rows inside worker heaps.  ``real=True`` raises — no codec libs in
-    this environment.
+    this environment.  The fake header parse is vectorized over the Arrow
+    binary buffer (no per-row Python).
     """
 
     def __init__(self, real: bool = False, feature_dim: int = 8):
         if real:
             raise NotImplementedError("no image/audio codecs in this environment; use real=False")
-        self.feature_dim = feature_dim
+        self.feature_dim = int(feature_dim)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n_bytes, widths, heights, frames, feats = [], [], [], [], []
-        for buf in t["payload"].to_pylist():
-            assert buf[:4] == b"FAKE", "bad magic"
-            (ln,) = struct.unpack(">I", buf[4:8])
-            n_bytes.append(8 + ln)
-            widths.append(16 + ln % 64)
-            heights.append(16 + (ln * 7) % 64)
-            frames.append(1 + ln % 8)
-            # deterministic fake feature: byte histogram projection
-            arr = np.frombuffer(buf[8:], dtype=np.uint8)
-            f = np.bincount(arr % self.feature_dim, minlength=self.feature_dim).astype(np.float32)
-            feats.append(f / max(1.0, f.sum()))
+        data, off = _payload_bytes(t)
+        starts = off[:-1]
+        assert (data[starts] == ord("F")).all() and (data[starts + 1] == ord("A")).all(), "bad magic"
+        ln = (
+            (data[starts + 4].astype(np.int64) << 24)
+            | (data[starts + 5].astype(np.int64) << 16)
+            | (data[starts + 6].astype(np.int64) << 8)
+            | data[starts + 7].astype(np.int64)
+        )
+        # fake feature: histogram of body-byte % dim, L1-normalized
+        d = self.feature_dim
+        n = len(starts)
+        body_len = ln
+        row_id = np.repeat(np.arange(n, dtype=np.int64), body_len)
+        csum = np.cumsum(body_len) - body_len
+        pos = np.arange(int(body_len.sum()), dtype=np.int64) - np.repeat(csum, body_len) + np.repeat(
+            starts + 8, body_len
+        )
+        cls = data[pos].astype(np.int64) % d
+        counts = np.bincount(row_id * d + cls, minlength=n * d).reshape(n, d).astype(np.float32)
+        feats = counts / np.maximum(1.0, counts.sum(axis=1, keepdims=True))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_bytes": pa.array(n_bytes, pa.int64()),
-                "width": pa.array(widths, pa.int64()),
-                "height": pa.array(heights, pa.int64()),
-                "n_frames": pa.array(frames, pa.int64()),
-                "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+                "n_bytes": pa.array(8 + ln, pa.int64()),
+                "width": pa.array(16 + ln % 64, pa.int64()),
+                "height": pa.array(16 + (ln * 7) % 64, pa.int64()),
+                "n_frames": pa.array(1 + ln % 8, pa.int64()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.float32()), d
+                ),
             }
         )
 
@@ -143,16 +164,91 @@ def resize(decoded: rd.Dataset, *, max_w: int = 32, max_h: int = 32,
 
 
 def frame_sample(decoded: rd.Dataset, *, every: int = 2) -> rd.Dataset:
-    """Frame-sampling stub: expand each item to its sampled frame indices."""
+    """Frame sampling: expand each item to its every-``every``-th frame index
+    {doc_id, frame} (a real sampler would additionally slice the payload per
+    frame — the codec-free environment stops at the index plan).  Vectorized
+    repeat/arange expansion — no per-row Python."""
 
     def stage(t: pa.Table) -> pa.Table:
-        doc_ids, frame_idx = [], []
-        for d, nf in zip(t["doc_id"].to_pylist(), t["n_frames"].to_pylist()):
-            idx = list(range(0, nf, every))
-            doc_ids.extend([d] * len(idx))
-            frame_idx.extend(idx)
+        nf = t["n_frames"].to_numpy().astype(np.int64)
+        did = t["doc_id"].to_numpy()
+        k = (nf + every - 1) // every  # sampled frames per item
+        row = np.repeat(np.arange(len(nf), dtype=np.int64), k)
+        csum = np.cumsum(k) - k
+        frame = (np.arange(int(k.sum()), dtype=np.int64) - np.repeat(csum, k)) * every
         return pa.table(
-            {"doc_id": pa.array(doc_ids, pa.int64()), "frame": pa.array(frame_idx, pa.int64())}
+            {"doc_id": pa.array(did[row], pa.int64()), "frame": pa.array(frame, pa.int64())}
         )
 
     return decoded.select_columns(["doc_id", "n_frames"]).map_batches(stage, batch_format="pyarrow")
+
+
+# ASCII byte classes for the feature histogram (index = feature dimension):
+# 0 lower, 1 upper, 2 digit, 3 whitespace, 4 other-ASCII, 5 non-ASCII byte.
+_N_CLASSES = 6
+
+
+def _class_lut() -> np.ndarray:
+    lut = np.full(256, 4, dtype=np.int64)
+    lut[ord("a") : ord("z") + 1] = 0
+    lut[ord("A") : ord("Z") + 1] = 1
+    lut[ord("0") : ord("9") + 1] = 2
+    for b in b" \t\n\r":
+        lut[b] = 3
+    lut[128:] = 5
+    return lut
+
+
+class FeatureStage:
+    """Actor-pool feature extraction from the binary payload: 6-dim byte-class
+    histogram (lower/upper/digit/whitespace/other-ASCII/non-ASCII), emitted
+    unnested as {doc_id, dim, n, feat_u} with ``feat_u = floor(n/len * 1e6
+    + 0.5)`` so DuckDB replays it exactly (regexp class counts on ASCII
+    corpora).  A real embedding model would load in ``__init__`` (once per
+    actor) and batch-infer in ``__call__``; the histogram kernel is the
+    deterministic stand-in with the same Ray plumbing.  Vectorized: one
+    lookup-table gather + bincount over the flat payload buffer per batch.
+    """
+
+    def __init__(self, real: bool = False):
+        if real:
+            raise NotImplementedError("no model runtimes in this environment; use real=False")
+        self.lut = _class_lut()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        data, off = _payload_bytes(t)
+        starts = off[:-1]
+        ln = off[1:] - starts - 8  # body length (skip the 8-byte fake header)
+        n = len(starts)
+        row_id = np.repeat(np.arange(n, dtype=np.int64), ln)
+        csum = np.cumsum(ln) - ln
+        pos = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(csum, ln) + np.repeat(
+            starts + 8, ln
+        )
+        cls = self.lut[data[pos]]
+        counts = np.bincount(row_id * _N_CLASSES + cls, minlength=n * _N_CLASSES).reshape(
+            n, _N_CLASSES
+        )
+        ratio = counts / np.maximum(ln, 1)[:, None]
+        did = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(did, _N_CLASSES), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(_N_CLASSES, dtype=np.int64), n)),
+                "n": pa.array(counts.reshape(-1), pa.int64()),
+                "feat_u": pa.array(
+                    np.floor(ratio.reshape(-1) * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def feature_extract(binary_ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 256) -> rd.Dataset:
+    """Binary payload -> unnested feature histogram {doc_id, dim, n, feat_u}."""
+    return binary_ds.map_batches(
+        FeatureStage,
+        fn_constructor_kwargs={"real": False},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

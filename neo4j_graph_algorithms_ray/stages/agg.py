@@ -36,13 +36,16 @@ _FOLD_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
 def shuffle_fan() -> int:
-    """Hash-shuffle partition count sized to the session (each partition
-    spawns an aggregator actor reserving a CPU fraction — oversized fans
-    deadlock small sessions, see stages/joins.py)."""
+    """Hash-shuffle partition count sized to the session: ``ncpu // 2``
+    (each partition spawns an aggregator actor reserving a CPU fraction —
+    oversized fans deadlock small sessions, see stages/joins.py; the fan
+    must also GROW with the cluster or a fixed count becomes the shuffle
+    bottleneck at scale).  The 256 ceiling bounds aggregator-actor count on
+    very large clusters (256 x 0.125 CPU reserved = 32 CPUs)."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(16, ncpu // 2))
+    return max(2, min(ncpu // 2, 256))
 
 
 def _bucket_ids(df: pd.DataFrame, keys: list[str], fan: int) -> np.ndarray:
@@ -59,7 +62,7 @@ def bucketed_agg(
     keys: "str | list[str]",
     spec: dict,
     *,
-    fan: int = 64,
+    fan: int | None = None,
     num_partitions: int | None = None,
     types: "dict[str, pa.DataType] | None" = None,
 ) -> rd.Dataset:
@@ -67,13 +70,15 @@ def bucketed_agg(
 
     ``spec`` maps output column -> ``(input_column, op)`` with op in
     {'sum','count','min','max'} (input column ignored for 'count').
+    ``fan`` (coarse-bucket count) defaults to ``max(64, 4x shuffle_fan())``
+    so final-fold parallelism keeps scaling with the cluster.
     ``types`` pins the output Arrow schema so empty blocks (an empty input
     block, a padding partition from ``map_groups``) can't poison downstream
     schema inference; without it empty blocks default every column to int64 —
     pass ``types`` whenever any key/output column is not int64.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    fan = int(fan)
+    fan = int(fan) if fan is not None else max(64, 4 * shuffle_fan())
 
     def _agg_kwargs(stage: str) -> dict:
         table = _PARTIAL_OP if stage == "partial" else _FOLD_OP

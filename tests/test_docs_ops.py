@@ -154,8 +154,24 @@ def test_multimodal_roundtrip():
     assert meta["width"].tolist() == [16 + 11 % 64, 16 + 3 % 64]
     frames = M.frame_sample(M.decode_metadata(binr), every=2).to_pandas()
     assert (frames["frame"] % 2 == 0).all()
+    # "hello world" -> 11 bytes -> n_frames = 1 + 11 % 8 = 4 -> frames 0, 2
+    assert sorted(frames[frames["doc_id"] == 1]["frame"]) == [0, 2]
     with pytest.raises(NotImplementedError):
         M.DecodeStage(real=True)
+
+
+def test_multimodal_feature_extract():
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["Ab1 \tz"])})
+    )
+    f = M.feature_extract(M.attach_binary_payload(docs)).to_pandas().sort_values("dim")
+    # "Ab1 \tz": lower 2 (b,z), upper 1 (A), digit 1, whitespace 2, other 0, non-ascii 0
+    assert f["n"].tolist() == [2, 1, 1, 2, 0, 0]
+    assert f["feat_u"].tolist() == [
+        int(np.floor(c / 6 * 1e6 + 0.5)) for c in (2, 1, 1, 2, 0, 0)
+    ]
+    with pytest.raises(NotImplementedError):
+        M.FeatureStage(real=True)
 
 
 def test_token_counts_and_quality_kernels():

@@ -103,6 +103,8 @@ ORACLE_QUERIES = [
     "embedding_near_dups",
     "multimodal_meta",
     "multimodal_resized",
+    "multimodal_frames",
+    "multimodal_features",
     "lineitem_summary",
     "top_customers",
     "events_hourly",

@@ -64,5 +64,13 @@ _CATALOG = [
 ]
 
 
+def register_operator(name: str, kind: str, reference: str, module: str) -> None:
+    """Add (or replace) a catalog row — used by ``extension.register_procedure``
+    so user extensions show up in ``algo.list()`` like the reference's
+    ``@Procedure`` registration does (ListProc.java:42-46 lists user procs too)."""
+    global _CATALOG
+    _CATALOG = [r for r in _CATALOG if r[0] != name] + [(name, kind, reference, module)]
+
+
 def list_operators() -> pd.DataFrame:
     return pd.DataFrame(_CATALOG, columns=["name", "kind", "reference", "module"])

@@ -1,0 +1,117 @@
+"""User-extension surface (SURVEY.md §2.12).
+
+The reference lets users add algorithms by implementing ``Algorithm<Self>``
+(``algo/.../impl/Algorithm.java:1-64`` — termination flag + progress-logger
+plumbing) and registering a ``@Procedure`` class; configuration arrives as an
+open key map (``ProcedureConfiguration.get(key, default)``,
+``ProcedureConfiguration.java:376+``).  The Ray-Data equivalents:
+
+- ``GraphContext`` — what a custom algorithm receives: the built graph
+  (partitioned edge parquet + vertex table + manifest) plus the open config
+  map, with ``get(key, default)`` as the ``ProcedureConfiguration`` analogue.
+  Extensions compose the same primitives the built-ins use
+  (``stages.agg.bucketed_agg``, ``stages.joins.lookup_join``, the shard
+  actors in ``state/``) — there is no privileged internal API.
+- ``register_procedure(name, write=..., stream=...)`` — installs the
+  callable(s) at ``procs.algo.<name>`` / ``algo.<name>.stream`` (dotted names
+  nest) and adds a catalog row so ``algo.list()`` reports the extension,
+  mirroring ``@Procedure`` registration.
+
+Example::
+
+    from neo4j_graph_algorithms_ray.extension import GraphContext, register_procedure
+
+    def degree_stream(ctx: GraphContext):
+        col = "dst" if str(ctx.get("direction", "OUTGOING")).upper() == "INCOMING" else "src"
+        from neo4j_graph_algorithms_ray.stages.agg import bucketed_agg
+        deg = bucketed_agg(ctx.edges_ds(columns=[col]), col, {"degree": (None, "count")})
+        return deg.rename_columns({col: "nodeId"})
+
+    register_procedure("degree", stream=degree_stream)
+    algo.degree.stream(edge_table)          # Dataset(nodeId, degree)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import ray.data as rd
+
+from .pipelines.graph_build import BuiltGraph
+
+
+@dataclass
+class GraphContext:
+    """The resolved graph + open config map handed to a custom algorithm."""
+
+    graph: BuiltGraph
+    config: dict = field(default_factory=dict)
+    load_millis: int = 0
+
+    def get(self, key: str, default: Any = None) -> Any:
+        """``ProcedureConfiguration.get(key, default)`` analogue."""
+        return self.config.get(key, default)
+
+    def edges_ds(self, columns=None) -> rd.Dataset:
+        return self.graph.edges_ds(columns=columns)
+
+    def vertices_ds(self) -> rd.Dataset:
+        return self.graph.vertices_ds()
+
+    @property
+    def n_vertices(self) -> int:
+        return int(self.graph.n_vertices)
+
+    @property
+    def P(self) -> int:
+        return int(self.graph.P)
+
+
+def _wrap(fn: Callable[..., Any]) -> Callable[..., Any]:
+    """Adapt ``fn(ctx, **config)`` to the proc calling convention
+    ``(graph, config=None, **kw)`` with the facade's graph resolution
+    (BuiltGraph | workdir path | edge table — procs._as_graph)."""
+    from . import procs
+
+    def proc(graph, config=None, **kw):
+        cfg = procs._cfg(config, kw)
+        g, load_ms = procs._as_graph(graph, cfg)
+        return fn(GraphContext(graph=g, config=cfg, load_millis=load_ms))
+
+    proc.__doc__ = fn.__doc__
+    return proc
+
+
+def register_procedure(
+    name: str,
+    *,
+    write: "Callable | None" = None,
+    stream: "Callable | None" = None,
+    reference: str = "(user extension)",
+) -> None:
+    """Install a custom procedure at ``algo.<name>`` (write mode) and/or
+    ``algo.<name>.stream``.  ``write``/``stream`` take a ``GraphContext`` and
+    return a stats ``pandas.DataFrame`` / a ``ray.data.Dataset``.  Dotted
+    names nest namespaces (``'similarity.cosine'`` -> ``algo.similarity.cosine``).
+    Re-registering a name replaces it (latest wins).
+    """
+    if write is None and stream is None:
+        raise ValueError("register_procedure needs at least one of write=/stream=")
+    from . import procs
+    from .catalog import register_operator
+
+    target = procs.algo
+    parts = name.split(".")
+    for p in parts[:-1]:
+        nxt = getattr(target, p, None)
+        if nxt is None:
+            nxt = procs.Namespace()
+            setattr(target, p, nxt)
+        target = nxt
+    subs = {"stream": _wrap(stream)} if stream is not None else {}
+    entry = procs.Proc(_wrap(write), **subs) if write is not None else procs.Namespace(**subs)
+    setattr(target, parts[-1], entry)
+    mod = getattr(write or stream, "__module__", "?")
+    fn_name = getattr(write or stream, "__qualname__", str(write or stream))
+    register_operator(f"algo.{name}", "extension", reference, f"{mod}.{fn_name}")

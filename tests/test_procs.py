@@ -235,3 +235,47 @@ def test_list_and_scalars():
 
     got = algo.isFinite(pa.array([1.0, float("inf"), float("nan"), None]))
     assert got.to_pylist() == [True, False, False, False]
+
+
+def test_register_custom_procedure(pr_graph):
+    """extension.register_procedure: the @Procedure + Algorithm<Self> analogue
+    (SURVEY.md §2.12) — a user algorithm lands at algo.<name>, honors the open
+    config map, and shows up in algo.list()."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.extension import GraphContext, register_procedure
+    from neo4j_graph_algorithms_ray.stages.agg import bucketed_agg
+
+    def degree_stream(ctx: GraphContext):
+        col = "dst" if str(ctx.get("direction", "OUTGOING")).upper() == "INCOMING" else "src"
+        deg = bucketed_agg(ctx.edges_ds(columns=[col]), col, {"degree": (None, "count")})
+        return deg.map_batches(
+            lambda t: t.rename_columns(["nodeId", "degree"]), batch_format="pyarrow"
+        )
+
+    def degree_write(ctx: GraphContext):
+        return pd.DataFrame(
+            [{"nodes": ctx.n_vertices, "loadMillis": ctx.load_millis, "writeProperty":
+              ctx.get("writeProperty", "degree")}]
+        )
+
+    register_procedure("degree", write=degree_write, stream=degree_stream)
+
+    got = algo.degree.stream(pr_graph).to_pandas().sort_values("nodeId").reset_index(drop=True)
+    exp = (
+        pr_graph.edges_ds(columns=["src"]).to_pandas().groupby("src", as_index=False).size()
+        .rename(columns={"src": "nodeId", "size": "degree"}).sort_values("nodeId")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got_in = algo.degree.stream(pr_graph, direction="INCOMING").to_pandas()
+    exp_in = pr_graph.edges_ds(columns=["dst"]).to_pandas()["dst"].value_counts()
+    assert got_in["degree"].sum() == exp_in.sum()
+
+    stats = algo.degree(pr_graph, writeProperty="deg")
+    assert stats.iloc[0]["nodes"] == pr_graph.n_vertices
+    assert stats.iloc[0]["writeProperty"] == "deg"
+
+    cat = algo.list()
+    assert "algo.degree" in set(cat["name"])

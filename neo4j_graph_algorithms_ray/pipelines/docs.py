@@ -362,10 +362,16 @@ def ngram_jaccard_pairs(
 
     def size_rows(b: pd.DataFrame) -> pd.DataFrame:
         H, c = T.batch_shingle_hashes(list(b["text"]), k)
-        ends = np.cumsum(c)
-        sz = np.array(
-            [len(np.unique(H[e - n : e])) for n, e in zip(c, ends)], dtype=np.int64
-        )
+        # distinct grams per doc, vectorized: one lexsort over (doc, gram)
+        # then count first-in-run positions per doc (no per-doc Python loop)
+        row_id = np.repeat(np.arange(len(c), dtype=np.int64), c)
+        order = np.lexsort((H, row_id))
+        r, h = row_id[order], H[order]
+        first = np.empty(len(r), dtype=bool)
+        if len(r):
+            first[0] = True
+            first[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+        sz = np.bincount(r[first], minlength=len(c)).astype(np.int64)
         return pd.DataFrame({did_t: b[did_t], "sz": sz})
 
     # per-doc distinct-gram counts: second streaming pass over the docs (no

@@ -81,6 +81,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = R.events_hourly(sf).to_pandas()
         return _intize(df, ["sum_value"], 1000)
 
+    def sessions(sf):
+        import os as _os
+
+        from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
+
+        ev = __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+            _os.path.join(sf, "events.parquet"), columns=["user_id", "ts", "value"]
+        )
+        return _intize(Tm.sessionize(ev).to_pandas(), ["sum_value"], 1000)
+
+    def events_asof_orders(sf):
+        import os as _os
+
+        import ray.data as _rd
+
+        from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
+
+        ev = _rd.read_parquet(
+            _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        orders = _rd.read_parquet(
+            _os.path.join(sf, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        df = Tm.asof_join(
+            ev,
+            orders,
+            left_key="user_id",
+            left_ts="ts",
+            right_key="o_custkey",
+            right_ts="o_orderdate",
+            left_cols={"event_id": ("event_id", "int64")},
+            right_cols={
+                "o_orderkey": ("o_orderkey", "int64"),
+                "o_totalprice": ("o_totalprice", "float64"),
+            },
+            right_tiebreak="o_orderkey",
+        ).to_pandas()
+        return _intize(df, ["o_totalprice"], 1000)
+
     def knn_bruteforce(sf):
         qids, Q = S.load_queries(sf, 5)
         return S.knn_bruteforce(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
@@ -180,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_summary": lineitem_summary,
         "top_customers": topk_customers,
         "events_hourly": events_hourly,
+        "sessions": sessions,
+        "events_asof_orders": events_asof_orders,
         "supplier_nations": lambda sf: R.supplier_nation_counts(sf),
     }
 
@@ -381,6 +423,29 @@ SELECT event_type,
        count(*) AS n_events,
        CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+s AS (SELECT user_id, t, value,
+        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+             THEN 1 ELSE 0 END AS ns
+      FROM e),
+g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+SELECT user_id, min(t) AS session_start_us, count(*) AS n_events,
+       CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS sum_value
+FROM g GROUP BY user_id, sid""",
+        "events_asof_orders": """
+WITH r AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t2, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+  FROM orders),
+r2 AS (SELECT k, t2, o_orderkey, o_totalprice FROM r WHERE rn = 1),
+e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+SELECT e.user_id, e.t AS t_us, e.event_id,
+       coalesce(r2.o_orderkey, -1) AS o_orderkey,
+       CAST(floor(coalesce(r2.o_totalprice, 0.0) * 1000 + 0.5) AS BIGINT) AS o_totalprice
+FROM e ASOF LEFT JOIN r2 ON e.user_id = r2.k AND e.t >= r2.t2""",
         "supplier_nations": """
 SELECT r_name, count(*) AS n_suppliers
 FROM supplier

@@ -59,6 +59,8 @@ _CATALOG = [
     ("multimodal.resize", "dataprep", "(training-data op; stubbed resampler)", "pipelines.multimodal.resize"),
     ("multimodal.framesample", "dataprep", "(training-data op)", "pipelines.multimodal.frame_sample"),
     ("multimodal.featureextract", "dataprep", "(training-data op; stubbed model)", "pipelines.multimodal.feature_extract"),
+    ("temporal.sessionize", "dataprep", "(training-data op: gap session windows)", "pipelines.temporal.sessionize"),
+    ("temporal.asof_join", "dataprep", "(training-data op: latest-at-or-before join)", "pipelines.temporal.asof_join"),
     ("procs.algo", "api", "Cypher procedure surface (readme.adoc:90-105)", "procs.algo (stats rows + .stream Datasets)"),
     ("checkpoint.resume", "infra", "(north-rule requirement)", "state.checkpoint.CheckpointManager"),
 ]

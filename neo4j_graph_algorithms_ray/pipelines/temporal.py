@@ -1,0 +1,214 @@
+"""Temporal operators Ray Data has no native form for: gap-based
+sessionization and an as-of (latest-at-or-before) join.
+
+Both are built from the composition the custom-operator contract prefers —
+``map_batches`` tagging + one coarse-bucket ``groupby().map_groups`` — and
+both rely on the same documented partitioning assumption: **every row of one
+key (user / join key) lands in one shuffle partition** (``hash(key) % fan``),
+the standard sessionization partition contract.  Within a bucket the kernels
+are fully vectorized: a lexsort + segment reduction for sessions, pandas'
+C ``merge_asof`` for the as-of join.  At 100 TB the per-bucket work is
+bounded by the largest single key's history times the keys-per-bucket ratio;
+``fan`` scales with the cluster (stages/agg.shuffle_fan) and hot keys can be
+pre-split by time range if one key's history outgrows a partition.
+
+Timestamps are int64 epoch-microseconds end-to-end (``epoch_us`` on the
+DuckDB oracle side) — integer compares, no float time arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.agg import shuffle_fan
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _bucket_of(keys: np.ndarray, fan: int) -> np.ndarray:
+    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(fan)).astype(np.int64)
+
+
+def _ts_us(col: pd.Series) -> np.ndarray:
+    return col.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def sessionize(
+    events: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    gap_us: int = SESSION_GAP_US,
+    fan: int | None = None,
+) -> rd.Dataset:
+    """Gap-windowed sessions: {key, session_start_us, n_events, sum_value}.
+
+    A new session starts at a key's first event or after an inactivity gap
+    > ``gap_us``.  One shuffle (coarse bucket on the key); the per-bucket
+    kernel is one ``np.lexsort`` + boundary flags + ``np.add.reduceat`` —
+    per-group Python is bounded by the bucket count, not the session count.
+    """
+    npart = shuffle_fan()
+    fan = int(fan) if fan is not None else 4 * npart
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "t": _ts_us(b[ts]),
+                "v": b[value].to_numpy().astype(np.float64),
+                "__b": _bucket_of(k, fan),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "session_start_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0 or "k" not in g.columns:
+            return empty
+        k = g["k"].to_numpy()
+        t = g["t"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((t, k))
+        k, t, v = k[order], t[order], v[order]
+        new = np.empty(len(k), dtype=bool)
+        new[0] = True
+        new[1:] = (k[1:] != k[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        n_ev = np.diff(np.append(starts, len(k)))
+        return pa.table(
+            {
+                key: pa.array(k[starts], pa.int64()),
+                "session_start_us": pa.array(t[starts], pa.int64()),
+                "n_events": pa.array(n_ev.astype(np.int64)),
+                "sum_value": pa.array(np.add.reduceat(v, starts)),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__b", num_partitions=npart)
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    left_cols: "dict[str, tuple[str, str]]",
+    right_cols: "dict[str, tuple[str, str]]",
+    right_tiebreak: str,
+    fan: int | None = None,
+) -> rd.Dataset:
+    """As-of left join: each left row picks the right row with the same key
+    and the latest timestamp <= the left timestamp (backward inexact join —
+    the operator DuckDB spells ``ASOF LEFT JOIN`` and Ray Data lacks).
+
+    ``left_cols`` / ``right_cols`` map source column -> (output name, dtype)
+    with dtype in {'int64','float64'} for the carried payloads; right rows
+    that tie on (key, ts) are first deduplicated to the max
+    ``right_tiebreak`` value, so the match is deterministic on both engines.
+    Missing matches fill int64 payloads with -1 and floats with 0.0
+    (coalesce semantics — part of the output contract).
+
+    Shape: both sides are tagged into the same coarse key-bucket space and
+    co-shuffled through ONE ``groupby`` (a ``side`` marker keeps them
+    apart; payloads ride as float64 through the union — exact for ids
+    < 2^53 — and are cast back at output); per bucket, pandas
+    ``merge_asof(by=key)`` does the vectorized backward scan.  One shuffle
+    total, no driver materialization.
+    """
+    npart = shuffle_fan()
+    fan = int(fan) if fan is not None else 4 * npart
+    lpay = [(src, dst, dt) for src, (dst, dt) in left_cols.items()]
+    rpay = [(src, dst, dt) for src, (dst, dt) in right_cols.items()]
+
+    def _tag(side: int, key_col: str, ts_col: str):
+        own = lpay if side == 0 else rpay
+        pre = "l_" if side == 0 else "r_"
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            k = b[key_col].to_numpy().astype(np.int64)
+            out = {"side": np.full(len(b), side, dtype=np.int8), "k": k, "t": _ts_us(b[ts_col])}
+            # canonical column order (all l_ then all r_) on BOTH sides, so
+            # the union's block schemas line up
+            filled = {pre + dst: b[src].to_numpy().astype(np.float64) for src, dst, _ in own}
+            for _, dst, _ in lpay:
+                out["l_" + dst] = filled.get("l_" + dst, np.full(len(b), np.nan))
+            for _, dst, _ in rpay:
+                out["r_" + dst] = filled.get("r_" + dst, np.full(len(b), np.nan))
+            out["__b"] = _bucket_of(k, fan)
+            return pd.DataFrame(out)
+
+        return tag
+
+    both = left.map_batches(_tag(0, left_key, left_ts), batch_format="pandas").union(
+        right.map_batches(_tag(1, right_key, right_ts), batch_format="pandas")
+    )
+
+    def _patype(dt: str):
+        return pa.int64() if dt == "int64" else pa.float64()
+
+    out_fields = (
+        [(left_key, pa.int64()), ("t_us", pa.int64())]
+        + [(dst, _patype(dt)) for _, dst, dt in lpay]
+        + [(dst, _patype(dt)) for _, dst, dt in rpay]
+    )
+
+    def _emit(vals: np.ndarray, dt: str) -> pa.Array:
+        if dt == "int64":
+            return pa.array(np.nan_to_num(vals, nan=-1.0).astype(np.int64), pa.int64())
+        return pa.array(np.nan_to_num(vals, nan=0.0), pa.float64())
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({name: pa.array([], ty) for name, ty in out_fields})
+        if len(g) == 0 or "side" not in g.columns:
+            return empty
+        l = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        if len(l) == 0:
+            return empty
+        rt = (
+            r.sort_values(["k", "t", "r_" + right_tiebreak], kind="mergesort")
+            .drop_duplicates(["k", "t"], keep="last")
+            .sort_values("t", kind="mergesort")
+        )
+        lt = l.sort_values("t", kind="mergesort")
+        merged = pd.merge_asof(
+            lt[["k", "t"] + [f"l_{d}" for _, d, _ in lpay]],
+            rt[["k", "t"] + [f"r_{d}" for _, d, _ in rpay]],
+            on="t",
+            by="k",
+            direction="backward",
+        )
+        cols = {
+            left_key: pa.array(merged["k"].to_numpy(), pa.int64()),
+            "t_us": pa.array(merged["t"].to_numpy(), pa.int64()),
+        }
+        for _, d, dt in lpay:
+            cols[d] = _emit(merged[f"l_{d}"].to_numpy(), dt)
+        for _, d, dt in rpay:
+            cols[d] = _emit(merged[f"r_{d}"].to_numpy(), dt)
+        return pa.table(cols)
+
+    return (
+        both.groupby("__b", num_partitions=npart)
+        .map_groups(kernel, batch_format="pandas")
+    )

@@ -108,6 +108,8 @@ ORACLE_QUERIES = [
     "lineitem_summary",
     "top_customers",
     "events_hourly",
+    "sessions",
+    "events_asof_orders",
     "supplier_nations",
 ]
 

@@ -1,0 +1,77 @@
+"""Temporal operators (pipelines/temporal.py): sessionize + asof_join vs
+hand-computed pandas oracles on planted fixtures."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.pipelines.temporal import asof_join, sessionize
+
+US = 1_000_000
+
+
+def _ts(seconds):
+    return pd.to_datetime(np.asarray(seconds, dtype=np.int64) * US, unit="us")
+
+
+def test_sessionize_gap_windows(ray_session):
+    # user 1: events at 0s, 10s, 2000s (gap > 30min? no - 30min = 1800s; 1990s gap > 1800 -> new session)
+    # user 2: single event
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": _ts([0, 10, 2000, 5]),
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    out = (
+        sessionize(rd.from_pandas(ev), gap_us=1800 * US)
+        .to_pandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_start_us"].tolist() == [0, 2000 * US, 5 * US]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    np.testing.assert_allclose(out["sum_value"], [3.0, 4.0, 8.0])
+
+
+def test_sessionize_exact_gap_is_same_session(ray_session):
+    ev = pd.DataFrame({"user_id": [7, 7], "ts": _ts([0, 1800]), "value": [1.0, 1.0]})
+    out = sessionize(rd.from_pandas(ev), gap_us=1800 * US).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["n_events"] == 2  # gap must EXCEED
+
+
+def test_asof_join_backward_with_ties(ray_session):
+    left = pd.DataFrame({"eid": [10, 11, 12, 13], "k": [1, 1, 1, 2], "ts": _ts([5, 15, 2, 5])})
+    # key 1: orders at t=3 (okey 100) and DUPLICATE t=10 rows (okeys 200, 201
+    # -> max wins); key 3 never matches key 2's event
+    right = pd.DataFrame(
+        {
+            "okey": [100, 200, 201, 300],
+            "k": [1, 1, 1, 3],
+            "ts": _ts([3, 10, 10, 1]),
+            "price": [1.5, 2.5, 3.5, 9.9],
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="ts",
+            left_cols={"eid": ("event_id", "int64")},
+            right_cols={"okey": ("o_orderkey", "int64"), "price": ("o_price", "float64")},
+            right_tiebreak="o_orderkey",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [10, 11, 12, 13]
+    # t=5 -> order@3; t=15 -> tie at t=10 resolved to okey 201; t=2 -> no
+    # match (-1 / 0.0); key 2 -> no match
+    assert out["o_orderkey"].tolist() == [100, 201, -1, -1]
+    np.testing.assert_allclose(out["o_price"], [1.5, 3.5, 0.0, 0.0])

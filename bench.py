@@ -168,6 +168,13 @@ def plain_bench() -> dict:
 
     timed("knn_bruteforce", knn)
 
+    import os as _os
+
+    from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
+
+    ev = rd.read_parquet(_os.path.join(SF_DIR, "events.parquet"), columns=["user_id", "ts", "value"])
+    timed("sessionize", lambda: Tm.sessionize(ev).materialize())
+
     result = {
         "metric": "headline_pipeline_total",
         "value": round(sum(queries.values()), 3),

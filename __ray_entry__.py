@@ -121,6 +121,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return _intize(df, ["o_totalprice"], 1000)
 
+    def events_range_selfjoin(sf):
+        import os as _os
+
+        import ray.data as _rd
+
+        from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
+
+        ev = _rd.read_parquet(
+            _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        return Tm.range_join(
+            ev,
+            ev,
+            left_key="user_id",
+            left_ts="ts",
+            right_key="user_id",
+            right_ts="ts",
+            left_id="event_id",
+            right_id="event_id",
+            left_out="eid_a",
+            right_out="eid_b",
+            lookback_us=3_600_000_000,  # same-user events in the prior hour
+        ).to_pandas()
+
     def knn_bruteforce(sf):
         qids, Q = S.load_queries(sf, 5)
         return S.knn_bruteforce(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
@@ -222,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "sessions": sessions,
         "events_asof_orders": events_asof_orders,
+        "events_range_selfjoin": events_range_selfjoin,
         "supplier_nations": lambda sf: R.supplier_nation_counts(sf),
     }
 
@@ -446,6 +471,12 @@ SELECT e.user_id, e.t AS t_us, e.event_id,
        coalesce(r2.o_orderkey, -1) AS o_orderkey,
        CAST(floor(coalesce(r2.o_totalprice, 0.0) * 1000 + 0.5) AS BIGINT) AS o_totalprice
 FROM e ASOF LEFT JOIN r2 ON e.user_id = r2.k AND e.t >= r2.t2""",
+        "events_range_selfjoin": """
+SELECT a.user_id AS k, a.event_id AS eid_a, b.event_id AS eid_b,
+       epoch_us(a.ts) AS t_us, epoch_us(b.ts) AS rt_us
+FROM events a JOIN events b
+ON a.user_id = b.user_id
+AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000 AND epoch_us(a.ts)""",
         "supplier_nations": """
 SELECT r_name, count(*) AS n_suppliers
 FROM supplier

@@ -61,6 +61,7 @@ _CATALOG = [
     ("multimodal.featureextract", "dataprep", "(training-data op; stubbed model)", "pipelines.multimodal.feature_extract"),
     ("temporal.sessionize", "dataprep", "(training-data op: gap session windows)", "pipelines.temporal.sessionize"),
     ("temporal.asof_join", "dataprep", "(training-data op: latest-at-or-before join)", "pipelines.temporal.asof_join"),
+    ("temporal.range_join", "dataprep", "(training-data op: interval-band join)", "pipelines.temporal.range_join"),
     ("procs.algo", "api", "Cypher procedure surface (readme.adoc:90-105)", "procs.algo (stats rows + .stream Datasets)"),
     ("checkpoint.resume", "infra", "(north-rule requirement)", "state.checkpoint.CheckpointManager"),
 ]

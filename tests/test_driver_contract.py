@@ -110,6 +110,7 @@ ORACLE_QUERIES = [
     "events_hourly",
     "sessions",
     "events_asof_orders",
+    "events_range_selfjoin",
     "supplier_nations",
 ]
 

@@ -75,3 +75,50 @@ def test_asof_join_backward_with_ties(ray_session):
     # match (-1 / 0.0); key 2 -> no match
     assert out["o_orderkey"].tolist() == [100, 201, -1, -1]
     np.testing.assert_allclose(out["o_price"], [1.5, 3.5, 0.0, 0.0])
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    from neo4j_graph_algorithms_ray.pipelines.temporal import range_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 300, 200
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(nl, dtype=np.int64),
+            "k": rng.integers(0, 12, nl).astype(np.int64),
+            "ts": _ts(rng.integers(0, 500, nl)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "oid": np.arange(nr, dtype=np.int64) + 1000,
+            "k": rng.integers(0, 15, nr).astype(np.int64),  # some keys absent on left
+            "ts": _ts(rng.integers(0, 500, nr)),
+        }
+    )
+    W = 40 * US
+    got = (
+        range_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="ts",
+            left_id="eid",
+            right_id="oid",
+            lookback_us=W,
+        )
+        .to_pandas()
+        .sort_values(["eid", "oid"])
+        .reset_index(drop=True)
+    )
+    lb = left.assign(t=left["ts"].astype("datetime64[us]").astype("int64"))
+    rb = right.assign(rt=right["ts"].astype("datetime64[us]").astype("int64"))
+    exp = lb.merge(rb, on="k")
+    exp = exp[(exp["rt"] >= exp["t"] - W) & (exp["rt"] <= exp["t"])]
+    exp = exp[["k", "eid", "oid", "t", "rt"]].rename(columns={"t": "t_us", "rt": "rt_us"})
+    exp = exp.sort_values(["eid", "oid"]).reset_index(drop=True)
+    assert len(got) == len(exp) and len(exp) > 100
+    for c in ("k", "eid", "oid", "t_us", "rt_us"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c

@@ -122,3 +122,30 @@ def test_range_join_matches_bruteforce(ray_session):
     assert len(got) == len(exp) and len(exp) > 100
     for c in ("k", "eid", "oid", "t_us", "rt_us"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_temporal_partitioning_invariance(ray_session):
+    """Same results whatever the input block layout (the kernels are
+    per-bucket global, so block composition must not matter)."""
+    rng = np.random.default_rng(23)
+    n = 500
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "ts": _ts(rng.integers(0, 10_000, n)),
+            "value": rng.normal(size=n),
+        }
+    )
+
+    def run(parts):
+        return (
+            sessionize(rd.from_pandas(ev).repartition(parts))
+            .to_pandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(13)
+    assert a["n_events"].tolist() == b["n_events"].tolist()
+    assert a["session_start_us"].tolist() == b["session_start_us"].tolist()
+    np.testing.assert_allclose(a["sum_value"], b["sum_value"], atol=1e-12)

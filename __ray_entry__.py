@@ -121,6 +121,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return _intize(df, ["o_totalprice"], 1000)
 
+    def top_events_per_user(sf):
+        import os as _os
+
+        import ray.data as _rd
+
+        from neo4j_graph_algorithms_ray.stages.agg import topk_per_group
+
+        ev = _rd.read_parquet(
+            _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "value"]
+        )
+        df = topk_per_group(ev, "user_id", "value", 3, id_col="event_id").to_pandas()
+        return _intize(df, ["value"], 1_000_000)
+
     def events_range_selfjoin(sf):
         import os as _os
 
@@ -247,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": sessions,
         "events_asof_orders": events_asof_orders,
         "events_range_selfjoin": events_range_selfjoin,
+        "top_events_per_user": top_events_per_user,
         "supplier_nations": lambda sf: R.supplier_nation_counts(sf),
     }
 
@@ -471,6 +485,13 @@ SELECT e.user_id, e.t AS t_us, e.event_id,
        coalesce(r2.o_orderkey, -1) AS o_orderkey,
        CAST(floor(coalesce(r2.o_totalprice, 0.0) * 1000 + 0.5) AS BIGINT) AS o_totalprice
 FROM e ASOF LEFT JOIN r2 ON e.user_id = r2.k AND e.t >= r2.t2""",
+        "top_events_per_user": """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+  FROM events)
+SELECT user_id, event_id, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value, rank
+FROM r WHERE rank <= 3""",
         "events_range_selfjoin": """
 SELECT a.user_id AS k, a.event_id AS eid_a, b.event_id AS eid_b,
        epoch_us(a.ts) AS t_us, epoch_us(b.ts) AS rt_us

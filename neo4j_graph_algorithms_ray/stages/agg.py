@@ -135,3 +135,77 @@ def bucketed_agg(
         .groupby("__b", num_partitions=npart)
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    key: str,
+    score: str,
+    k: int,
+    *,
+    id_col: str,
+    descending: bool = True,
+    fan: int | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Top-``k`` rows per key by ``score`` -> {key, id_col, score, rank}.
+
+    Two-level: each block keeps at most k rows per key it sees (map-side
+    prune — the shuffle ships at most k x (keys-per-block) rows, never the
+    raw table), then the coarse-bucket fold re-ranks per key.  Ordering is
+    engine-stable: (score desc|asc, id asc) with rank 1..k, so a SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY ...)`` oracle reproduces
+    it exactly (callers quantize float scores).
+    """
+    k = int(k)
+
+    def _prune(df: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        kv = df[key].to_numpy()
+        sv = df[score].to_numpy()
+        iv = df[id_col].to_numpy()
+        order = np.lexsort((iv, -sv if descending else sv, kv))
+        kk = kv[order]
+        first = np.empty(len(kk), dtype=bool)
+        if len(kk):
+            first[0] = True
+            first[1:] = kk[1:] != kk[:-1]
+        seg = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(kk)) - starts[seg]  # rank-1 within key
+        keep = pos < k
+        out = pd.DataFrame(
+            {key: kk[keep], id_col: iv[order][keep], score: sv[order][keep]}
+        )
+        if with_rank:
+            out["rank"] = (pos[keep] + 1).astype(np.int64)
+        return out
+
+    fan = int(fan) if fan is not None else max(64, 4 * shuffle_fan())
+    npart = num_partitions if num_partitions is not None else shuffle_fan()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype=np.int64),
+                    id_col: pd.Series(dtype=np.int64),
+                    score: pd.Series(dtype=np.float64),
+                    "__b": pd.Series(dtype=np.int64),
+                }
+            )
+        out = _prune(b, with_rank=False)
+        out["__b"] = _bucket_ids(out, [key], fan)
+        return out
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        cols = [(key, pa.int64()), (id_col, pa.int64()), (score, pa.float64()), ("rank", pa.int64())]
+        if len(g) == 0 or key not in g.columns:
+            return pa.table({c: pa.array([], t) for c, t in cols})
+        out = _prune(g, with_rank=True)
+        return pa.table({c: pa.array(out[c].to_numpy()).cast(t) for c, t in cols})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b", num_partitions=npart)
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -80,3 +80,22 @@ def test_empty_input(ray_session):
     )
     out = bucketed_agg(eds, "k", {"s": ("v", "sum")}, types={"s": pa.float64()})
     assert out.count() == 0
+
+
+def test_topk_per_group(ray_session, frame):
+    from neo4j_graph_algorithms_ray.stages.agg import topk_per_group
+
+    df = frame.rename(columns={"k1": "key", "v": "score", "w": "rid"}).copy()
+    df["rid"] = np.arange(len(df), dtype=np.int64)  # unique ids
+    got = (
+        topk_per_group(rd.from_pandas(df).repartition(8), "key", "score", 3, id_col="rid")
+        .to_pandas()
+        .sort_values(["key", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["key", "score", "rid"], ascending=[True, False, True])
+    exp = exp.groupby("key").head(3).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["rid"].to_numpy() == exp["rid"].to_numpy()).all()
+    assert (got.groupby("key")["rank"].min() == 1).all()
+    assert (got.groupby("key")["rank"].max() <= 3).all()

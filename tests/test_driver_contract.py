@@ -111,6 +111,7 @@ ORACLE_QUERIES = [
     "sessions",
     "events_asof_orders",
     "events_range_selfjoin",
+    "top_events_per_user",
     "supplier_nations",
 ]
 

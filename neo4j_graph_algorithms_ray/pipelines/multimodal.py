@@ -20,7 +20,6 @@ Decoded metadata: ``n_bytes = 8 + len``, ``width = 16 + len % 64``,
 
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 import pandas as pd
@@ -33,18 +32,48 @@ BINARY_SCHEMA = pa.schema(
 
 
 def attach_binary_payload(docs: rd.Dataset) -> rd.Dataset:
-    """documents -> {doc_id, payload: binary, media_type} (fake encode)."""
+    """documents -> {doc_id, payload: binary, media_type} (fake encode).
+
+    The encode is vectorized over the Arrow string buffers: headers and
+    utf-8 bodies are written into one flat uint8 buffer with repeat/arange
+    position arithmetic, then wrapped zero-copy as a BinaryArray."""
 
     def enc(t: pa.Table) -> pa.Table:
-        payloads = []
-        for x in t["text"].to_pylist():
-            b = x.encode("utf-8")
-            payloads.append(b"FAKE" + struct.pack(">I", len(b)) + b)
+        arr = t["text"].combine_chunks()
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(off)
+        n = len(lens)
+        out_lens = lens + 8
+        starts = np.cumsum(out_lens) - out_lens
+        out = np.empty(int(out_lens.sum()), dtype=np.uint8)
+        for i, ch in enumerate(b"FAKE"):
+            out[starts + i] = ch
+        for i, shift in enumerate((24, 16, 8, 0)):  # big-endian uint32 length
+            out[starts + 4 + i] = (lens >> shift) & 0xFF
+        nbody = int(lens.sum())
+        csum = np.cumsum(lens) - lens
+        rel = np.arange(nbody, dtype=np.int64) - np.repeat(csum, lens)
+        out[rel + np.repeat(starts + 8, lens)] = data[rel + np.repeat(off[:-1], lens)]
+        new_off = np.concatenate([[0], np.cumsum(out_lens)])
+        if new_off[-1] <= np.iinfo(np.int32).max:
+            payload = pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(new_off.astype(np.int32).tobytes()), pa.py_buffer(out.tobytes())],
+            )
+        else:
+            payload = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer(new_off.tobytes()), pa.py_buffer(out.tobytes())],
+            )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "payload": pa.array(payloads, pa.binary()),
-                "media_type": pa.array(["image/fake"] * t.num_rows),
+                "payload": payload,
+                "media_type": pa.array(["image/fake"] * n),
             }
         )
 

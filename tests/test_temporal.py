@@ -149,3 +149,35 @@ def test_temporal_partitioning_invariance(ray_session):
     assert a["n_events"].tolist() == b["n_events"].tolist()
     assert a["session_start_us"].tolist() == b["session_start_us"].tolist()
     np.testing.assert_allclose(a["sum_value"], b["sum_value"], atol=1e-12)
+
+
+def test_temporal_empty_inputs(ray_session):
+    from neo4j_graph_algorithms_ray.pipelines.temporal import asof_join, range_join
+    from neo4j_graph_algorithms_ray.stages.agg import topk_per_group
+
+    empty = pd.DataFrame(
+        {
+            "eid": pd.Series(dtype=np.int64),
+            "k": pd.Series(dtype=np.int64),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "v": pd.Series(dtype=np.float64),
+        }
+    )
+    ev = rd.from_pandas(empty)
+    assert sessionize(ev, key="k", ts="ts", value="v").count() == 0
+    one = rd.from_pandas(
+        pd.DataFrame({"eid": [1], "k": [2], "ts": _ts([3]), "v": [4.0]})
+    )
+    # empty right side -> no matches (asof fills, range drops)
+    a = asof_join(
+        one, ev, left_key="k", left_ts="ts", right_key="k", right_ts="ts",
+        left_cols={"eid": ("eid", "int64")}, right_cols={"v": ("rv", "float64")},
+        right_tiebreak="rv",
+    ).to_pandas()
+    assert len(a) == 1 and a.iloc[0]["rv"] == 0.0
+    r = range_join(
+        one, ev, left_key="k", left_ts="ts", right_key="k", right_ts="ts",
+        left_id="eid", right_id="eid", lookback_us=10,
+    )
+    assert r.count() == 0
+    assert topk_per_group(ev, "k", "v", 3, id_col="eid").count() == 0

@@ -38,6 +38,7 @@ _CATALOG = [
     ("idmap", "transform", "IdMap dense ids", "stages.ids.assign_dense_ids"),
     ("degrees", "aggregate", "Degrees api", "pipelines.graph_queries.q_degrees"),
     ("export.writeback", "sink", "Exporter.java write-back", "Dataset.write_parquet / *_with_keys joins"),
+    ("export.resumable", "sink", "per-partition _DONE markers (north-rule resume)", "stages.sink.resumable_write"),
     ("isFinite", "function", "IsFiniteFunc.java", "functions.scalars.is_finite"),
     ("isInfinite", "function", "IsFiniteFunc.java", "functions.scalars.is_infinite"),
     ("Infinity", "function", "IsFiniteFunc.java", "functions.scalars.infinity"),

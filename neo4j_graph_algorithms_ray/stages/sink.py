@@ -1,0 +1,76 @@
+"""Resumable partitioned-Parquet sink.
+
+The north rule requires output a failed run can resume: one directory per
+partition with a completion marker, so a rerun skips finished partitions and
+rebuilds only unfinished ones.  ``write_parquet`` APPENDS uniquely-named
+files into a dirty directory (silent row duplication — see graph_build.py),
+so the unfinished-partition contract is clean-then-rewrite, never append.
+
+This generalizes the ad-hoc ``_DONE`` markers already used by the graph
+layouts (graph_build.py, triangles.py) into one sink any pipeline output can
+use — the per-partition analogue of the reference Exporter's batched
+write-back (``core/.../write/Exporter.java:49-50``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_MARKER = "_DONE"
+
+
+def _part_dir(path: str, partition_col: str, value) -> str:
+    return os.path.join(path, f"{partition_col}={value}")
+
+
+def resumable_write(
+    ds: rd.Dataset,
+    path: str,
+    *,
+    partition_col: str,
+    partitions: "list | None" = None,
+) -> list:
+    """Write ``ds`` under ``path`` as Hive dirs ``<partition_col>=<value>/``
+    with a per-partition ``_DONE`` marker.  Partitions whose marker already
+    exists are SKIPPED (their rows are filtered out before the write);
+    unfinished partition dirs are removed and rewritten whole.  Returns the
+    list of partition values written this call (empty = everything was
+    already done).
+
+    ``partitions`` is the full expected value list; pass it when known
+    (bucket ids, shard ranges) to avoid a discovery pass over ``ds``.
+    """
+    os.makedirs(path, exist_ok=True)
+    if partitions is None:
+        partitions = sorted(ds.unique(partition_col))
+    done = {
+        v for v in partitions if os.path.exists(os.path.join(_part_dir(path, partition_col, v), _MARKER))
+    }
+    missing = [v for v in partitions if v not in done]
+    if not missing:
+        return []
+    for v in missing:  # clean-then-rewrite: append would duplicate rows
+        shutil.rmtree(_part_dir(path, partition_col, v), ignore_errors=True)
+    miss_arr = pa.array(missing)
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[partition_col], value_set=miss_arr)),
+        batch_format="pyarrow",
+    )
+    sub.write_parquet(path, partition_cols=[partition_col])
+    for v in missing:
+        d = _part_dir(path, partition_col, v)
+        os.makedirs(d, exist_ok=True)  # empty partitions still get a marker
+        with open(os.path.join(d, _MARKER), "w") as f:
+            f.write("ok")
+    return missing
+
+
+def read_partitioned(path: str, **kwargs) -> rd.Dataset:
+    """Read back a ``resumable_write`` layout (markers are not parquet files,
+    so point the reader at the parquet files only)."""
+    return rd.read_parquet(path, file_extensions=["parquet"], **kwargs)

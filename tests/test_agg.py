@@ -99,3 +99,25 @@ def test_topk_per_group(ray_session, frame):
     assert (got["rid"].to_numpy() == exp["rid"].to_numpy()).all()
     assert (got.groupby("key")["rank"].min() == 1).all()
     assert (got.groupby("key")["rank"].max() <= 3).all()
+
+
+def test_resumable_write_skips_finished_partitions(ray_session, tmp_path):
+    import glob
+    import os
+
+    from neo4j_graph_algorithms_ray.stages.sink import read_partitioned, resumable_write
+
+    base = str(tmp_path / "out")
+    df = pd.DataFrame({"b": np.arange(400) % 4, "v": np.arange(400)})
+    ds = rd.from_pandas(df).repartition(4)
+    assert sorted(resumable_write(ds, base, partition_col="b", partitions=[0, 1, 2, 3])) == [0, 1, 2, 3]
+    files = set(glob.glob(base + "/**/*.parquet", recursive=True))
+    # idempotent rerun: nothing written, no appended duplicates
+    assert resumable_write(ds, base, partition_col="b", partitions=[0, 1, 2, 3]) == []
+    assert files == set(glob.glob(base + "/**/*.parquet", recursive=True))
+    # crashed partition (no marker) is cleaned and rewritten; others skipped
+    os.remove(os.path.join(base, "b=2", "_DONE"))
+    assert resumable_write(ds, base, partition_col="b", partitions=[0, 1, 2, 3]) == [2]
+    back = read_partitioned(base).to_pandas()
+    assert len(back) == 400
+    assert back["v"].sum() == df["v"].sum()

@@ -7,10 +7,11 @@ here (or the library) calls ``ray.init()`` / ``ray.shutdown()``.
   synthetic corpus and run PageRank to 1e-6 convergence.
 - ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
   the training-data ops); each callable takes ``sf_dir``.
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible.
-  Graph queries run on the deterministic synthetic corpus for the tier
-  (generated/cached under /tmp — the SQL reads the same Parquet).  Iterative
-  algorithms (PageRank, CC, LP) and sketch/approx ops are rows-only checked.
+- ``oracle_sql()`` — a DuckDB-equivalent SQL string for EVERY query (52/52):
+  graph queries run on the deterministic synthetic corpus for the tier
+  (generated/cached under /tmp — the SQL reads the same Parquet); iterative
+  algorithms use recursive/unrolled CTEs; sketches use md5-based
+  SQL-replayable kernels; the static catalog is a VALUES table.
 """
 
 from __future__ import annotations
@@ -307,7 +308,11 @@ def oracle_sql() -> dict[str, str]:
         f"len(regexp_extract_all(lower(text), '\\b(?:{pat})\\b')) AS n_{lang}"
         for lang, pat in _LANG_SQL.items()
     )
+    from neo4j_graph_algorithms_ray.catalog import catalog_sql
+
     return {
+        # the catalog is static data -> its oracle is the same rows in SQL
+        "catalog": catalog_sql(),
         # headline graph algorithms (recursive / unrolled CTEs, oracles.py)
         "pagerank": O.pagerank_sql(pre, iterations=PAGERANK_ORACLE_ITERS),
         "connected_components": O.cc_sql(pre),

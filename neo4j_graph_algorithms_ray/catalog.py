@@ -79,3 +79,15 @@ def register_operator(name: str, kind: str, reference: str, module: str) -> None
 
 def list_operators() -> pd.DataFrame:
     return pd.DataFrame(_CATALOG, columns=["name", "kind", "reference", "module"])
+
+
+def catalog_sql() -> str:
+    """The catalog as a DuckDB VALUES table — lets the driver hash-verify
+    even ``algo.list`` (the catalog is static data, so its oracle is the
+    same rows spelled in SQL)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n".join(f"({q(n)}, {q(k)}, {q(r)}, {q(m)})" for n, k, r, m in _CATALOG)
+    return f"SELECT * FROM (VALUES\n{rows}\n) t(name, kind, reference, module)"

@@ -113,6 +113,7 @@ ORACLE_QUERIES = [
     "events_range_selfjoin",
     "top_events_per_user",
     "supplier_nations",
+    "catalog",
 ]
 
 
@@ -125,21 +126,8 @@ def test_query_matches_oracle(contract, con, name):
     _compare(name, ray_df, sql_df)
 
 
-ROWS_ONLY = [
-    "catalog",
-]
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(contract, name):
-    queries, oracles = contract
-    assert name not in oracles  # intentionally non-SQL-expressible
-    df = _to_pandas(queries[name](SF))
-    if name == "minhash_pairs":
-        assert len(df) >= 0  # word-soup corpus has no near-dups
-    else:
-        assert len(df) > 0
-    assert df.columns.is_unique
+# every query is oracle-backed now (catalog via its VALUES-table SQL);
+# no rows-only tier remains.
 
 
 def test_entry_smoke():

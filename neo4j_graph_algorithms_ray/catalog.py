@@ -77,6 +77,12 @@ def register_operator(name: str, kind: str, reference: str, module: str) -> None
     _CATALOG = [r for r in _CATALOG if r[0] != name] + [(name, kind, reference, module)]
 
 
+def unregister_operator(name: str) -> None:
+    """Drop a catalog row (test hygiene for extension registrations)."""
+    global _CATALOG
+    _CATALOG = [r for r in _CATALOG if r[0] != name]
+
+
 def list_operators() -> pd.DataFrame:
     return pd.DataFrame(_CATALOG, columns=["name", "kind", "reference", "module"])
 

@@ -262,6 +262,8 @@ def test_register_custom_procedure(pr_graph):
     register_procedure("degree", write=degree_write, stream=degree_stream)
 
     got = algo.degree.stream(pr_graph).to_pandas().sort_values("nodeId").reset_index(drop=True)
+    # (cleanup at the end keeps the catalog pristine for the contract tests,
+    # whose catalog oracle is a snapshot of the same rows)
     exp = (
         pr_graph.edges_ds(columns=["src"]).to_pandas().groupby("src", as_index=False).size()
         .rename(columns={"src": "nodeId", "size": "degree"}).sort_values("nodeId")
@@ -279,3 +281,8 @@ def test_register_custom_procedure(pr_graph):
 
     cat = algo.list()
     assert "algo.degree" in set(cat["name"])
+
+    from neo4j_graph_algorithms_ray.catalog import unregister_operator
+
+    unregister_operator("algo.degree")
+    assert "algo.degree" not in set(algo.list()["name"])

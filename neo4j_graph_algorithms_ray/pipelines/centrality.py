@@ -103,19 +103,40 @@ def _msbfs_pass(
     (source,target,distance) tables are returned as object refs.
     """
     rev = graph.ensure_reverse_layout() if direction in ("INCOMING", "BOTH") else None
-    actors = make_shard_actors(
-        MsBfsShard, graph, actor_kwargs={"rev_edges_dir": rev, "direction": direction}
-    )
+
+    def _pool():
+        pool = make_shard_actors(
+            MsBfsShard, graph, actor_kwargs={"rev_edges_dir": rev, "direction": direction}
+        )
+        ray.get([a.ready.remote() for a in pool])
+        ray.get([a.begin_pass.remote() for a in pool])
+        return pool
+
     P = graph.P
-    ray.get([a.ready.remote() for a in actors])
-    ray.get([a.begin_pass.remote() for a in actors])
+    batches = [sources[i : i + 64] for i in range(0, len(sources), 64)]
+    # Exact mode is coordination-bound like exact Brandes (betweenness.py):
+    # per-vertex stats are additive across source batches, so two pools on
+    # alternate batches (driver threads — see the betweenness.py note on why
+    # off-driver coordinators are slower) nearly halve the batch critical
+    # path.  ASP collection keeps one pool (row refs are ordered per batch).
+    n_pools = 2 if (not collect_asp and len(batches) >= 4) else 1
+    pools = [_pool() for _ in range(n_pools)]
     asp_refs = []
-    for i in range(0, len(sources), 64):
-        b = sources[i : i + 64]
-        _run_batch(actors, P, b, max_depth)
-        if collect_asp:
-            asp_refs.extend(a.asp_rows.remote() for a in actors)
-    return actors, asp_refs
+
+    def _run_pool(pi: int) -> None:
+        for bi in range(pi, len(batches), n_pools):
+            _run_batch(pools[pi], P, batches[bi], max_depth)
+            if collect_asp:
+                asp_refs.extend(a.asp_rows.remote() for a in pools[pi])
+
+    if n_pools == 1:
+        _run_pool(0)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(n_pools) as ex:
+            list(ex.map(_run_pool, range(n_pools)))
+    return pools, asp_refs
 
 
 def _centrality(
@@ -128,10 +149,26 @@ def _centrality(
 ) -> CentralityResult:
     n = graph.n_vertices
     sources = pick_sources(n, sample_sources)
-    actors, _ = _msbfs_pass(graph, direction=direction, sources=sources, max_depth=max_depth)
-    tabs = ray.get([a.stats_table.remote() for a in actors])
-    for a in actors:
-        ray.kill(a, no_restart=True)
+    pools, _ = _msbfs_pass(graph, direction=direction, sources=sources, max_depth=max_depth)
+    tabs = ray.get([a.stats_table.remote() for a in pools[0]])
+    for extra in pools[1:]:  # additive per-vid stats: sum aligned shard tables
+        tabs2 = ray.get([a.stats_table.remote() for a in extra])
+        tabs = [
+            pa.table(
+                {
+                    "vid": t["vid"],
+                    "reached": pa.array(t["reached"].to_numpy() + t2["reached"].to_numpy()),
+                    "farness": pa.array(t["farness"].to_numpy() + t2["farness"].to_numpy()),
+                    "inv_farness": pa.array(
+                        t["inv_farness"].to_numpy() + t2["inv_farness"].to_numpy()
+                    ),
+                }
+            )
+            for t, t2 in zip(tabs, tabs2)
+        ]
+    for pool in pools:
+        for a in pool:
+            ray.kill(a, no_restart=True)
     t = pa.concat_tables(tabs) if tabs else None
     if t is None or t.num_rows == 0:
         empty = pa.table({"vid": pa.array([], pa.int64()), "centrality": pa.array([], pa.float64())})
@@ -172,12 +209,13 @@ def all_shortest_paths(
     n = graph.n_vertices
     k = n if n_sources is None else min(n, n_sources)
     sources = np.arange(k, dtype=np.int64)
-    actors, asp_refs = _msbfs_pass(
+    pools, asp_refs = _msbfs_pass(
         graph, direction=direction, sources=sources, max_depth=max_depth, collect_asp=True
     )
     ray.wait(asp_refs, num_returns=len(asp_refs), fetch_local=False)
-    for a in actors:
-        ray.kill(a, no_restart=True)
+    for pool in pools:
+        for a in pool:
+            ray.kill(a, no_restart=True)
     return rd.from_arrow_refs(asp_refs)
 
 

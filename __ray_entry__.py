@@ -235,6 +235,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": ngram_jaccard,
         "simhash_signatures": lambda sf: D.simhash_signatures(D.read_documents(sf)),
         # text analysis
+        "clean_text": lambda sf: D.clean_text(D.read_documents(sf)),
+        "hash_sample": lambda sf: D.hash_sample(D.read_documents(sf)),
+        "profile_lineitem": lambda sf: _intize(
+            R.profile_numeric(
+                R.read_table(sf, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"]),
+                ["l_quantity", "l_extendedprice", "l_discount"],
+            ).to_pandas(),
+            ["vmin", "vmax"],
+            1_000_000,
+        ).pipe(lambda df: _intize(df, ["vsum"], 1000)),
         "token_counts": lambda sf: D.token_counts(D.read_documents(sf)),
         "quality_scores": lambda sf: D.quality_scores(D.read_documents(sf)),
         "language_id": lambda sf: D.language_id(D.read_documents(sf)),
@@ -369,6 +379,31 @@ LEFT JOIN tcnt t ON t.vid = v.vid""",
         "dedup_exact": """
 SELECT sha256(text) AS h, min(doc_id) AS doc_id, count(*) AS n
 FROM documents GROUP BY text""",
+        "clean_text": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
+            '[0-9]{6,}', '<num>', 'g'),
+            '[ \t\n\r]+', ' ', 'g')) AS clean
+FROM documents""",
+        "hash_sample": """
+SELECT * FROM documents
+WHERE md5_number_lower('s42|' || CAST(doc_id AS VARCHAR)) % 100 < 10""",
+        "profile_lineitem": """
+WITH p AS (
+  SELECT 'l_quantity' AS col, count(*) AS n, count(*) - count(l_quantity) AS n_null,
+         min(l_quantity) AS mn, max(l_quantity) AS mx, sum(l_quantity) AS sm FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+         min(l_extendedprice), max(l_extendedprice), sum(l_extendedprice) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+         min(l_discount), max(l_discount), sum(l_discount) FROM lineitem)
+SELECT col, n, n_null,
+       CAST(floor(mn * 1000000 + 0.5) AS BIGINT) AS vmin,
+       CAST(floor(mx * 1000000 + 0.5) AS BIGINT) AS vmax,
+       CAST(floor(sm * 1000 + 0.5) AS BIGINT) AS vsum
+FROM p""",
         "token_counts": """
 SELECT doc_id,
        len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_ws_tokens,

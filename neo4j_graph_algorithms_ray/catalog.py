@@ -51,6 +51,9 @@ _CATALOG = [
     ("text.quality", "dataprep", "(training-data op)", "pipelines.docs.quality_scores"),
     ("text.langid", "dataprep", "(training-data op)", "pipelines.docs.language_id"),
     ("text.fingerprint", "dataprep", "(training-data op)", "pipelines.docs.fingerprints"),
+    ("text.clean", "dataprep", "(training-data op: redaction + normalization)", "pipelines.docs.clean_text"),
+    ("sample.hash", "dataprep", "(training-data op: deterministic hash sample)", "pipelines.docs.hash_sample"),
+    ("profile.numeric", "dataprep", "(training-data op: per-column validation stats)", "pipelines.relational.profile_numeric"),
     ("knn.bruteforce", "dataprep", "(training-data op)", "pipelines.similarity.knn_bruteforce"),
     ("knn.ivf", "dataprep", "(training-data op)", "pipelines.similarity.knn_ivf"),
     ("dedup.embedding", "dataprep", "(training-data op)", "pipelines.similarity.embedding_near_dup_pairs"),

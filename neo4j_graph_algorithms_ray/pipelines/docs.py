@@ -661,3 +661,45 @@ def fingerprints(docs: rd.Dataset) -> rd.Dataset:
         return pd.DataFrame({"doc_id": b["doc_id"], "fp": fp})
 
     return docs.select_columns(["doc_id", "text"]).map_batches(stage, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text cleaning / deterministic sampling
+# ---------------------------------------------------------------------------
+
+_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_LONGNUM_PAT = r"[0-9]{6,}"
+
+
+def clean_text(docs: rd.Dataset) -> rd.Dataset:
+    """{doc_id, clean}: lowercase, redact emails and 6+-digit runs, collapse
+    whitespace, trim — the standard pre-tokenization cleanup, defined as a
+    fixed composition of RE2-compatible regexes so DuckDB's
+    ``regexp_replace(..., 'g')`` chain reproduces it byte-for-byte."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            b["text"]
+            .str.lower()
+            .str.replace(_EMAIL_PAT, "<email>", regex=True)
+            .str.replace(_LONGNUM_PAT, "<num>", regex=True)
+            .str.replace(r"[ \t\n\r]+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame({"doc_id": b["doc_id"], "clean": t})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def hash_sample(docs: rd.Dataset, *, rate_pct: int = 10, seed: str = "s42") -> rd.Dataset:
+    """Deterministic hash sample: keep rows where
+    ``md5_low64(seed | doc_id) % 100 < rate_pct`` — stable across runs,
+    partitionings and engines (no RNG state), the resumable way to sample at
+    scale.  Filter happens inside map_batches; nothing shuffles."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        keys = (seed + "|") + b["doc_id"].astype(str)
+        h = T.hash_strings(keys.tolist())
+        return b[(h % np.uint64(100)).astype(np.int64) < rate_pct]
+
+    return docs.map_batches(f, batch_format="pandas")

@@ -107,3 +107,60 @@ def supplier_nation_counts(sf_dir: str) -> rd.Dataset:
     j = sup.join(nat, "inner", 4, on=("s_nationkey",), right_on=("n_nationkey",))
     j = j.join(reg, "inner", 4, on=("n_regionkey",), right_on=("r_regionkey",))
     return j.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+
+
+def profile_numeric(ds: rd.Dataset, cols: "list[str]") -> rd.Dataset:
+    """Per-column data-validation profile: {col, n, n_null, vmin, vmax, vsum}.
+
+    One streaming pass: each block emits one partial row per column
+    (vectorized nan-aware reductions), then a tiny fold combines partials —
+    the shuffle carries #cols x #blocks rows, never data rows.  The standard
+    pre-training sanity gate (row counts, null rates, value ranges) as a
+    first-class operator."""
+    import numpy as np
+
+    from ..stages.agg import bucketed_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, c in enumerate(cols):
+            v = b[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            ok = ~np.isnan(v)
+            rows.append(
+                {
+                    "cid": i,
+                    "n": len(v),
+                    "n_null": int((~ok).sum()),
+                    "vmin": float(v[ok].min()) if ok.any() else np.inf,
+                    "vmax": float(v[ok].max()) if ok.any() else -np.inf,
+                    "vsum": float(v[ok].sum()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    agg = bucketed_agg(
+        ds.select_columns(cols).map_batches(partial, batch_format="pandas"),
+        "cid",
+        {
+            "n": ("n", "sum"),
+            "n_null": ("n_null", "sum"),
+            "vmin": ("vmin", "min"),
+            "vmax": ("vmax", "max"),
+            "vsum": ("vsum", "sum"),
+        },
+        types={"vmin": pa.float64(), "vmax": pa.float64(), "vsum": pa.float64()},
+    )
+    name_map = {i: c for i, c in enumerate(cols)}
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "col": b["cid"].map(name_map),
+                "n": b["n"],
+                "n_null": b["n_null"],
+                "vmin": b["vmin"],
+                "vmax": b["vmax"],
+                "vsum": b["vsum"],
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -95,6 +95,9 @@ ORACLE_QUERIES = [
     "ngram_jaccard",
     "simhash_signatures",
     "token_counts",
+    "clean_text",
+    "hash_sample",
+    "profile_lineitem",
     "quality_scores",
     "language_id",
     "fingerprints",

@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": lambda sf: D.simhash_signatures(D.read_documents(sf)),
         # text analysis
         "clean_text": lambda sf: D.clean_text(D.read_documents(sf)),
+        "tfidf": lambda sf: D.tfidf(D.read_documents(sf)),
         "hash_sample": lambda sf: D.hash_sample(D.read_documents(sf)),
         "profile_lineitem": lambda sf: _intize(
             R.profile_numeric(
@@ -386,6 +387,16 @@ SELECT doc_id,
             '[0-9]{6,}', '<num>', 'g'),
             '[ \t\n\r]+', ' ', 'g')) AS clean
 FROM documents""",
+        "tfidf": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT t.doc_id, t.term, t.tf, d.df,
+       CAST(floor(t.tf * (ln((nd + 1.0) / (d.df + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT) AS tfidf_u
+FROM tf t JOIN df d USING (term) CROSS JOIN n""",
         "hash_sample": """
 SELECT * FROM documents
 WHERE md5_number_lower('s42|' || CAST(doc_id AS VARCHAR)) % 100 < 10""",

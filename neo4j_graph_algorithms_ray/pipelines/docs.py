@@ -703,3 +703,68 @@ def hash_sample(docs: rd.Dataset, *, rate_pct: int = 10, seed: str = "s42") -> r
         return b[(h % np.uint64(100)).astype(np.int64) < rate_pct]
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring
+# ---------------------------------------------------------------------------
+
+_WORD_RE = None
+
+
+def tfidf(docs: rd.Dataset, *, npart: int | None = None) -> rd.Dataset:
+    """{doc_id, term, tf, df, tfidf_u} for every (document, term) pair.
+
+    ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (smoothed idf), quantized at
+    1e-6 — ln() differs across libms by ulps, which the quantization
+    absorbs.  Shape: per-row tokenization + within-row term counts (a doc is
+    one row, so tf needs no shuffle), one bucketed aggregate for document
+    frequencies (term cardinality scales with the corpus), one hash join to
+    attach df back to the tf rows.  N (total docs) rides as a broadcast
+    scalar.
+    """
+    import re
+
+    global _WORD_RE
+    if _WORD_RE is None:
+        _WORD_RE = re.compile(r"[a-z0-9_]+")
+
+    n_docs = docs.count()
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(_WORD_RE)
+        out = pd.DataFrame(
+            {"doc_id": np.repeat(b["doc_id"].to_numpy(), toks.str.len()), "term": np.concatenate([np.array(t, dtype=object) if t else np.array([], dtype=object) for t in toks])}
+        )
+        if len(out) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "term": pd.Series(dtype=object),
+                    "tf": pd.Series(dtype=np.int64),
+                }
+            )
+        return out.groupby(["doc_id", "term"], as_index=False, sort=False).size().rename(
+            columns={"size": "tf"}
+        )
+
+    tf = docs.select_columns(["doc_id", "text"]).map_batches(
+        tf_rows, batch_format="pandas", batch_size=512
+    ).materialize()
+
+    from ..stages.agg import bucketed_agg
+
+    df = bucketed_agg(  # each (doc, term) row is unique -> count = doc freq
+        tf, "term", {"df": (None, "count")}, types={"term": pa.string()}
+    )
+    k = npart if npart is not None else _shuffle_fan()
+    joined = tf.join(df, "inner", k, on=("term",))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log((n_docs + 1.0) / (b["df"].to_numpy() + 1.0)) + 1.0
+        u = np.floor(b["tf"].to_numpy() * idf * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "term": b["term"], "tf": b["tf"], "df": b["df"], "tfidf_u": u}
+        )
+
+    return joined.map_batches(score, batch_format="pandas")

@@ -96,6 +96,7 @@ ORACLE_QUERIES = [
     "simhash_signatures",
     "token_counts",
     "clean_text",
+    "tfidf",
     "hash_sample",
     "profile_lineitem",
     "quality_scores",

@@ -721,3 +721,23 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cos_u FROM ranked WHERE rn <= {k}"""
+
+
+def dedup_clusters_sql(threshold: float = 0.7) -> str:
+    """Transitive closure over the SQL-replayed MinHash pair graph
+    (pipelines/docs.dedup_clusters): min-label propagation to fixpoint, the
+    same recursive-CTE pattern as cc_sql but seeded from the documents table
+    (singletons keep themselves)."""
+    pairs = minhash_pairs_sql(threshold=threshold)
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM ({pairs})
+),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+r AS (
+  SELECT doc_id AS v, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v
+)
+SELECT v AS doc_id, min(lbl) AS cluster, CAST(min(lbl) = v AS BIGINT) AS keep
+FROM r GROUP BY v"""

@@ -768,3 +768,56 @@ def tfidf(docs: rd.Dataset, *, npart: int | None = None) -> rd.Dataset:
         )
 
     return joined.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: near-dup pairs -> connected components -> keep-list
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    docs: rd.Dataset, *, threshold: float = 0.7, workdir: str | None = None, P: int = 4
+) -> rd.Dataset:
+    """{doc_id, cluster, keep}: transitive near-dup clusters over the verified
+    MinHash pair graph, canonical representative = min doc_id per cluster
+    (keep=1), everything else keep=0.
+
+    This is the full dedup loop — pairs alone under-remove (near-dup is
+    transitive in practice) — and it composes the engine's own graph
+    machinery: the pair table IS an edge table (doc ids are the dense vids),
+    so clustering is ``connected_components`` over
+    ``build_graph_from_edges`` (the Cypher-projection source), scale-safe by
+    construction.  Singleton docs keep themselves."""
+    import tempfile
+
+    from .components import connected_components
+    from .graph_build import build_graph_from_edges
+
+    n = docs.count()
+    pairs = minhash_dedup_pairs(docs, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["id_a"].cast(pa.int64()),
+                "dst": t["id_b"].cast(pa.int64()),
+                "weight": pa.array(np.ones(t.num_rows, dtype=np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    wd = workdir or tempfile.mkdtemp(prefix="dedup_cc_")
+    g = build_graph_from_edges(edges, n, wd, P=P)
+    labels = connected_components(g).labels  # {vid, label}, label = min vid
+
+    def out(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t["vid"],
+                "cluster": t["label"],
+                "keep": pc.equal(t["vid"], t["label"]).cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(out, batch_format="pyarrow")

@@ -58,6 +58,17 @@ class BuiltGraph:
         return os.path.join(self.workdir, "vertices")
 
     def vertices_ds(self) -> rd.Dataset:
+        if not os.path.exists(self.vertices_dir):
+            # edge-table projections (build_graph_from_edges — the Cypher
+            # projection analogue) carry no key table; ids are already dense,
+            # so synthesize {key: str(vid), vid} lazily instead of failing
+            n = int(self.n_vertices)
+            return rd.range(n).map_batches(
+                lambda t: pa.table(
+                    {"key": t["id"].cast(pa.string()), "vid": t["id"].cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
         return rd.read_parquet(self.vertices_dir)
 
     @property

@@ -93,6 +93,7 @@ ORACLE_QUERIES = [
     "louvain_weighted",
     "minhash_pairs",
     "ngram_jaccard",
+    "dedup_clusters",
     "simhash_signatures",
     "token_counts",
     "clean_text",

@@ -286,3 +286,14 @@ def test_register_custom_procedure(pr_graph):
 
     unregister_operator("algo.degree")
     assert "algo.degree" not in set(algo.list()["name"])
+
+
+def test_unionfind_from_raw_edge_table():
+    """Edge-table projections carry no vertex key table; result assembly must
+    synthesize dense ids instead of failing (regression: FileNotFoundError
+    on <workdir>/vertices)."""
+    import pandas as pd
+
+    edges = pd.DataFrame({"src": [0, 1, 3], "dst": [1, 2, 4]})
+    out = algo.unionFind.stream(edges).to_pandas().sort_values("nodeId")
+    assert out["setId"].tolist() == [0, 0, 0, 3, 3]

@@ -297,3 +297,7 @@ def test_unionfind_from_raw_edge_table():
     edges = pd.DataFrame({"src": [0, 1, 3], "dst": [1, 2, 4]})
     out = algo.unionFind.stream(edges).to_pandas().sort_values("nodeId")
     assert out["setId"].tolist() == [0, 0, 0, 3, 3]
+    # triangle counting exercises the same vertex-table assembly path
+    tri_edges = pd.DataFrame({"src": [0, 1, 2, 0], "dst": [1, 2, 0, 3]})
+    tri = algo.triangleCount.stream(tri_edges).to_pandas().sort_values("nodeId")
+    assert tri["triangles"].tolist() == [1, 1, 1, 0]

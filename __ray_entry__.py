@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": lambda sf: D.minhash_dedup_pairs(D.read_documents(sf)).to_pandas(),
         "ngram_jaccard": ngram_jaccard,
         "dedup_clusters": lambda sf: D.dedup_clusters(D.read_documents(sf)),
+        "prepared_corpus": lambda sf: D.prepared_corpus(D.read_documents(sf)),
         "simhash_signatures": lambda sf: D.simhash_signatures(D.read_documents(sf)),
         # text analysis
         "clean_text": lambda sf: D.clean_text(D.read_documents(sf)),
@@ -351,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": O.minhash_pairs_sql(threshold=0.7),
         "ngram_jaccard": O.ngram_jaccard_sql(threshold=0.5),
         "dedup_clusters": O.dedup_clusters_sql(threshold=0.7),
+        "prepared_corpus": O.prepared_corpus_sql(min_quality=2, threshold=0.7),
         "simhash_signatures": O.simhash_signatures_sql(),
         "knn_ivf": O.knn_ivf_sql(n_queries=5, k=10, n_centroids=16, nprobe=4),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.3),

@@ -60,6 +60,7 @@ _CATALOG = [
     ("dedup.embedding", "dataprep", "(training-data op)", "pipelines.similarity.embedding_near_dup_pairs"),
     ("dedup.ngram_jaccard", "dataprep", "(training-data op)", "pipelines.docs.ngram_jaccard_pairs"),
     ("dedup.clusters", "dataprep", "(training-data op: pair graph -> CC -> keep-list)", "pipelines.docs.dedup_clusters"),
+    ("pipeline.prepared_corpus", "dataprep", "(composed prep: quality gate ∩ dedup keepers -> clean + tokens)", "pipelines.docs.prepared_corpus"),
     ("louvain.weighted", "algorithm", "WeightedLouvain.java via LouvainProc.java:156", "pipelines.louvain (weighted=True)"),
     ("multimodal.decode", "dataprep", "(training-data op)", "pipelines.multimodal.decode_metadata"),
     ("multimodal.resize", "dataprep", "(training-data op; stubbed resampler)", "pipelines.multimodal.resize"),

@@ -741,3 +741,39 @@ r AS (
 )
 SELECT v AS doc_id, min(lbl) AS cluster, CAST(min(lbl) = v AS BIGINT) AS keep
 FROM r GROUP BY v"""
+
+
+def prepared_corpus_sql(min_quality: int = 2, threshold: float = 0.7) -> str:
+    """The composed prep pipeline (pipelines/docs.prepared_corpus): quality
+    gate ∩ dedup keepers -> cleaned text + whitespace token count.  The
+    quality and clean expressions mirror the standalone quality_scores /
+    clean_text oracle contracts verbatim."""
+    pairs = minhash_pairs_sql(threshold=threshold)
+    clean = r"""trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+            '[0-9]{6,}', '<num>', 'g'),
+            '[ \t\n\r]+', ' ', 'g'))"""
+    return f"""
+WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({pairs})),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+r AS (
+  SELECT doc_id AS v, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v
+),
+keepers AS (SELECT v AS doc_id FROM r GROUP BY v HAVING min(lbl) = v),
+qm AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|a|in|is|it)\\b')) AS n_stop,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]')) AS n_punct
+  FROM documents),
+q AS (
+  SELECT doc_id FROM qm
+  WHERE CAST(n_chars >= 100 AS BIGINT) + CAST(n_words >= 20 AS BIGINT)
+        + CAST(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.01 AS BIGINT)
+        + CAST(n_punct * 2 <= n_words AS BIGINT) >= {min_quality}),
+c AS (SELECT doc_id, {clean} AS clean FROM documents)
+SELECT c.doc_id, c.clean, len(regexp_extract_all(c.clean, '[^ ]+')) AS n_tokens
+FROM c JOIN keepers USING (doc_id) JOIN q USING (doc_id)"""

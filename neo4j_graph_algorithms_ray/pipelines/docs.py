@@ -821,3 +821,34 @@ def dedup_clusters(
         )
 
     return labels.map_batches(out, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end prepared corpus (the composed training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def prepared_corpus(docs: rd.Dataset, *, min_quality: int = 2, threshold: float = 0.7) -> rd.Dataset:
+    """The composed data-prep pipeline a training run would consume:
+    quality gate (``quality_scores >= min_quality``) ∩ near-dup keep-list
+    (``dedup_clusters`` keepers) -> ``clean_text`` -> whitespace token count.
+    Output {doc_id, clean, n_tokens}.
+
+    Everything is a composition of this module's oracle-backed stages — two
+    id-set joins and the cleaning map; no new kernels."""
+    q_ids = quality_scores(docs).map_batches(
+        lambda b: b.loc[b["quality"] >= min_quality, ["doc_id"]], batch_format="pandas"
+    )
+    keep_ids = dedup_clusters(docs, threshold=threshold).map_batches(
+        lambda b: b.loc[b["keep"] == 1, ["doc_id"]], batch_format="pandas"
+    )
+    cleaned = clean_text(docs)
+    k = _shuffle_fan()
+    out = cleaned.join(q_ids, "inner", k, on=("doc_id",)).join(keep_ids, "inner", k, on=("doc_id",))
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["clean"].str.count(" ").fillna(0).astype(np.int64) + 1
+        n[b["clean"].str.len() == 0] = 0  # collapsed text: tokens = spaces+1, 0 if empty
+        return pd.DataFrame({"doc_id": b["doc_id"], "clean": b["clean"], "n_tokens": n})
+
+    return out.map_batches(count_tokens, batch_format="pandas")

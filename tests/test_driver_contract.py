@@ -94,6 +94,7 @@ ORACLE_QUERIES = [
     "minhash_pairs",
     "ngram_jaccard",
     "dedup_clusters",
+    "prepared_corpus",
     "simhash_signatures",
     "token_counts",
     "clean_text",

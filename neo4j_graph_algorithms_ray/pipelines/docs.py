@@ -709,7 +709,9 @@ def hash_sample(docs: rd.Dataset, *, rate_pct: int = 10, seed: str = "s42") -> r
 # TF-IDF term scoring
 # ---------------------------------------------------------------------------
 
-_WORD_RE = None
+import re as _re
+
+_WORD_RE = _re.compile(r"[a-z0-9_]+")
 
 
 def tfidf(docs: rd.Dataset, *, npart: int | None = None) -> rd.Dataset:
@@ -723,12 +725,6 @@ def tfidf(docs: rd.Dataset, *, npart: int | None = None) -> rd.Dataset:
     attach df back to the tf rows.  N (total docs) rides as a broadcast
     scalar.
     """
-    import re
-
-    global _WORD_RE
-    if _WORD_RE is None:
-        _WORD_RE = re.compile(r"[a-z0-9_]+")
-
     n_docs = docs.count()
 
     def tf_rows(b: pd.DataFrame) -> pd.DataFrame:

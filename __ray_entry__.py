@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_extract": G.q_edge_extract,
         "vertices": G.q_vertices,
         "degrees": G.q_degrees,
+        "degree_histogram": G.q_degree_histogram,
         "sha256_invariance": G.q_sha256_invariance,
         # headline graph algorithms — all oracle-checked (recursive-CTE /
         # unrolled-CTE DuckDB equivalents, oracles.py); fixture conformance
@@ -363,6 +364,15 @@ def oracle_sql() -> dict[str, str]:
 SELECT v.vid, coalesce(c.n, 0) AS out_deg
 FROM verts v LEFT JOIN (SELECT src, count(*) AS n FROM edges GROUP BY src) c
 ON c.src = v.vid""",
+        "degree_histogram": pre
+        + """
+, d AS (
+  SELECT v.vid, coalesce(c.n, 0) AS out_deg
+  FROM verts v LEFT JOIN (SELECT src, count(*) AS n FROM edges GROUP BY src) c
+  ON c.src = v.vid)
+SELECT CASE WHEN out_deg >= 1 THEN CAST(floor(log2(out_deg)) AS BIGINT) ELSE -1 END AS bucket,
+       count(*) AS n_vertices
+FROM d GROUP BY 1""",
         "sha256_invariance": pre + "SELECT repo || '/' || path AS key, sha256(content) AS sha FROM corpus",
         "triangle_counts": pre
         + """

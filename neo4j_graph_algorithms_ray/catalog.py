@@ -37,6 +37,7 @@ _CATALOG = [
     ("import.extract", "transform", "relationship projection", "stages.extract.ImportExtractor"),
     ("idmap", "transform", "IdMap dense ids", "stages.ids.assign_dense_ids"),
     ("degrees", "aggregate", "Degrees api", "pipelines.graph_queries.q_degrees"),
+    ("degrees.histogram", "aggregate", "(graph diagnostic: log2 degree distribution)", "pipelines.graph_queries.q_degree_histogram"),
     ("export.writeback", "sink", "Exporter.java write-back", "Dataset.write_parquet / *_with_keys joins"),
     ("export.resumable", "sink", "per-partition _DONE markers (north-rule resume)", "stages.sink.resumable_write"),
     ("isFinite", "function", "IsFiniteFunc.java", "functions.scalars.is_finite"),

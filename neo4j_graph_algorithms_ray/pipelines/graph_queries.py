@@ -113,6 +113,30 @@ def q_degrees(sf_dir: str):
     return lookup_join(verts, deg, "vid", "out_deg", default=0, num_partitions=max(1, g.P))
 
 
+def q_degree_histogram(sf_dir: str):
+    """Log2-bucketed out-degree distribution {bucket, n_vertices} — the
+    standard first diagnostic of a link graph's skew (bucket = floor(log2(
+    deg)) for deg >= 1, -1 for isolated vertices).  Buckets are O(log V), so
+    the partial histogram folds block-locally and the shuffle carries a few
+    dozen rows per block."""
+    import numpy as np
+    import pyarrow as pa
+
+    g = graph_for_sf(sf_dir)
+    deg = q_degrees(sf_dir)  # {vid, out_deg} Dataset
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["out_deg"].to_numpy()
+        b = np.where(d >= 1, np.floor(np.log2(np.maximum(d, 1))), -1).astype(np.int64)
+        vals, counts = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
+
+    from ..stages.agg import bucketed_agg
+
+    out = bucketed_agg(deg.map_batches(partial, batch_format="pyarrow"), "bucket", {"n_vertices": ("n", "sum")})
+    return out.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
 PAGERANK_ORACLE_ITERS = 40  # fixed count shared with oracles.pagerank_sql
 
 

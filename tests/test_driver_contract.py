@@ -65,6 +65,7 @@ ORACLE_QUERIES = [
     "edge_extract",
     "vertices",
     "degrees",
+    "degree_histogram",
     "sha256_invariance",
     "pagerank",
     "connected_components",

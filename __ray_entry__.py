@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": lambda sf: D.clean_text(D.read_documents(sf)),
         "tfidf": lambda sf: D.tfidf(D.read_documents(sf)),
         "hash_sample": lambda sf: D.hash_sample(D.read_documents(sf)),
+        "stratified_sample": lambda sf: D.stratified_sample(D.read_documents(sf)),
         "profile_lineitem": lambda sf: _intize(
             R.profile_numeric(
                 R.read_table(sf, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"]),
@@ -414,6 +415,14 @@ FROM tf t JOIN df d USING (term) CROSS JOIN n""",
         "hash_sample": """
 SELECT * FROM documents
 WHERE md5_number_lower('s42|' || CAST(doc_id AS VARCHAR)) % 100 < 10""",
+        "stratified_sample": """
+WITH s AS (
+  SELECT lang, doc_id,
+         CAST(md5_number_lower('s7|' || CAST(doc_id AS VARCHAR)) >> 1 AS BIGINT) AS hs
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hs ASC, doc_id ASC) AS rank
+      FROM s)
+SELECT lang, doc_id, hs, rank FROM r WHERE rank <= 2""",
         "profile_lineitem": """
 WITH p AS (
   SELECT 'l_quantity' AS col, count(*) AS n, count(*) - count(l_quantity) AS n_null,

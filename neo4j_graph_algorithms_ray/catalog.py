@@ -55,6 +55,7 @@ _CATALOG = [
     ("text.clean", "dataprep", "(training-data op: redaction + normalization)", "pipelines.docs.clean_text"),
     ("text.tfidf", "dataprep", "(training-data op: smoothed tf-idf term scores)", "pipelines.docs.tfidf"),
     ("sample.hash", "dataprep", "(training-data op: deterministic hash sample)", "pipelines.docs.hash_sample"),
+    ("sample.stratified", "dataprep", "(training-data op: deterministic k-per-group sample)", "pipelines.docs.stratified_sample"),
     ("profile.numeric", "dataprep", "(training-data op: per-column validation stats)", "pipelines.relational.profile_numeric"),
     ("knn.bruteforce", "dataprep", "(training-data op)", "pipelines.similarity.knn_bruteforce"),
     ("knn.ivf", "dataprep", "(training-data op)", "pipelines.similarity.knn_ivf"),

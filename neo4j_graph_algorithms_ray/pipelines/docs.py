@@ -848,3 +848,33 @@ def prepared_corpus(docs: rd.Dataset, *, min_quality: int = 2, threshold: float 
         return pd.DataFrame({"doc_id": b["doc_id"], "clean": b["clean"], "n_tokens": n})
 
     return out.map_batches(count_tokens, batch_format="pandas")
+
+
+def stratified_sample(docs: rd.Dataset, *, per_group: int = 2, group: str = "lang", seed: str = "s7") -> rd.Dataset:
+    """Deterministic k-per-group sample {group, doc_id, hs, rank}: rank each
+    group's rows by a stable md5 hash score and keep the ``per_group``
+    lowest — stratified sampling with no RNG state, reproducible across
+    runs, partitionings and engines.  Pure composition: a hash-score map +
+    ``topk_per_group`` (map-side prune, so the shuffle carries at most
+    per_group x groups-per-block rows)."""
+    from ..stages.agg import topk_per_group
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        h = T.hash_strings(((seed + "|") + b["doc_id"].astype(str)).tolist())
+        return pd.DataFrame(
+            {
+                group: b[group],
+                "doc_id": b["doc_id"],
+                "hs": (h >> np.uint64(1)).astype(np.int64),
+            }
+        )
+
+    return topk_per_group(
+        docs.map_batches(score, batch_format="pandas"),
+        group,
+        "hs",
+        per_group,
+        id_col="doc_id",
+        descending=False,
+        types={group: pa.string(), "hs": pa.int64()},
+    )

@@ -147,6 +147,7 @@ def topk_per_group(
     descending: bool = True,
     fan: int | None = None,
     num_partitions: int | None = None,
+    types: "dict[str, pa.DataType] | None" = None,
 ) -> rd.Dataset:
     """Top-``k`` rows per key by ``score`` -> {key, id_col, score, rank}.
 
@@ -197,8 +198,13 @@ def topk_per_group(
         out["__b"] = _bucket_ids(out, [key], fan)
         return out
 
+    ty = {key: pa.int64(), id_col: pa.int64(), score: pa.float64(), "rank": pa.int64()}
+    if types:
+        ty.update(types)  # e.g. string keys, int64 scores (hash ranks must
+        # not round-trip through float64 — above 2^53 that reorders ties)
+
     def fold(g: pd.DataFrame) -> pa.Table:
-        cols = [(key, pa.int64()), (id_col, pa.int64()), (score, pa.float64()), ("rank", pa.int64())]
+        cols = [(c, ty[c]) for c in (key, id_col, score, "rank")]
         if len(g) == 0 or key not in g.columns:
             return pa.table({c: pa.array([], t) for c, t in cols})
         out = _prune(g, with_rank=True)

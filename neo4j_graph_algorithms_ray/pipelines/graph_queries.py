@@ -372,6 +372,76 @@ def q_mst(sf_dir: str) -> pd.DataFrame:
     return mst_summary(g, cc_labels=_cc(sf_dir).labels)
 
 
+# -- merged (variant-tagged) driver queries ---------------------------------
+# The driver records CORRECTNESS rows for at most 50 queries() entries per
+# round (r02: exactly the first 50 of 60 in insertion order got rows).  To
+# keep EVERY operator driver-checked in a single run, algorithm variants that
+# share a schema are merged into one query with a tag column; the oracle is
+# the UNION ALL of the per-variant SQL.  The untagged single-variant
+# functions above remain the library API.
+
+
+def q_sssp_merged(sf_dir: str) -> pd.DataFrame:
+    """Dijkstra-BFS and delta-stepping SSSP, tagged ``algo`` — same fixpoint,
+    two kernels (ShortestPathProc / ShortestPathDeltaSteppingProc.java:72)."""
+    a = q_sssp(sf_dir).assign(algo="dijkstra")
+    b = q_sssp_delta(sf_dir).assign(algo="delta")
+    return pd.concat([a, b], ignore_index=True)
+
+
+def q_label_propagation_merged(sf_dir: str) -> pd.DataFrame:
+    """Uniform and weighted LP (LabelPropagation.java:280-289), tagged
+    ``variant``."""
+    a = q_label_propagation(sf_dir).assign(variant="uniform")
+    b = q_label_propagation_weighted(sf_dir).assign(variant="weighted")
+    return pd.concat([a, b], ignore_index=True)
+
+
+def q_louvain_merged(sf_dir: str) -> pd.DataFrame:
+    """Unweighted and weighted Louvain (WeightedLouvain.java:88-124), tagged
+    ``variant``."""
+    a = q_louvain(sf_dir).assign(variant="uniform")
+    b = q_louvain_weighted(sf_dir).assign(variant="weighted")
+    return pd.concat([a, b], ignore_index=True)
+
+
+def q_closeness_harmonic(sf_dir: str) -> pd.DataFrame:
+    """Exact closeness (OUTGOING) and harmonic (BOTH) centralities, tagged
+    ``metric`` — both are MS-BFS farness aggregations."""
+    a = q_closeness(sf_dir).assign(metric="closeness")
+    b = q_harmonic(sf_dir).assign(metric="harmonic")
+    return pd.concat([a, b], ignore_index=True)
+
+
+def q_betweenness_sampled_merged(sf_dir: str) -> pd.DataFrame:
+    """RA-Brandes with BOTH source-selection strategies, tagged ``strategy``:
+    ``uniform`` (RandomSelectionStrategy) and ``degree`` (per-node Bernoulli
+    with p = deg/maxDeg, RandomDegreeSelectionStrategy.java:49-62)."""
+    from .betweenness import betweenness_centrality
+    from .centrality import graph_out_degrees, pick_sources_degree
+
+    a = q_betweenness_sampled(sf_dir).assign(strategy="uniform")
+
+    g = graph_for_sf(sf_dir)
+    srcs = pick_sources_degree(graph_out_degrees(g), seed=7)
+    res = betweenness_centrality(g, direction="OUTGOING", sources=srcs)
+    b = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    b["cent_u"] = np.floor(b["centrality"].to_numpy() * 1e6 + 0.5).astype("int64")
+    b = b[["vid", "cent_u"]].assign(strategy="degree")
+    return pd.concat([a, b], ignore_index=True)
+
+
+def q_triangle_counts_with_global(sf_dir: str) -> pd.DataFrame:
+    """Per-vertex triangle counts plus the global total as a ``vid = -1``
+    row (algo.triangleCount's summary value)."""
+    t = _tri(sf_dir)
+    df = t.counts.to_pandas().sort_values("vid").reset_index(drop=True)
+    return pd.concat(
+        [df, pd.DataFrame({"vid": [-1], "triangles": [int(t.triangle_count)]})],
+        ignore_index=True,
+    )
+
+
 def q_sha256_invariance(sf_dir: str):
     """Corpus rows routed through a map_batches pass-through; per-row sha256
     must equal the oracle's (FIXTURES.md §10.1)."""

@@ -192,6 +192,66 @@ def resize(decoded: rd.Dataset, *, max_w: int = 32, max_h: int = 32,
     )
 
 
+def meta_with_resize(decoded: rd.Dataset, *, max_w: int = 32, max_h: int = 32) -> rd.Dataset:
+    """Decoded metadata + the resize plan in one pass: {doc_id, n_bytes,
+    width, height, n_frames, r_width, r_height, scale_u}.  Same math as
+    ``ResizeStage`` but keeps the decode metadata columns (the driver-facing
+    merged query for the meta/resized pair)."""
+
+    def stage(t: pa.Table) -> pa.Table:
+        w = t["width"].to_numpy().astype(np.float64)
+        h = t["height"].to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": t["n_bytes"],
+                "width": t["width"],
+                "height": t["height"],
+                "n_frames": t["n_frames"],
+                "r_width": pa.array(np.floor(w * scale + 0.5).astype(np.int64)),
+                "r_height": pa.array(np.floor(h * scale + 0.5).astype(np.int64)),
+                "scale_u": pa.array(np.floor(scale * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return decoded.select_columns(
+        ["doc_id", "n_bytes", "width", "height", "n_frames"]
+    ).map_batches(stage, batch_format="pyarrow")
+
+
+def frames_and_features(decoded: rd.Dataset, binary_ds: rd.Dataset, *, every: int = 2) -> rd.Dataset:
+    """Frame-sample plan ∪ byte-class features as one kind-tagged table
+    {doc_id, kind, idx, n, feat_u}: frames carry (idx=frame, n=0, feat_u=0),
+    features carry (idx=dim, n, feat_u).  A ``union`` of two streaming
+    stages — no shuffle."""
+    fr = frame_sample(decoded, every=every).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "kind": pa.array(["frame"] * t.num_rows),
+                "idx": t["frame"],
+                "n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "feat_u": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ft = feature_extract(binary_ds).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "kind": pa.array(["feat"] * t.num_rows),
+                "idx": t["dim"],
+                "n": t["n"],
+                "feat_u": t["feat_u"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return fr.union(ft)
+
+
 def frame_sample(decoded: rd.Dataset, *, every: int = 2) -> rd.Dataset:
     """Frame sampling: expand each item to its every-``every``-th frame index
     {doc_id, frame} (a real sampler would additionally slice the payload per

@@ -462,7 +462,7 @@ WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
   FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100000),
 n AS (SELECT count(*) AS nd FROM documents)
 SELECT t.doc_id, t.term, t.tf, d.df,
        CAST(floor(t.tf * (ln((nd + 1.0) / (d.df + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT) AS tfidf_u

@@ -463,7 +463,7 @@ SELECT v AS vid, min(l) AS label FROM tcomp GROUP BY v"""
 # ---------------------------------------------------------------------------
 
 _SHINGLES = """
-tk AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS l FROM documents),
+tk AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS l FROM {src}),
 gr AS (
   SELECT doc_id, array_to_string(l[i : i + {km1}], ' ') AS g
   FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - {km1})) AS i
@@ -484,11 +484,12 @@ def _perm_values(num_perm: int) -> str:
     return f"perms(p, a, b) AS (VALUES {rows})"
 
 
-def _sig_cte(num_perm: int, k: int) -> str:
-    """CTE chain computing full minhash signatures {doc_id, perm, mh}."""
+def _sig_cte(num_perm: int, k: int, src: str = "documents") -> str:
+    """CTE chain computing full minhash signatures {doc_id, perm, mh} over
+    ``src`` (a table or CTE with (doc_id, text) columns)."""
     return (
         "WITH "
-        + _SHINGLES.format(k=k, km1=k - 1)
+        + _SHINGLES.format(k=k, km1=k - 1, src=src)
         + f""",
 {_perm_values(num_perm)},
 rawsig AS (
@@ -497,7 +498,7 @@ rawsig AS (
 ),
 sig AS (
   SELECT d.doc_id, p.p AS perm, coalesce(r.mh, 2147483647) AS mh
-  FROM documents d CROSS JOIN perms p
+  FROM {src} d CROSS JOIN perms p
   LEFT JOIN rawsig r ON r.doc_id = d.doc_id AND r.perm = p.p
 )"""
     )
@@ -513,15 +514,32 @@ def minhash_signatures_sql(num_perm: int = 64, k: int = 3) -> str:
     )
 
 
-def minhash_pairs_sql(threshold: float = 0.7, num_perm: int = 64, bands: int = 16, k: int = 3) -> str:
+def minhash_pairs_sql(
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    max_band_freq: int = 256,
+    src: str = "documents",
+) -> str:
+    """Banded-LSH candidate pairs + exact-jaccard verify.  ``max_band_freq``
+    mirrors the engine's band-group fan-out cap (docs.minhash_candidate_pairs):
+    a ``(band, band-key)`` bucket with more than this many docs is dropped —
+    the classic LSH s²/2 blowup armor (exact-dup mega-clusters are expected
+    to be collapsed *before* LSH, as dedup_clusters does)."""
     rows = num_perm // bands
     return (
-        _sig_cte(num_perm, k)
+        _sig_cte(num_perm, k, src=src)
         + f""",
-bandk AS (
+bandk0 AS (
   SELECT doc_id, perm // {rows} AS band,
          string_agg(CAST(mh AS VARCHAR), '|' ORDER BY perm) AS bk
   FROM sig GROUP BY doc_id, perm // {rows}
+),
+bandk AS (
+  SELECT doc_id, band, bk FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bk) AS c FROM bandk0)
+  WHERE c <= {max_band_freq}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -560,7 +578,7 @@ def ngram_jaccard_sql(threshold: float = 0.5, k: int = 3, max_doc_freq: int = 25
     """
     return (
         "WITH "
-        + _SHINGLES.format(k=k, km1=k - 1)
+        + _SHINGLES.format(k=k, km1=k - 1, src="documents")
         + f""",
 keep AS (SELECT h64 FROM sh64 GROUP BY h64 HAVING count(*) <= {max_doc_freq}),
 inter AS (
@@ -729,17 +747,30 @@ ranked AS (
 SELECT query_id, vec_id, cos_u FROM ranked WHERE rn <= {k}"""
 
 
-def dedup_clusters_sql(threshold: float = 0.7) -> str:
+_REP_CTES = """
+dmap AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents),
+reps AS (SELECT doc_id, text FROM (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents)
+  WHERE doc_id = rep)"""
+
+
+def dedup_clusters_sql(threshold: float = 0.7, max_band_freq: int = 256) -> str:
     """Transitive closure over the SQL-replayed MinHash pair graph
-    (pipelines/docs.dedup_clusters): min-label propagation to fixpoint, the
-    same recursive-CTE pattern as cc_sql but seeded from the documents table
-    (singletons keep themselves)."""
-    pairs = minhash_pairs_sql(threshold=threshold)
+    (pipelines/docs.dedup_clusters): exact duplicates collapse to their
+    min-doc_id representative FIRST (star edges member->rep), LSH pairs run
+    over representatives only (so the ``max_band_freq`` cap never sees
+    exact-dup mega-clusters), then min-label propagation to fixpoint —
+    the same recursive-CTE pattern as cc_sql, seeded from the documents
+    table (singletons keep themselves)."""
+    pairs = minhash_pairs_sql(threshold=threshold, max_band_freq=max_band_freq, src="reps")
     return f"""
-WITH RECURSIVE p AS (
+WITH RECURSIVE {_REP_CTES},
+p AS (
   SELECT id_a, id_b FROM ({pairs})
 ),
-e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p
+      UNION ALL SELECT doc_id, rep FROM dmap WHERE doc_id != rep
+      UNION ALL SELECT rep, doc_id FROM dmap WHERE doc_id != rep),
 r AS (
   SELECT doc_id AS v, doc_id AS lbl FROM documents
   UNION
@@ -754,14 +785,17 @@ def prepared_corpus_sql(min_quality: int = 2, threshold: float = 0.7) -> str:
     gate ∩ dedup keepers -> cleaned text + whitespace token count.  The
     quality and clean expressions mirror the standalone quality_scores /
     clean_text oracle contracts verbatim."""
-    pairs = minhash_pairs_sql(threshold=threshold)
+    pairs = minhash_pairs_sql(threshold=threshold, src="reps")
     clean = r"""trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
             '[0-9]{6,}', '<num>', 'g'),
             '[ \t\n\r]+', ' ', 'g'))"""
     return f"""
-WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({pairs})),
-e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+WITH RECURSIVE {_REP_CTES},
+p AS (SELECT id_a, id_b FROM ({pairs})),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p
+      UNION ALL SELECT doc_id, rep FROM dmap WHERE doc_id != rep
+      UNION ALL SELECT rep, doc_id FROM dmap WHERE doc_id != rep),
 r AS (
   SELECT doc_id AS v, doc_id AS lbl FROM documents
   UNION

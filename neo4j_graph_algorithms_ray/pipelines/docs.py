@@ -96,11 +96,20 @@ def _band_rows(batch: pd.DataFrame, *, num_perm: int, bands: int, k: int) -> pd.
     )
 
 
-def _groups_to_pairs(band: np.ndarray, bh: np.ndarray, did: np.ndarray) -> pd.DataFrame:
+def _groups_to_pairs(
+    band: np.ndarray, bh: np.ndarray, did: np.ndarray, max_band_freq: int = 256
+) -> pd.DataFrame:
     """All (id_a < id_b) pairs sharing a (band, bh) key — fully vectorized.
 
     Groups are bucketed by size class so pair generation is a handful of
     matrix ``triu_indices`` gathers instead of a Python loop per group.
+
+    Groups larger than ``max_band_freq`` are DROPPED (same armor as the
+    stop-gram prune in ngram_jaccard_pairs): a size-s band bucket emits
+    s²/2 pairs, and web corpora always contain near/exact-dup mega-clusters
+    — without the cap one hot bucket at 100 TB emits quadrillions of pairs.
+    Exact-dup clusters are expected to be collapsed to one representative
+    *before* LSH (dedup_clusters does); the oracle applies the same cap.
     """
     empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
     if len(did) == 0:
@@ -118,7 +127,7 @@ def _groups_to_pairs(band: np.ndarray, bh: np.ndarray, did: np.ndarray) -> pd.Da
     starts = np.cumsum(counts) - counts
     out_a, out_b = [], []
     for s in np.unique(counts):
-        if s < 2:
+        if s < 2 or s > max_band_freq:
             continue
         gs = starts[counts == s]
         m = did[gs[:, None] + np.arange(s)[None, :]]  # (n_groups, s), rows ascending
@@ -132,8 +141,12 @@ def _groups_to_pairs(band: np.ndarray, bh: np.ndarray, did: np.ndarray) -> pd.Da
     ).drop_duplicates()
 
 
-def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> rd.Dataset:
-    """{id_a, id_b} candidate near-dup pairs (band-bucket collisions, deduped)."""
+def minhash_candidate_pairs(
+    docs: rd.Dataset, *, num_perm=64, bands=16, k=3, max_band_freq: int = 256
+) -> rd.Dataset:
+    """{id_a, id_b} candidate near-dup pairs (band-bucket collisions, deduped;
+    band buckets larger than ``max_band_freq`` dropped — see
+    ``_groups_to_pairs``)."""
     band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
         _band_rows,
         fn_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
@@ -144,6 +157,7 @@ def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> 
     # coarse-bucket the (band, bh) keys so the shuffle has few, large groups
     # (per-tiny-group map_groups overhead dominates otherwise)
     n_buckets = 64
+    mbf = int(max_band_freq)
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -152,7 +166,7 @@ def minhash_candidate_pairs(docs: rd.Dataset, *, num_perm=64, bands=16, k=3) -> 
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _groups_to_pairs(
-            g["band"].to_numpy(), g["bh"].to_numpy(), g["doc_id"].to_numpy()
+            g["band"].to_numpy(), g["bh"].to_numpy(), g["doc_id"].to_numpy(), mbf
         )
 
     # pairs may repeat across bands (different buckets); consumers dedup —
@@ -199,6 +213,11 @@ def minhash_signatures(docs: rd.Dataset, *, num_perm=64, k=3) -> rd.Dataset:
 # driver-side dict of texts would OOM; same auto-fallback contract as
 # stages/joins.lookup_vids)
 BROADCAST_MAX_PAIRS = 1_000_000
+# ... and a BYTE cap on the broadcast text dict itself: 1M pairs can touch
+# 2M documents, which at 10 KB/doc is ~20 GB driver-side.  The fast path
+# streams the filtered texts and abandons to the distributed joins the
+# moment the accumulated text volume crosses this line.
+BROADCAST_MAX_TEXT_BYTES = 256 * 1024 * 1024
 
 
 def _verify_fn(threshold: float, k: int):
@@ -225,24 +244,36 @@ def _verify_fn(threshold: float, k: int):
 
 
 def minhash_dedup_pairs(
-    docs: rd.Dataset, *, threshold: float = 0.7, num_perm=64, bands=16, k=3
+    docs: rd.Dataset,
+    *,
+    threshold: float = 0.7,
+    num_perm=64,
+    bands=16,
+    k=3,
+    max_band_freq: int = 256,
 ) -> rd.Dataset:
     """Verified near-dup pairs {id_a, id_b, jac_u} (jaccard >= threshold,
     jac_u = floor(jaccard * 1e6 + 0.5)).
 
-    Candidates come from LSH banding.  Verification attaches both texts and
-    computes exact word-ngram Jaccard inside ``map_batches``; the text
-    attachment picks its shape by candidate volume:
+    Candidates come from LSH banding (band buckets above ``max_band_freq``
+    dropped — collapse exact dupes first, as dedup_clusters does).
+    Verification attaches both texts and computes exact word-ngram Jaccard
+    inside ``map_batches``; the text attachment picks its shape by volume:
 
     - small candidate sets (the common case): broadcast the candidate-id
       set, filter the docs table for just those texts, ship the small dict
-      via ``ray.put`` — one streaming pass over the corpus, no shuffle,
-    - above ``BROADCAST_MAX_PAIRS``: two distributed hash joins pair->text
-      (nothing ever materializes on the driver).
+      via ``ray.put`` — one streaming pass over the corpus, no shuffle.
+      The stream aborts to the join path the moment either the pair count
+      (``BROADCAST_MAX_PAIRS``) or the accumulated text bytes
+      (``BROADCAST_MAX_TEXT_BYTES``) cross their caps,
+    - otherwise: two distributed hash joins pair->text (nothing ever
+      materializes on the driver).
     """
     import ray
 
-    cands = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k).materialize()
+    cands = minhash_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, k=k, max_band_freq=max_band_freq
+    ).materialize()
     n_pairs = cands.count()
     verify = _verify_fn(threshold, k)
 
@@ -267,21 +298,33 @@ def minhash_dedup_pairs(
             w = ray.get(wref)
             return b[b["doc_id"].isin(w)]
 
-        texts = (
+        # stream the filtered texts into the broadcast dict, byte-capped:
+        # a pair-count cap alone admits ~2M docs (20 GB at 10 KB/doc)
+        tmap: dict = {}
+        total_bytes = 0
+        for tb in (
             docs.select_columns(["doc_id", "text"])
             .map_batches(pick, batch_format="pandas")
-            .to_pandas()
-        )
-        tref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+            .iter_batches(batch_format="pandas")
+        ):
+            total_bytes += int(tb["text"].str.len().sum())
+            if total_bytes > BROADCAST_MAX_TEXT_BYTES:
+                tmap = None  # too much text for a driver-side dict
+                break
+            tmap.update(zip(tb["doc_id"], tb["text"]))
 
-        def attach_and_verify(b: pd.DataFrame) -> pd.DataFrame:
-            tmap = ray.get(tref)
-            b = b.assign(
-                text_a=[tmap[i] for i in b["id_a"]], text_b=[tmap[i] for i in b["id_b"]]
-            )
-            return verify(b)
+        if tmap is not None:
+            tref = ray.put(tmap)
 
-        return rd.from_pandas(pdf).map_batches(attach_and_verify, batch_format="pandas")
+            def attach_and_verify(b: pd.DataFrame) -> pd.DataFrame:
+                tm = ray.get(tref)
+                b = b.assign(
+                    text_a=[tm[i] for i in b["id_a"]], text_b=[tm[i] for i in b["id_b"]]
+                )
+                return verify(b)
+
+            return rd.from_pandas(pdf).map_batches(attach_and_verify, batch_format="pandas")
+        cands = rd.from_pandas(pdf)  # fall through to the distributed joins
 
     # large-candidate path: distributed joins; join fan sized to the session
     # (each join spawns npart shuffle-aggregator actors reserving CPU
@@ -774,7 +817,9 @@ import re as _re
 _WORD_RE = _re.compile(r"[a-z0-9_]+")
 
 
-def tfidf(docs: rd.Dataset, *, npart: int | None = None) -> rd.Dataset:
+def tfidf(
+    docs: rd.Dataset, *, npart: int | None = None, max_doc_freq: int = 100_000
+) -> rd.Dataset:
     """{doc_id, term, tf, df, tfidf_u} for every (document, term) pair.
 
     ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (smoothed idf), quantized at
@@ -784,8 +829,14 @@ def tfidf(docs: rd.Dataset, *, npart: int | None = None) -> rd.Dataset:
     frequencies (term cardinality scales with the corpus), one hash join to
     attach df back to the tf rows.  N (total docs) rides as a broadcast
     scalar.
+
+    Terms with ``df > max_doc_freq`` are dropped BEFORE the tf⋈df join:
+    the join hash-partitions by term, so a stop-word (df ≈ N) would land
+    its entire tf row set on one partition — unbounded skew at corpus
+    scale, for rows whose idf ≈ 0 anyway.  The oracle applies the same cut.
     """
     n_docs = docs.count()
+    mdf = int(max_doc_freq)
 
     def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].str.lower().str.findall(_WORD_RE)
@@ -812,7 +863,7 @@ def tfidf(docs: rd.Dataset, *, npart: int | None = None) -> rd.Dataset:
 
     df = bucketed_agg(  # each (doc, term) row is unique -> count = doc freq
         tf, "term", {"df": (None, "count")}, types={"term": pa.string()}
-    )
+    ).filter(expr=f"df <= {mdf}")  # stop-term prune (hot-key join skew armor)
     k = npart if npart is not None else _shuffle_fan()
     joined = tf.join(df, "inner", k, on=("term",))
 
@@ -832,11 +883,27 @@ def tfidf(docs: rd.Dataset, *, npart: int | None = None) -> rd.Dataset:
 
 
 def dedup_clusters(
-    docs: rd.Dataset, *, threshold: float = 0.7, workdir: str | None = None, P: int = 4
+    docs: rd.Dataset,
+    *,
+    threshold: float = 0.7,
+    workdir: str | None = None,
+    P: int | None = None,
+    max_band_freq: int = 256,
 ) -> rd.Dataset:
     """{doc_id, cluster, keep}: transitive near-dup clusters over the verified
     MinHash pair graph, canonical representative = min doc_id per cluster
     (keep=1), everything else keep=0.
+
+    Exact duplicates are collapsed FIRST: every doc maps to the min-doc_id
+    representative of its identical-text group (one sha256 pass + a bucketed
+    min + one hash join on the digest), LSH runs over representatives only,
+    and members attach to their rep with star edges.  A 10k-copy exact-dup
+    cluster therefore contributes 1 doc to the LSH and 10k-1 star edges —
+    not 10k band rows that the ``max_band_freq`` cap would have to drop (and
+    without the cap, 5*10^7 candidate pairs).  Cluster labels are unchanged:
+    identical texts share signatures, so the rep-level pair (r1, r2) exists
+    exactly when any cross pair (d1, d2) did, and min-vid labels agree
+    because each rep is already its group's min doc_id.
 
     This is the full dedup loop — pairs alone under-remove (near-dup is
     transitive in practice) — and it composes the engine's own graph
@@ -846,11 +913,59 @@ def dedup_clusters(
     construction.  Singleton docs keep themselves."""
     import tempfile
 
+    import ray
+
+    from ..stages.joins import lookup_join
     from .components import connected_components
     from .graph_build import build_graph_from_edges
 
     n = docs.count()
-    pairs = minhash_dedup_pairs(docs, threshold=threshold)
+    if P is None:
+        # size the CC subgraph's partitioning to the session, like shuffle_fan
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        P = max(2, min(32, ncpu // 4))
+
+    # doc -> exact-dup representative: {h, doc_id} -> min per digest -> join
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": pa.array(T.hash_strings_hex(t["text"], "sha256")), "doc_id": t["doc_id"]}
+        )
+
+    hashes = docs.select_columns(["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    ).materialize()
+    repmin = bucketed_agg(hashes, "h", {"rep": ("doc_id", "min")}, types={"h": pa.string()})
+    k = _shuffle_fan()
+    dmap = hashes.join(repmin, "inner", k, on=("h",)).select_columns(["doc_id", "rep"]).materialize()
+
+    star = dmap.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["doc_id"].cast(pa.int64()),
+                "dst": t["rep"].cast(pa.int64()),
+                "weight": pa.array(np.ones(t.num_rows, dtype=np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).filter(expr="src != dst")
+
+    # representatives' texts: flag docs whose doc_id is its group's rep
+    # (broadcast int-lookup under the cap, hash join above it)
+    rep_flag = dmap.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "isrep": pa.compute.equal(t["doc_id"], t["rep"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    rep_docs = lookup_join(
+        docs.select_columns(["doc_id", "text"]), rep_flag, "doc_id", "isrep",
+        default=0, num_partitions=k,
+    ).filter(expr="isrep == 1")
+
+    pairs = minhash_dedup_pairs(rep_docs, threshold=threshold, max_band_freq=max_band_freq)
     edges = pairs.map_batches(
         lambda t: pa.table(
             {
@@ -860,7 +975,7 @@ def dedup_clusters(
             }
         ),
         batch_format="pyarrow",
-    )
+    ).union(star)
     wd = workdir or tempfile.mkdtemp(prefix="dedup_cc_")
     g = build_graph_from_edges(edges, n, wd, P=P)
     labels = connected_components(g).labels  # {vid, label}, label = min vid

@@ -98,7 +98,13 @@ def list_operators() -> pd.DataFrame:
 def catalog_sql() -> str:
     """The catalog as a DuckDB VALUES table — lets the driver hash-verify
     even ``algo.list`` (the catalog is static data, so its oracle is the
-    same rows spelled in SQL)."""
+    same rows spelled in SQL).
+
+    NOTE: this snapshots the live registry.  register_operator /
+    unregister_operator after an ``oracle_sql()`` capture invalidates the
+    captured catalog oracle (the engine rows move, the SQL string doesn't) —
+    re-capture ``oracle_sql()`` after mutating the registry.  Extension
+    tests restore the registry for exactly this reason."""
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"

@@ -80,7 +80,6 @@ def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int =
     point every edge is a (child, min-root) star pointer.
     """
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     n_buckets = 64
 
@@ -95,19 +94,40 @@ def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int =
 
     cur = edges.map_batches(canon, batch_format="pyarrow").materialize()
 
-    def _checksum(ds: rd.Dataset) -> tuple[int, float]:
-        agg = ds.map_batches(
-            lambda t: pa.table(
+    def _checksum(ds: rd.Dataset) -> tuple[int, int]:
+        """(row count, exact order-independent uint64 checksum).
+
+        A float64 sum of ``u*31+v`` loses exactness past 2^53 — in the
+        >10^8-vertex regime this mode exists for, distinct edge sets could
+        compare equal (premature stop) and summation-order nondeterminism
+        would defeat the early exit.  Instead: wraparound uint64 sum of a
+        splitmix-style hash of each (u, v) row; per-block partials fold on
+        the driver (one row per block)."""
+
+        def partial(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy().astype(np.uint64, copy=False)
+            v = t["v"].to_numpy().astype(np.uint64, copy=False)
+            x = u * np.uint64(0x9E3779B97F4A7C15) ^ (v + np.uint64(0xC2B2AE3D27D4EB4F))
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            s = np.uint64(0) if len(x) == 0 else np.add.reduce(x)  # wraps mod 2^64
+            return pa.table(
                 {
                     "n": pa.array([t.num_rows], pa.int64()),
-                    "s": pa.array(
-                        [float((t["u"].to_numpy() * 31.0 + t["v"].to_numpy()).sum())]
-                    ),
+                    "s": pa.array([int(s.view(np.int64))], pa.int64()),
                 }
-            ),
-            batch_format="pyarrow",
-        ).aggregate(Sum("n"), Sum("s"))
-        return int(agg["sum(n)"] or 0), float(agg["sum(s)"] or 0.0)
+            )
+
+        n_total = 0
+        s_acc = np.zeros(1, dtype=np.uint64)  # array accumulator: silent wraparound
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            n_total += int(b["n"].to_numpy().sum())
+            if b.num_rows:
+                s_acc += np.add.reduce(b["s"].to_numpy().view(np.uint64))
+        return n_total, int(s_acc[0])
 
     def _star_round(ds: rd.Dataset, large: bool) -> rd.Dataset:
         def emit(t: pa.Table) -> pa.Table:
@@ -235,23 +255,33 @@ class ComponentsResult:
         return bucketed_agg(self.labels, "label", {"size": (None, "count")})
 
 
+# above this many vertices the tree-reduce's final task (one row per
+# non-isolated vertex) would not fit a single worker -> auto-select
+# star-contraction, which never materializes a component in one task
+TREEREDUCE_MAX_V = 100_000_000
+
+
 def connected_components(
     graph: BuiltGraph,
     *,
     threshold: float | None = None,
     fanin: int = 8,
     max_rounds: int = 64,
-    mode: str = "treereduce",
+    mode: str = "auto",
 ) -> ComponentsResult:
     """Edge table -> per-vertex component labels (min-vid canonical).
 
-    ``mode='treereduce'`` (default): block-local contraction + logarithmic
+    ``mode='treereduce'``: block-local contraction + logarithmic
     tree-reduce — the final reduce task sees ~one row per non-isolated
     vertex, fine to ~10^8 vertices.  ``mode='starcontract'``: alternating
     large-star/small-star rounds (Kiveris et al., "Connected Components in
     MapReduce and Beyond") where every round is a plain groupby shuffle and
     **no task ever holds more than one vertex's neighborhood row set** —
-    the beyond-10^8 path, same output contract."""
+    the beyond-10^8 path, same output contract.  ``mode='auto'`` (default)
+    picks star-contraction when ``n_vertices > TREEREDUCE_MAX_V`` instead of
+    silently hitting the tree-reduce ceiling."""
+    if mode == "auto":
+        mode = "starcontract" if graph.n_vertices > TREEREDUCE_MAX_V else "treereduce"
     cols = ["src", "dst", "weight"] if threshold is not None else ["src", "dst"]
     edges = graph.edges_ds(columns=cols)
     if threshold is not None:

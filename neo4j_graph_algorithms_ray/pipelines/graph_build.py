@@ -183,8 +183,10 @@ def build_graph(
 
     os.makedirs(workdir, exist_ok=True)
     # clean slate: write_parquet appends uniquely-named files, so rebuilding
-    # into a dirty dir (e.g. after an interrupted build) would duplicate rows
-    for sub in ("vertices", "edges", "edges_rev", "edges_tri"):
+    # into a dirty dir (e.g. after an interrupted build) would duplicate rows;
+    # edges_tri_raw is triangle_count's derived cache — stale copies would be
+    # trusted via their _DONE marker and count the OLD graph's triangles
+    for sub in ("vertices", "edges", "edges_rev", "edges_tri", "edges_tri_raw"):
         shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
     vertices, n_vertices = vertex_table_from_corpus(corpus_ds)
     vdir = os.path.join(workdir, "vertices")
@@ -232,7 +234,10 @@ def build_graph_from_edges(
     import shutil
 
     os.makedirs(workdir, exist_ok=True)
-    for sub in ("edges", "edges_rev", "edges_tri"):
+    # edges_tri_raw included: triangle_count trusts its _DONE marker, so a
+    # stale copy from a previous graph in a reused workdir would silently
+    # count the OLD graph's triangles (ADVICE r02)
+    for sub in ("edges", "edges_rev", "edges_tri", "edges_tri_raw"):
         shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
     return _partition_and_manifest(edges, n_vertices, workdir, P, default_weight, sample_cap)
 

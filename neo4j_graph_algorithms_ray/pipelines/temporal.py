@@ -150,6 +150,16 @@ def asof_join(
             # canonical column order (all l_ then all r_) on BOTH sides, so
             # the union's block schemas line up
             filled = {pre + dst: b[src].to_numpy().astype(np.float64) for src, dst, _ in own}
+            # int payloads ride the float64 union — exact only below 2^53;
+            # fail loudly instead of silently corrupting larger ids
+            for src, dst, dt in own:
+                if dt == "int64":
+                    v = np.abs(filled[pre + dst])
+                    if len(v) and np.nanmax(v) >= 2.0**53:
+                        raise ValueError(
+                            f"asof_join: int64 payload {src!r} has |value| >= 2^53; "
+                            "it would be corrupted by the float64 union transport"
+                        )
             for _, dst, _ in lpay:
                 out["l_" + dst] = filled.get("l_" + dst, np.full(len(b), np.nan))
             for _, dst, _ in rpay:

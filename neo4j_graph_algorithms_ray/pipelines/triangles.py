@@ -283,12 +283,14 @@ def _degrees(canon: rd.Dataset) -> rd.Dataset:
 def triangle_count(
     graph: BuiltGraph, *, chunk: int = 1 << 18, mode: str = "auto"
 ) -> TriangleResult:
-    """mode='actor' (default below the broadcast threshold): counting phase
-    runs as a BSP exchange over ``TriangleShard`` actors — identical bytes
-    moved as the Dataset shuffle, none of the per-groupby shuffle spin-up
-    that dominated bench wall-time.  mode='dataset': the
-    groupby-bucket shuffle formulation (auto-selected above the broadcast
-    threshold, where per-vertex arrays must not live on any single node)."""
+    """mode='auto' resolves to 'actor': the counting phase runs as a BSP
+    exchange over ``TriangleShard`` actors — identical bytes moved as the
+    Dataset shuffle, none of the per-groupby shuffle spin-up that dominated
+    bench wall-time — and it is scale-safe as-is because per-vertex degree
+    and count arrays are SHARDED across the actor pool (no single node holds
+    a full-V array; the broadcast-vs-join split below applies only to the
+    explicit 'dataset' mode's orientation stage).  mode='dataset' keeps the
+    groupby-bucket shuffle formulation as the actor-free alternative."""
     workdir = graph.workdir
     if mode == "auto":
         mode = "actor"

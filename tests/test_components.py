@@ -107,3 +107,17 @@ def test_star_contraction_matches_treereduce(tmp_workdir):
     import numpy as np
 
     np.testing.assert_array_equal(a, b)
+
+
+def test_auto_mode_picks_starcontract_above_ceiling(uf1_graph, monkeypatch):
+    """mode='auto' (default) must switch to star-contraction when the vertex
+    count exceeds the tree-reduce per-task ceiling — and both modes agree."""
+    import neo4j_graph_algorithms_ray.pipelines.components as C
+
+    r_tree = connected_components(uf1_graph, mode="treereduce")
+    monkeypatch.setattr(C, "TREEREDUCE_MAX_V", 5)  # uf1 has 10 vertices
+    r_auto = connected_components(uf1_graph)  # default mode='auto'
+    assert r_auto.metrics["mode"] == "starcontract"
+    a = r_tree.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    b = r_auto.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    np.testing.assert_array_equal(a, b)

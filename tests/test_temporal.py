@@ -3,6 +3,7 @@ hand-computed pandas oracles on planted fixtures."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from neo4j_graph_algorithms_ray.pipelines.temporal import asof_join, sessionize
@@ -75,6 +76,26 @@ def test_asof_join_backward_with_ties(ray_session):
     # match (-1 / 0.0); key 2 -> no match
     assert out["o_orderkey"].tolist() == [100, 201, -1, -1]
     np.testing.assert_allclose(out["o_price"], [1.5, 3.5, 0.0, 0.0])
+
+
+def test_asof_join_rejects_int_payloads_beyond_2_53(ray_session):
+    """int64 payloads ride a float64 union; values >= 2^53 must fail loudly
+    instead of round-tripping corrupted (ADVICE r02)."""
+    left = pd.DataFrame({"eid": [2**53 + 1], "k": [1], "ts": _ts([5])})
+    right = pd.DataFrame({"okey": [100], "k": [1], "ts": _ts([3])})
+    with pytest.raises((ValueError, Exception)) as ei:
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="ts",
+            left_cols={"eid": ("event_id", "int64")},
+            right_cols={"okey": ("o_orderkey", "int64")},
+            right_tiebreak="o_orderkey",
+        ).to_pandas()
+    assert "2^53" in str(ei.value)
 
 
 def test_range_join_matches_bruteforce(ray_session):

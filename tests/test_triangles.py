@@ -70,3 +70,28 @@ def test_tri1_dataset_mode_and_join_orientation(tmp_workdir, monkeypatch):
     assert res.triangle_count == 3
     counts = res.counts.to_pandas().sort_values("vid")["triangles"].to_numpy()
     assert (counts == 1).all()
+
+
+def test_triangle_cache_invalidated_on_workdir_reuse(tmp_workdir):
+    """ADVICE r02: rebuilding a graph into a reused workdir must invalidate
+    the edges_tri_raw cache — otherwise triangle_count trusts the stale
+    _DONE marker and counts the OLD graph's triangles."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph_from_edges
+
+    def etbl(edges):
+        return pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+                "weight": pa.array([1.0] * len(edges), pa.float64()),
+            }
+        )
+
+    tri = [(0, 1), (1, 2), (2, 0)]  # one triangle
+    g1 = build_graph_from_edges(rd.from_arrow(etbl(tri)), 4, tmp_workdir, P=2)
+    assert triangle_count(g1).triangle_count == 1
+    line = [(0, 1), (1, 2), (2, 3)]  # no triangles, same workdir
+    g2 = build_graph_from_edges(rd.from_arrow(etbl(line)), 4, tmp_workdir, P=2)
+    assert triangle_count(g2).triangle_count == 0

@@ -87,6 +87,7 @@ def betweenness_centrality(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     max_batches: int | None = None,
+    termination: "TerminationFlag | None" = None,
 ) -> BetweennessResult:
     """``source_batch`` sources run concurrently per pass (unlike MS-BFS's
     bitmask ω=64, Brandes state carries a plain per-source axis, so the batch
@@ -155,6 +156,8 @@ def betweenness_centrality(
     def _run_pool(pi: int) -> None:
         pool = pools[pi]
         for bi in range(start_batch + pi, stop, n_pools):
+            if termination is not None:  # cooperative cancel between batches
+                termination.assert_running("betweenness source batch")
             _run_batch(pool, batches[bi], max_depth)
             if ckpt is not None:  # only reachable when n_pools == 1
                 files = ray.get([a.save_state.remote(ckpt.state_dir(), bi) for a in pool])
@@ -164,13 +167,21 @@ def betweenness_centrality(
                     {"bounds": [int(b) for b in graph.bounds], "algo": "betweenness"},
                 )
 
-    if n_pools == 1:
-        _run_pool(0)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+    try:
+        if n_pools == 1:
+            _run_pool(0)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(n_pools) as ex:
-            list(ex.map(_run_pool, range(n_pools)))
+            with ThreadPoolExecutor(n_pools) as ex:
+                list(ex.map(_run_pool, range(n_pools)))
+    except BaseException:
+        # cancellation must not leak pool reservations; the checkpoint
+        # manifest stays at the last committed batch for resume=True
+        for pool in pools:
+            for a in pool:
+                ray.kill(a, no_restart=True)
+        raise
 
     scale = 1.0
     if len(sources) < n:

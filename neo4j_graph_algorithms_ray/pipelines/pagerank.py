@@ -105,7 +105,7 @@ def _exchange_groupby(actors, P, bounds):
     return ray.get([a.finish_iteration.remote() for a in actors])
 
 
-def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every):
+def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every, termination=None):
     """Single-wave pipelined loop: call k applies round k-1 and pushes round k.
 
     Convergence is checked with a **two-round lag**: at a check point the
@@ -127,6 +127,8 @@ def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ever
     converged = False
     ran = 0
     for it in range(n_iter):
+        if termination is not None:  # cooperative cancel between BSP rounds
+            termination.assert_running("pagerank fused loop")
         msg_refs = [m[0] for m in msgs]
         # spread-ref submission (scheduler resolves the P deps per task); the
         # driver runs ahead without a barrier, so round latency is the
@@ -158,7 +160,7 @@ def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ever
     return ran, converged, max_delta
 
 
-def _run_mailbox(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every):
+def _run_mailbox(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every, termination=None):
     """Block-wise driver for the mailbox exchange: k rounds per actor call.
 
     Total pushes = applies + 1 (round r applies r-1), so ``n_iter`` applies
@@ -172,6 +174,8 @@ def _run_mailbox(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ev
     md = float("inf")
     converged = False
     while done < total_rounds:
+        if termination is not None:  # cooperative cancel between blocks
+            termination.assert_running("pagerank mailbox loop")
         k = min(block, total_rounds - done)
         mds = ray.get([a.run_rounds.remote(done, k) for a in actors])
         done += k
@@ -202,6 +206,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    termination: "TerminationFlag | None" = None,
 ) -> PageRankResult:
     t0 = time.perf_counter()
     from ..state.shards import MailboxPageRankShard
@@ -235,34 +240,45 @@ def pagerank(
     it = start_iter - 1
     ran = 0
     t1 = time.perf_counter()
-    if exchange == "mailbox" and start_iter == 0:
-        ran, converged, max_delta = _run_mailbox(
-            actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every
-        )
-    elif exchange == "fused" and start_iter == 0:
-        ran, converged, max_delta = _run_fused(
-            actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every
-        )
-    else:
-        # split/groupby exchanges (and resumed runs, which need exact
-        # iteration accounting from a mid-stream start)
-        if exchange == "fused":
-            exchange = "direct"
-        for it in range(start_iter, n_iter):
-            if exchange == "direct":
-                deltas = _exchange_direct(actors, P)
-            else:
-                deltas = _exchange_groupby(actors, P, graph.bounds)
-            max_delta = max(deltas) if deltas else 0.0
-            if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
-                files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
-                ckpt.commit_iteration(
-                    it, files, {"max_delta": max_delta, "bounds": graph.bounds.tolist(), "algo": "pagerank"}
-                )
-            if iterations is None and tol is not None and max_delta < tol:
-                converged = True
-                break
-        ran = it - start_iter + 1
+    try:
+        if exchange == "mailbox" and start_iter == 0:
+            ran, converged, max_delta = _run_mailbox(
+                actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every,
+                termination,
+            )
+        elif exchange == "fused" and start_iter == 0:
+            ran, converged, max_delta = _run_fused(
+                actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every,
+                termination,
+            )
+        else:
+            # split/groupby exchanges (and resumed runs, which need exact
+            # iteration accounting from a mid-stream start)
+            if exchange == "fused":
+                exchange = "direct"
+            for it in range(start_iter, n_iter):
+                if termination is not None:  # cooperative cancel between rounds
+                    termination.assert_running("pagerank loop")
+                if exchange == "direct":
+                    deltas = _exchange_direct(actors, P)
+                else:
+                    deltas = _exchange_groupby(actors, P, graph.bounds)
+                max_delta = max(deltas) if deltas else 0.0
+                if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
+                    files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+                    ckpt.commit_iteration(
+                        it, files, {"max_delta": max_delta, "bounds": graph.bounds.tolist(), "algo": "pagerank"}
+                    )
+                if iterations is None and tol is not None and max_delta < tol:
+                    converged = True
+                    break
+            ran = it - start_iter + 1
+    except BaseException:
+        # cancellation (or any failure) must not leak actor reservations —
+        # the last committed checkpoint stays on disk for resume=True
+        for a in actors:
+            ray.kill(a, no_restart=True)
+        raise
     compute_s = time.perf_counter() - t1
 
     score_refs = [a.scores_table.remote() for a in actors]

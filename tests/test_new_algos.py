@@ -368,3 +368,34 @@ def test_resume_rejects_other_graph_checkpoint(tmp_workdir, tmp_path):
     g2 = _graph("scc1", tmp_workdir + "/other", P=3)
     with pytest.raises(ValueError, match="bounds"):
         louvain(g2, max_iterations=2, checkpoint_dir=ck, resume=True)
+
+
+def test_betweenness_cancellation_leaves_resumable_checkpoint(tmp_workdir, tmp_path):
+    """Cancelling a checkpointed exact-betweenness run between source batches
+    raises TerminatedError, kills the pools, and resume=True finishes with
+    scores identical to the uninterrupted run."""
+    from neo4j_graph_algorithms_ray.state.checkpoint import CheckpointManager
+    from neo4j_graph_algorithms_ray.state.termination import (
+        TerminatedError,
+        TerminationFlag,
+    )
+
+    g = _graph("bc-rings", tmp_workdir, P=3)
+    full = betweenness_centrality(g, direction="OUTGOING", source_batch=4)
+    ck = str(tmp_path / "ck")
+    with pytest.raises(TerminatedError):
+        betweenness_centrality(
+            g,
+            direction="OUTGOING",
+            source_batch=4,
+            checkpoint_dir=ck,
+            termination=TerminationFlag(auto_after_checks=1),
+        )
+    m = CheckpointManager(ck, "betweenness").latest()
+    assert m is not None  # at least one batch committed before the cancel
+    res = betweenness_centrality(
+        g, direction="OUTGOING", source_batch=4, checkpoint_dir=ck, resume=True
+    )
+    a = full.scores.to_pandas().sort_values("vid")["centrality"].to_numpy()
+    b = res.scores.to_pandas().sort_values("vid")["centrality"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)

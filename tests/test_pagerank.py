@@ -96,3 +96,29 @@ def test_pagerank_checkpoint_resume(tmp_workdir, tmp_path):
     b = res2.scores.to_pandas().sort_values("vid")["score"].to_numpy()
     np.testing.assert_allclose(a, b, rtol=0, atol=0)  # byte-identical
     assert res2.ran_iterations == 25  # iterations 15..39
+
+
+def test_pagerank_cooperative_cancellation_resumes(tmp_workdir, tmp_path):
+    """TerminationFlag analogue (TerminationFlag.java; PageRank.java:347):
+    cancelling mid-run raises, leaves the last committed checkpoint, and a
+    resume=True run completes byte-identically to an uninterrupted run."""
+    from neo4j_graph_algorithms_ray.state.termination import (
+        TerminatedError,
+        TerminationFlag,
+    )
+
+    g = _build(tmp_workdir, "pr-wiki", 3)
+    full = pagerank(g, iterations=40)
+    flag = TerminationFlag(auto_after_checks=6)  # cancel on round 7's check
+    ck = str(tmp_path / "ckpt")
+    with pytest.raises(TerminatedError):
+        pagerank(g, iterations=40, checkpoint_dir=ck, checkpoint_every=1, termination=flag)
+    # the aborted run left a resumable manifest strictly before iteration 40
+    from neo4j_graph_algorithms_ray.state.checkpoint import CheckpointManager
+
+    m = CheckpointManager(ck, "pagerank").latest()
+    assert m is not None and m["iteration"] < 39
+    res2 = pagerank(g, iterations=40, checkpoint_dir=ck, resume=True)
+    a = full.scores.to_pandas().sort_values("vid")["score"].to_numpy()
+    b = res2.scores.to_pandas().sort_values("vid")["score"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)

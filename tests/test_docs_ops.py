@@ -285,3 +285,28 @@ def test_embedding_near_dups_blocker():
     M = base / np.linalg.norm(base, axis=1, keepdims=True)
     for a, b in found:
         assert np.floor(float(M[a] @ M[b]) * 1e6 + 0.5) >= np.floor(0.95 * 1e6 + 0.5)
+
+
+def test_real_decode_is_gated_on_pillow():
+    """real=True loads Pillow once per actor; without it, pool construction
+    fails loudly with NotImplementedError.  When Pillow IS present, a real
+    PNG decodes to its true dimensions (skipped in codec-free containers)."""
+    import importlib.util
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.DecodeStage(real=True)
+        return
+    # Pillow available: decode a real 5x3 PNG through the actor stage kernel
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (5, 3), color=128).save(buf, format="PNG")
+    raw = buf.getvalue()
+    t = pa.table({"doc_id": pa.array([7], pa.int64()), "payload": pa.array([raw], pa.binary())})
+    out = M.DecodeStage(real=True)(t)
+    assert out["width"].to_pylist() == [5] and out["height"].to_pylist() == [3]
+    assert out["n_frames"].to_pylist() == [1] and out["n_bytes"].to_pylist() == [len(raw)]

@@ -438,8 +438,20 @@ def _betweenness_run(graph, cfg, sampled: bool):
     from .pipelines.betweenness import betweenness_centrality
 
     n_samples = None
+    sources = None
     if sampled:
-        if "probability" in cfg:
+        # reference config parity (BetweennessCentralityProc.java:163):
+        # strategy 'random' (default) = uniform sample of sampleSize /
+        # probability*N sources; 'degree' = per-node Bernoulli with
+        # p = deg/maxDeg (RandomDegreeSelectionStrategy.java:49-62)
+        strategy = str(cfg.get("strategy", "random")).lower()
+        if strategy == "degree":
+            from .pipelines.centrality import graph_out_degrees, pick_sources_degree
+
+            sources = pick_sources_degree(
+                graph_out_degrees(g), seed=int(cfg.get("seed", 7))
+            )
+        elif "probability" in cfg:
             n_samples = max(1, int(float(cfg["probability"]) * g.n_vertices))
         else:
             n_samples = int(cfg.get("sampleSize", max(1, g.n_vertices // 10)))
@@ -448,6 +460,7 @@ def _betweenness_run(graph, cfg, sampled: bool):
         g,
         direction=str(cfg.get("direction", "OUTGOING")).upper(),
         sample_sources=n_samples,
+        sources=sources,
         max_depth=int(cfg.get("maxDepth", 10_000)),
     )
     return g, load_ms, r, _millis(t0)

@@ -157,6 +157,22 @@ def test_betweenness_procs(tmp_path_factory):
     c = sampled.to_pandas().sort_values("nodeId")["centrality"].to_numpy()
     assert c[5] == 25.0  # probability 1.0 == exact
 
+    # strategy:'degree' (RandomDegreeSelectionStrategy.java): deterministic
+    # seeded Bernoulli p=deg/maxDeg — same sources as the library picker
+    from neo4j_graph_algorithms_ray.pipelines.betweenness import betweenness_centrality
+    from neo4j_graph_algorithms_ray.pipelines.centrality import (
+        graph_out_degrees,
+        pick_sources_degree,
+    )
+
+    deg_stream = algo.betweenness.sampled.stream(g, {"strategy": "degree"})
+    want = betweenness_centrality(
+        g, direction="OUTGOING", sources=pick_sources_degree(graph_out_degrees(g), seed=7)
+    )
+    a = deg_stream.to_pandas().sort_values("nodeId")["centrality"].to_numpy()
+    b = want.scores.to_pandas().sort_values("vid")["centrality"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
 
 def test_closeness_harmonic_procs(uf_graph):
     for proc in (algo.closeness, algo.harmonic):

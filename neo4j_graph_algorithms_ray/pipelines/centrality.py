@@ -147,6 +147,7 @@ def _msbfs_pass(
     sources: np.ndarray,
     max_depth: int = 64,
     collect_asp: bool = False,
+    termination=None,
 ):
     """Run MS-BFS from ``sources`` in batches of 64; stats stay in-actor.
 
@@ -177,17 +178,25 @@ def _msbfs_pass(
 
     def _run_pool(pi: int) -> None:
         for bi in range(pi, len(batches), n_pools):
+            if termination is not None:  # cooperative cancel between batches
+                termination.assert_running("ms-bfs source batch")
             _run_batch(pools[pi], P, batches[bi], max_depth)
             if collect_asp:
                 asp_refs.extend(a.asp_rows.remote() for a in pools[pi])
 
-    if n_pools == 1:
-        _run_pool(0)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+    try:
+        if n_pools == 1:
+            _run_pool(0)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(n_pools) as ex:
-            list(ex.map(_run_pool, range(n_pools)))
+            with ThreadPoolExecutor(n_pools) as ex:
+                list(ex.map(_run_pool, range(n_pools)))
+    except BaseException:
+        for pool in pools:  # cancellation must not leak pool reservations
+            for a in pool:
+                ray.kill(a, no_restart=True)
+        raise
     return pools, asp_refs
 
 
@@ -198,10 +207,14 @@ def _centrality(
     direction: str,
     sample_sources: int | None = None,
     max_depth: int = 64,
+    termination=None,
 ) -> CentralityResult:
     n = graph.n_vertices
     sources = pick_sources(n, sample_sources)
-    pools, _ = _msbfs_pass(graph, direction=direction, sources=sources, max_depth=max_depth)
+    pools, _ = _msbfs_pass(
+        graph, direction=direction, sources=sources, max_depth=max_depth,
+        termination=termination,
+    )
     tabs = ray.get([a.stats_table.remote() for a in pools[0]])
     for extra in pools[1:]:  # additive per-vid stats: sum aligned shard tables
         tabs2 = ray.get([a.stats_table.remote() for a in extra])

@@ -64,7 +64,7 @@ def _transpose_exchange(refs_per_shard, P):
     return [[refs_per_shard[q][p] for q in range(P)] for p in range(P)]
 
 
-def _run_fused_lp(actors, P, max_iterations):
+def _run_fused_lp(actors, P, max_iterations, termination=None):
     """Run-ahead packed exchange (the PageRank ``_run_fused`` pattern).
 
     Each phase every shard emits ONE packed boundary-label array (the union of
@@ -82,6 +82,8 @@ def _run_fused_lp(actors, P, max_iterations):
     changed_refs: list[list] = []  # one entry per phase: P refs
     n_sub = 0
     for it in range(max_iterations):
+        if termination is not None:  # cooperative cancel between iterations
+            termination.assert_running("label propagation")
         for parity in (0, 1):
             outs = [a.step_fused.options(num_returns=2).remote(parity, *packed) for a in actors]
             packed = [o[0] for o in outs]
@@ -108,6 +110,7 @@ def label_propagation(
     max_iterations: int = 10,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    termination: "TerminationFlag | None" = None,
 ) -> LabelPropResult:
     from ..state.checkpoint import CheckpointManager
 
@@ -162,36 +165,44 @@ def label_propagation(
     t1 = time.perf_counter()
     ran = start_iter
     converged = False
-    if ckpt is None and start_iter == 0:
-        ran, converged = _run_fused_lp(actors, P, max_iterations)
-    else:
-        # per-iteration barrier path: checkpointed / resumed runs need exact
-        # iteration accounting and a consistent state to snapshot each round
-        for it in range(start_iter, max_iterations):
-            total_changed = 0
-            for parity in (0, 1):  # red/black phases; labels re-served between phases
-                lrefs = [
-                    a.serve_labels.options(num_returns=P).remote() if P > 1 else a.serve_labels.remote()
-                    for a in actors
-                ]
-                changed = ray.get(
-                    [
-                        actors[p].step.remote(parity, *chunks)
-                        for p, chunks in enumerate(_transpose_exchange(lrefs, P))
+    try:
+        if ckpt is None and start_iter == 0:
+            ran, converged = _run_fused_lp(actors, P, max_iterations, termination)
+        else:
+            # per-iteration barrier path: checkpointed / resumed runs need
+            # exact iteration accounting and a consistent state each round
+            for it in range(start_iter, max_iterations):
+                if termination is not None:
+                    termination.assert_running("label propagation")
+                total_changed = 0
+                for parity in (0, 1):  # red/black phases; labels re-served between phases
+                    lrefs = [
+                        a.serve_labels.options(num_returns=P).remote() if P > 1 else a.serve_labels.remote()
+                        for a in actors
                     ]
-                )
-                total_changed += sum(changed)
-            ran = it + 1
-            if ckpt is not None:
-                files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
-                ckpt.commit_iteration(
-                    it,
-                    files,
-                    {"changed": total_changed, "bounds": [int(b) for b in graph.bounds], "algo": "labelprop"},
-                )
-            if total_changed == 0:
-                converged = True
-                break
+                    changed = ray.get(
+                        [
+                            actors[p].step.remote(parity, *chunks)
+                            for p, chunks in enumerate(_transpose_exchange(lrefs, P))
+                        ]
+                    )
+                    total_changed += sum(changed)
+                ran = it + 1
+                if ckpt is not None:
+                    files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+                    ckpt.commit_iteration(
+                        it,
+                        files,
+                        {"changed": total_changed, "bounds": [int(b) for b in graph.bounds], "algo": "labelprop"},
+                    )
+                if total_changed == 0:
+                    converged = True
+                    break
+    except BaseException:
+        # cancellation must not leak reservations; last checkpoint resumable
+        for a in actors:
+            ray.kill(a, no_restart=True)
+        raise
     compute_s = time.perf_counter() - t1
 
     label_refs = [a.labels_table.remote() for a in actors]

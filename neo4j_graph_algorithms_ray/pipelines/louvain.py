@@ -45,6 +45,7 @@ def louvain(
     max_iterations: int = 10,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    termination: "TerminationFlag | None" = None,
 ) -> LouvainResult:
     from ..state.checkpoint import CheckpointManager
 
@@ -120,51 +121,61 @@ def louvain(
 
     t1 = time.perf_counter()
     ran = start_iter
-    if ckpt is None and start_iter == 0:
-        # run-ahead loop: submit iterations back-to-back, read changed counts
-        # one iteration behind; overshoot past a converged fixpoint is a no-op
-        step_refs: list[list] = []  # per iteration: 2*P count refs
-        n_sub = 0
-        for it in range(max_iterations):
-            refs = submit_phase(0) + submit_phase(1)
-            step_refs.append(refs)
-            n_sub = it + 1
-            if it >= 1 and sum(ray.get(step_refs[it - 1])) == 0:
-                break
-            if len(acks) > 12 * P:
-                ray.get(acks)
-                acks.clear()
-        counts = [sum(ray.get(r)) for r in step_refs]
-        ray.get(acks)
-        acks.clear()
-        ran = n_sub
-        for i, c in enumerate(counts):
-            if c == 0:
-                ran = i + 1
-                break
-    else:
-        for it in range(start_iter, max_iterations):
-            total_changed = 0
-            for parity in (0, 1):
-                refs = submit_phase(parity)
-                ray.get(acks)
-                acks.clear()
-                total_changed += sum(ray.get(refs))
-            ran = it + 1
-            if ckpt is not None:
-                files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
-                ckpt.commit_iteration(
-                    it,
-                    files,
-                    {
-                        "changed": total_changed,
-                        "bounds": [int(b) for b in graph.bounds],
-                        "algo": "louvain",
-                        "weighted": bool(weighted),
-                    },
-                )
-            if total_changed == 0:
-                break
+    try:
+        if ckpt is None and start_iter == 0:
+            # run-ahead loop: submit iterations back-to-back, read changed
+            # counts one iteration behind; overshoot past a fixpoint is a no-op
+            step_refs: list[list] = []  # per iteration: 2*P count refs
+            n_sub = 0
+            for it in range(max_iterations):
+                if termination is not None:
+                    termination.assert_running("louvain")
+                refs = submit_phase(0) + submit_phase(1)
+                step_refs.append(refs)
+                n_sub = it + 1
+                if it >= 1 and sum(ray.get(step_refs[it - 1])) == 0:
+                    break
+                if len(acks) > 12 * P:
+                    ray.get(acks)
+                    acks.clear()
+            counts = [sum(ray.get(r)) for r in step_refs]
+            ray.get(acks)
+            acks.clear()
+            ran = n_sub
+            for i, c in enumerate(counts):
+                if c == 0:
+                    ran = i + 1
+                    break
+        else:
+            for it in range(start_iter, max_iterations):
+                if termination is not None:
+                    termination.assert_running("louvain")
+                total_changed = 0
+                for parity in (0, 1):
+                    refs = submit_phase(parity)
+                    ray.get(acks)
+                    acks.clear()
+                    total_changed += sum(ray.get(refs))
+                ran = it + 1
+                if ckpt is not None:
+                    files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+                    ckpt.commit_iteration(
+                        it,
+                        files,
+                        {
+                            "changed": total_changed,
+                            "bounds": [int(b) for b in graph.bounds],
+                            "algo": "louvain",
+                            "weighted": bool(weighted),
+                        },
+                    )
+                if total_changed == 0:
+                    break
+    except BaseException:
+        # cancellation must not leak reservations; last checkpoint resumable
+        for a in actors:
+            ray.kill(a, no_restart=True)
+        raise
     compute_s = time.perf_counter() - t1
 
     tabs = ray.get([a.comm_table.remote() for a in actors])

@@ -112,3 +112,29 @@ def test_lp420_converges_to_golden_clusters(tmp_workdir, P):
     assert lab["Alice"] == lab["Bridget"] == lab["Michael"]
     assert lab["Charles"] == lab["Doug"] == lab["Mark"]
     assert lab["Alice"] != lab["Charles"]
+
+
+def test_labelprop_cancellation(tmp_workdir):
+    """TerminationFlag cancels LP between iterations; a rerun on the same
+    session is clean (pools were killed, no leaked reservations)."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.state.termination import (
+        TerminatedError,
+        TerminationFlag,
+    )
+
+    g, seeds = _build(tmp_workdir, "lp1")
+    full = label_propagation(g, seeds=seeds, direction="BOTH", max_iterations=10)
+    with pytest.raises(TerminatedError):
+        label_propagation(
+            g,
+            seeds=seeds,
+            direction="BOTH",
+            max_iterations=10,
+            termination=TerminationFlag(auto_after_checks=1),
+        )
+    res = label_propagation(g, seeds=seeds, direction="BOTH", max_iterations=10)
+    a = full.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    b = res.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    np.testing.assert_array_equal(a, b)

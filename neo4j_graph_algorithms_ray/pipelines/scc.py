@@ -64,24 +64,35 @@ def _phase_to_fixpoint(actors, begin: str, step: str, begin_args=(), max_rounds=
 
 
 def strongly_connected_components(
-    graph: BuiltGraph, *, max_outer: int = 1_000, max_bsp_rounds: int = 10_000
+    graph: BuiltGraph,
+    *,
+    max_outer: int = 1_000,
+    max_bsp_rounds: int = 10_000,
+    termination=None,
 ) -> SccResult:
     t0 = time.perf_counter()
     rev = graph.ensure_reverse_layout()
     actors = make_shard_actors(SccShard, graph, actor_kwargs={"rev_edges_dir": rev})
     ray.get([a.ready.remote() for a in actors])
 
-    _phase_to_fixpoint(actors, "trim_begin", "trim_step", (True,), max_bsp_rounds)
-    outer = 0
-    for outer in range(1, max_outer + 1):
-        remaining = sum(ray.get([a.n_unassigned.remote() for a in actors]))
-        if remaining == 0:
-            break
-        _phase_to_fixpoint(actors, "color_begin", "color_step", (), max_bsp_rounds)
-        _phase_to_fixpoint(actors, "bwd_begin", "bwd_step", (), max_bsp_rounds)
-        assigned = sum(ray.get([a.finalize_sccs.remote() for a in actors]))
-        assert assigned > 0, "SCC outer round made no progress"
-        _phase_to_fixpoint(actors, "trim_begin", "trim_step", (False,), max_bsp_rounds)
+    try:
+        _phase_to_fixpoint(actors, "trim_begin", "trim_step", (True,), max_bsp_rounds)
+        outer = 0
+        for outer in range(1, max_outer + 1):
+            if termination is not None:  # cooperative cancel between FW-BW rounds
+                termination.assert_running("scc outer round")
+            remaining = sum(ray.get([a.n_unassigned.remote() for a in actors]))
+            if remaining == 0:
+                break
+            _phase_to_fixpoint(actors, "color_begin", "color_step", (), max_bsp_rounds)
+            _phase_to_fixpoint(actors, "bwd_begin", "bwd_step", (), max_bsp_rounds)
+            assigned = sum(ray.get([a.finalize_sccs.remote() for a in actors]))
+            assert assigned > 0, "SCC outer round made no progress"
+            _phase_to_fixpoint(actors, "trim_begin", "trim_step", (False,), max_bsp_rounds)
+    except BaseException:
+        for a in actors:  # cancellation must not leak pool reservations
+            ray.kill(a, no_restart=True)
+        raise
 
     # canonicalize shard-side: label -> min vid of the SCC (root ids are
     # max-vid colors; only multi-member SCCs travel, so the exchange is

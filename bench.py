@@ -174,6 +174,8 @@ def plain_bench() -> dict:
     timed("quality_scores", lambda: Dp.quality_scores(docs).materialize())
     timed("minhash_pairs", lambda: Dp.minhash_dedup_pairs(docs).materialize())
     timed("ngram_jaccard", lambda: Dp.ngram_jaccard_pairs(docs).materialize())
+    timed("tfidf", lambda: Dp.tfidf(docs).materialize())
+    timed("dedup_clusters", lambda: Dp.dedup_clusters(docs).materialize())
 
     def knn():
         qids, Q = S.load_queries(SF_DIR, 5)
@@ -187,6 +189,26 @@ def plain_bench() -> dict:
 
     ev = rd.read_parquet(_os.path.join(SF_DIR, "events.parquet"), columns=["user_id", "ts", "value"])
     timed("sessionize", lambda: Tm.sessionize(ev).materialize())
+
+    def asof():
+        ev2 = rd.read_parquet(
+            _os.path.join(SF_DIR, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        orders = rd.read_parquet(
+            _os.path.join(SF_DIR, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        return Tm.asof_join(
+            ev2, orders,
+            left_key="user_id", left_ts="ts",
+            right_key="o_custkey", right_ts="o_orderdate",
+            left_cols={"event_id": ("event_id", "int64")},
+            right_cols={"o_orderkey": ("o_orderkey", "int64"),
+                        "o_totalprice": ("o_totalprice", "float64")},
+            right_tiebreak="o_orderkey",
+        ).materialize()
+
+    timed("asof_join", asof)
 
     result = {
         "metric": "headline_pipeline_total",

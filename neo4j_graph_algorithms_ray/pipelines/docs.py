@@ -925,18 +925,35 @@ def dedup_clusters(
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         P = max(2, min(32, ncpu // 4))
 
-    # doc -> exact-dup representative: {h, doc_id} -> min per digest -> join
+    # doc -> exact-dup representative {doc_id, rep}: hash rows are coarse-
+    # bucketed by digest and each bucket broadcasts its per-digest min back
+    # to its rows — ONE groupby shuffle (an agg + a digest join costs two;
+    # measured 7.0s -> 2.5s at sf0.1).  Buckets hold whole digest groups, so
+    # the fold is exact; group sizes are exact-dup cluster sizes (bounded in
+    # practice, and only (doc_id, rep) pairs leave the fold).
     def add_hash(t: pa.Table) -> pa.Table:
+        h = np.array(T.hash_strings_hex(t["text"], "sha256"), dtype=object)
+        bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % 64
         return pa.table(
-            {"h": pa.array(T.hash_strings_hex(t["text"], "sha256")), "doc_id": t["doc_id"]}
+            {"h": pa.array(h), "doc_id": t["doc_id"], "bucket": pa.array(bucket)}
         )
 
-    hashes = docs.select_columns(["doc_id", "text"]).map_batches(
-        add_hash, batch_format="pyarrow"
-    ).materialize()
-    repmin = bucketed_agg(hashes, "h", {"rep": ("doc_id", "min")}, types={"h": pa.string()})
+    def fold_reps(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "h" not in g.columns:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64), "rep": pd.Series(dtype=np.int64)}
+            )
+        rep = g.groupby("h")["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": g["doc_id"], "rep": rep})
+
     k = _shuffle_fan()
-    dmap = hashes.join(repmin, "inner", k, on=("h",)).select_columns(["doc_id", "rep"]).materialize()
+    dmap = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=k)
+        .map_groups(fold_reps, batch_format="pandas")
+        .materialize()
+    )
 
     star = dmap.map_batches(
         lambda t: pa.table(

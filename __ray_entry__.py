@@ -124,6 +124,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return _intize(df, ["o_totalprice"], 1000)
 
+    def events_sliding(sf):
+        import os as _os
+
+        import ray.data as _rd
+
+        from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
+
+        ev = _rd.read_parquet(
+            _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts", "value"]
+        )
+        return Tm.sliding_window_agg(ev, window_us=3_600_000_000)
+
     def top_events_per_user(sf):
         import os as _os
 
@@ -272,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": topk_customers,
         "events_hourly": events_hourly,
         "sessions": sessions,
+        "events_sliding": events_sliding,
         "events_asof_orders": events_asof_orders,
         "events_range_selfjoin": events_range_selfjoin,
         "top_events_per_user": top_events_per_user,
@@ -601,6 +614,13 @@ g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRE
 SELECT user_id, min(t) AS session_start_us, count(*) AS n_events,
        CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS sum_value
 FROM g GROUP BY user_id, sid""",
+        "events_sliding": """
+SELECT user_id, event_id, epoch_us(ts) AS t_us,
+       count(*) OVER win AS n_win,
+       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER win AS BIGINT) AS win_sum_u
+FROM events
+WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
         "events_asof_orders": """
 WITH r AS (
   SELECT o_custkey AS k, epoch_us(o_orderdate) AS t2, o_orderkey, o_totalprice,

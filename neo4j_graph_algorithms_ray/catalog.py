@@ -71,6 +71,7 @@ _CATALOG = [
     ("temporal.sessionize", "dataprep", "(training-data op: gap session windows)", "pipelines.temporal.sessionize"),
     ("temporal.asof_join", "dataprep", "(training-data op: latest-at-or-before join)", "pipelines.temporal.asof_join"),
     ("temporal.range_join", "dataprep", "(training-data op: interval-band join)", "pipelines.temporal.range_join"),
+    ("temporal.sliding_window", "dataprep", "(training-data op: trailing RANGE-frame window agg)", "pipelines.temporal.sliding_window_agg"),
     ("agg.topk_per_group", "aggregate", "(training-data op: per-key top-k with map-side prune)", "stages.agg.topk_per_group"),
     ("procs.algo", "api", "Cypher procedure surface (readme.adoc:90-105)", "procs.algo (stats rows + .stream Datasets)"),
     ("checkpoint.resume", "infra", "(north-rule requirement)", "state.checkpoint.CheckpointManager"),

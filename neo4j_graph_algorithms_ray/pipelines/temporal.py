@@ -224,6 +224,93 @@ def asof_join(
     )
 
 
+def sliding_window_agg(
+    events: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    window_us: int = 3_600_000_000,
+    fan: int | None = None,
+) -> rd.Dataset:
+    """Per-event sliding-window aggregate over the trailing ``window_us``:
+    ``{key, id_col, t_us, n_win, win_sum_u}`` where the window is the SQL
+    RANGE frame ``[t - window_us, t]`` over same-key events — peers at the
+    exact same timestamp are all included, matching DuckDB's
+    ``RANGE BETWEEN w PRECEDING AND CURRENT ROW``.
+
+    Shape: ONE coarse-bucket shuffle on the key (whole keys co-locate), then
+    a vectorized kernel per bucket: lexsort by (key, t), per-key-segment
+    window bounds via a single ``np.searchsorted`` over an offset-composited
+    time axis (each segment shifted by seg_id * HUGE so the global array is
+    sorted — plain searchsorted over piecewise-sorted arrays would be
+    invalid), and integer prefix sums of micro-unit values
+    (``floor(v*1000+0.5)``), so the windowed sum is exact and replayable in
+    SQL.  Per-event output rows, no per-group Python.
+    """
+    npart = shuffle_fan()
+    fan = int(fan) if fan is not None else 4 * npart
+    w = int(window_us)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key].to_numpy().astype(np.int64)
+        v = b[value].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "i": b[id_col].to_numpy().astype(np.int64),
+                "t": _ts_us(b[ts]),
+                "vu": np.floor(v * 1000 + 0.5).astype(np.int64),
+                "__b": _bucket_of(k, fan),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "t_us": pa.array([], pa.int64()),
+                "n_win": pa.array([], pa.int64()),
+                "win_sum_u": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0 or "k" not in g.columns:
+            return empty
+        k = g["k"].to_numpy()
+        t = g["t"].to_numpy()
+        i = g["i"].to_numpy()
+        vu = g["vu"].to_numpy()
+        order = np.lexsort((t, k))
+        k, t, i, vu = k[order], t[order], i[order], vu[order]
+        t0 = t - t.min()  # normalize so seg offsets can't overflow int64
+        new = np.empty(len(k), dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new) - 1
+        huge = np.int64(int(t0.max()) + w + 2)
+        t_adj = t0 + seg * huge
+        lb = np.searchsorted(t_adj, t_adj - w, side="left")
+        ub = np.searchsorted(t_adj, t_adj, side="right")  # includes t-ties
+        pre = np.concatenate([[0], np.cumsum(vu)])  # exact int prefix sums
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                id_col: pa.array(i, pa.int64()),
+                "t_us": pa.array(t, pa.int64()),
+                "n_win": pa.array((ub - lb).astype(np.int64)),
+                "win_sum_u": pa.array(pre[ub] - pre[lb], pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__b", num_partitions=npart)
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

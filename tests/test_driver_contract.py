@@ -108,6 +108,7 @@ ORACLE_QUERIES = [
     "top_customers",
     "events_hourly",
     "sessions",
+    "events_sliding",
     "events_asof_orders",
     "events_range_selfjoin",
     "top_events_per_user",

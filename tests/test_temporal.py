@@ -202,3 +202,36 @@ def test_temporal_empty_inputs(ray_session):
     )
     assert r.count() == 0
     assert topk_per_group(ev, "k", "v", 3, id_col="eid").count() == 0
+
+
+def test_sliding_window_agg_matches_bruteforce(ray_session):
+    """Trailing RANGE-frame window counts/sums equal an O(n^2) brute force,
+    including same-timestamp peers (SQL RANGE semantics)."""
+    from neo4j_graph_algorithms_ray.pipelines.temporal import sliding_window_agg
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 8, n),
+            "ts": _ts(rng.integers(0, 50, n)),  # coarse: plants t-ties per user
+            "value": rng.normal(10, 3, n),
+        }
+    )
+    w_us = 5 * 1_000_000  # the _ts helper spaces units seconds apart
+    out = (
+        sliding_window_agg(rd.from_pandas(ev), window_us=w_us)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    t_us = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    vu = np.floor(ev["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    for _, row in out.iterrows():
+        m = (ev["user_id"].to_numpy() == row["user_id"]) & (
+            t_us >= row["t_us"] - w_us
+        ) & (t_us <= row["t_us"])
+        assert row["n_win"] == int(m.sum()), row["event_id"]
+        assert row["win_sum_u"] == int(vu[m].sum()), row["event_id"]
+    assert len(out) == n

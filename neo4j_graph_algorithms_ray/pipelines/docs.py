@@ -882,6 +882,13 @@ def tfidf(
 # ---------------------------------------------------------------------------
 
 
+# below this many vertices AND pairs, dedup_clusters resolves the cluster
+# graph with the in-process vectorized min-label kernel instead of a full
+# partitioned-graph build + distributed CC (same capped-small-side contract
+# as the broadcast joins; ~40 MB of driver arrays at the cap)
+SMALL_CC_MAX_VERTICES = 5_000_000
+
+
 def dedup_clusters(
     docs: rd.Dataset,
     *,
@@ -982,7 +989,41 @@ def dedup_clusters(
         default=0, num_partitions=k,
     ).filter(expr="isrep == 1")
 
-    pairs = minhash_dedup_pairs(rep_docs, threshold=threshold, max_band_freq=max_band_freq)
+    pairs = minhash_dedup_pairs(
+        rep_docs, threshold=threshold, max_band_freq=max_band_freq
+    ).materialize()
+
+    # small-side fast path (the usual capped-broadcast contract): under the
+    # cap the whole edge set — verified pairs + star pointers — fits driver
+    # arrays, and the vectorized min-label kernel (components.local_components)
+    # resolves clusters in-process, skipping a full partitioned-graph build +
+    # distributed CC (~4s of Dataset fixed costs at sf0.1).  Above the cap
+    # the composition with the engine's own connected_components stands.
+    n_pairs = pairs.count()
+    if n <= SMALL_CC_MAX_VERTICES and n_pairs <= SMALL_CC_MAX_VERTICES:
+        from .components import local_components
+
+        dpdf = dmap.to_pandas()
+        ppdf = pairs.to_pandas() if n_pairs else None
+        src = dpdf["doc_id"].to_numpy(dtype=np.int64)
+        dst = dpdf["rep"].to_numpy(dtype=np.int64)
+        if ppdf is not None and len(ppdf):
+            src = np.concatenate([src, ppdf["id_a"].to_numpy(dtype=np.int64)])
+            dst = np.concatenate([dst, ppdf["id_b"].to_numpy(dtype=np.int64)])
+        cluster = np.arange(n, dtype=np.int64)  # singletons keep themselves
+        if len(src):
+            verts, roots = local_components(src, dst)
+            cluster[verts] = roots
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "cluster": pa.array(cluster),
+                    "keep": pa.array((cluster == np.arange(n)).astype(np.int64)),
+                }
+            )
+        )
+
     edges = pairs.map_batches(
         lambda t: pa.table(
             {

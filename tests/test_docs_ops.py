@@ -184,6 +184,22 @@ def test_dedup_clusters_megacluster_matches_oracle(tmp_path):
         assert (out[c].to_numpy().astype(np.int64) == sdf[c].to_numpy().astype(np.int64)).all(), c
 
 
+def test_dedup_clusters_distributed_path_matches_small_path(tmp_path, monkeypatch):
+    """Forcing the partitioned-graph + distributed-CC path (cap=0) must give
+    the same clusters as the in-process small-side kernel."""
+    df = _megacluster_docs(n_copies=40)
+    ds = rd.from_pandas(df)
+    small = D.dedup_clusters(ds, threshold=0.5).to_pandas().sort_values("doc_id")
+    monkeypatch.setattr(D, "SMALL_CC_MAX_VERTICES", 0)
+    big = (
+        D.dedup_clusters(ds, threshold=0.5, workdir=str(tmp_path / "cc2"))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    for c in ("doc_id", "cluster", "keep"):
+        assert (small[c].to_numpy() == big[c].to_numpy()).all(), c
+
+
 def test_knn_bruteforce_recall_vs_numpy():
     rng = np.random.default_rng(3)
     emb = rng.normal(size=(200, 16)).astype(np.float32)

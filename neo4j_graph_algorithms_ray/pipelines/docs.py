@@ -1057,20 +1057,29 @@ def dedup_clusters(
 # ---------------------------------------------------------------------------
 
 
-def prepared_corpus(docs: rd.Dataset, *, min_quality: int = 2, threshold: float = 0.7) -> rd.Dataset:
+def prepared_corpus(
+    docs: rd.Dataset,
+    *,
+    min_quality: int = 2,
+    threshold: float = 0.7,
+    keep_ids: rd.Dataset | None = None,
+) -> rd.Dataset:
     """The composed data-prep pipeline a training run would consume:
     quality gate (``quality_scores >= min_quality``) ∩ near-dup keep-list
     (``dedup_clusters`` keepers) -> ``clean_text`` -> whitespace token count.
     Output {doc_id, clean, n_tokens}.
 
     Everything is a composition of this module's oracle-backed stages — two
-    id-set joins and the cleaning map; no new kernels."""
+    id-set joins and the cleaning map; no new kernels.  Pass ``keep_ids``
+    (a ``{doc_id}`` Dataset) to reuse an existing ``dedup_clusters`` run's
+    keeper list instead of recomputing the near-dup clustering."""
     q_ids = quality_scores(docs).map_batches(
         lambda b: b.loc[b["quality"] >= min_quality, ["doc_id"]], batch_format="pandas"
     )
-    keep_ids = dedup_clusters(docs, threshold=threshold).map_batches(
-        lambda b: b.loc[b["keep"] == 1, ["doc_id"]], batch_format="pandas"
-    )
+    if keep_ids is None:
+        keep_ids = dedup_clusters(docs, threshold=threshold).map_batches(
+            lambda b: b.loc[b["keep"] == 1, ["doc_id"]], batch_format="pandas"
+        )
     cleaned = clean_text(docs)
     k = _shuffle_fan()
     out = cleaned.join(q_ids, "inner", k, on=("doc_id",)).join(keep_ids, "inner", k, on=("doc_id",))

@@ -8,8 +8,8 @@ here (or the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
   the training-data ops); each callable takes ``sf_dir``.  Same-schema
   algorithm variants are merged into one tag-column query (the driver
-  records at most 50 CORRECTNESS rows per round), 49 entries total.
-- ``oracle_sql()`` — a DuckDB-equivalent SQL string for EVERY query (49/49):
+  records at most 50 CORRECTNESS rows per round), 50 entries total.
+- ``oracle_sql()`` — a DuckDB-equivalent SQL string for EVERY query (50/50):
   graph queries run on the deterministic synthetic corpus for the tier
   (generated/cached under /tmp — the SQL reads the same Parquet); iterative
   algorithms use recursive/unrolled CTEs; sketches use md5-based
@@ -240,7 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The driver records at most 50 CORRECTNESS rows per round (r02 captured
     # exactly the first 50 of 60 entries), so same-schema algorithm variants
     # are merged into single tag-column queries (engine concat / oracle
-    # UNION ALL) — 49 entries, every operator checked every round.
+    # UNION ALL) — 50 entries (exactly at the cap), every operator checked.
     return {
         # operator catalog (algo.list analogue, ListProc.java:42-46)
         "catalog": lambda sf: list_operators(),

@@ -202,6 +202,17 @@ def test_temporal_empty_inputs(ray_session):
     )
     assert r.count() == 0
     assert topk_per_group(ev, "k", "v", 3, id_col="eid").count() == 0
+    from neo4j_graph_algorithms_ray.pipelines.temporal import sliding_window_agg
+
+    empty_ev = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype=np.int64),
+            "user_id": pd.Series(dtype=np.int64),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "value": pd.Series(dtype=np.float64),
+        }
+    )
+    assert sliding_window_agg(rd.from_pandas(empty_ev)).count() == 0
 
 
 def test_sliding_window_agg_matches_bruteforce(ray_session):

@@ -34,6 +34,7 @@ _CATALOG = [
     ("unionfind.mscoloring", "algorithm", "algo.unionFind.mscoloring / MSColoringProc.java", "pipelines.components.mscoloring"),
     ("graph.load", "source", "GraphLoader / HeavyGraphFactory", "pipelines.graph_build.build_graph"),
     ("graph.load.cypher", "source", "HeavyCypherGraphFactory (table projection)", "pipelines.graph_build (any edge Dataset)"),
+    ("graph.load.textfile", "source", "(generic CSV / JSON-lines corpus ingest)", "sources.readers.read_corpus"),
     ("import.extract", "transform", "relationship projection", "stages.extract.ImportExtractor"),
     ("idmap", "transform", "IdMap dense ids", "stages.ids.assign_dense_ids"),
     ("degrees", "aggregate", "Degrees api", "pipelines.graph_queries.q_degrees"),

@@ -113,3 +113,36 @@ def test_bounds_cover_and_balance(tmp_workdir):
     counts = np.bincount(parts, minlength=g.P)
     # degree-balanced: no shard has more than 2.5x the mean edge count
     assert counts.max() <= 2.5 * counts.mean()
+
+
+def test_read_corpus_csv_jsonl_parquet_equivalent(tmp_workdir, tmp_path):
+    """Generic-format ingest (sources/readers.py): the same corpus via CSV,
+    JSON-lines, and Parquet builds identical graphs."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from neo4j_graph_algorithms_ray.sources.corpus import fixture_corpus
+    from neo4j_graph_algorithms_ray.sources.readers import read_corpus
+
+    corpus, _ = fixture_corpus("pr1")
+    pdf = corpus.to_pandas()
+    pq_path = str(tmp_path / "c.parquet")
+    _pq.write_table(corpus, pq_path)
+    csv_path = str(tmp_path / "c.csv")
+    pdf.to_csv(csv_path, index=False)
+    jl_path = str(tmp_path / "c.jsonl")
+    with open(jl_path, "w") as f:
+        for rec in pdf.to_dict(orient="records"):
+            f.write(_json.dumps(rec) + "\n")
+
+    def edge_set(ds, wd):
+        g = build_graph(ds, wd, P=2)
+        e = g.edges_ds(columns=["src", "dst"]).to_pandas()
+        return sorted(zip(e["src"], e["dst"])), g.n_vertices
+
+    e_pq, n_pq = edge_set(read_corpus(pq_path), tmp_workdir + "/pq")
+    e_csv, n_csv = edge_set(read_corpus(csv_path), tmp_workdir + "/csv")
+    e_jl, n_jl = edge_set(read_corpus(jl_path), tmp_workdir + "/jl")
+    assert n_pq == n_csv == n_jl and len(e_pq) > 0
+    assert e_pq == e_csv == e_jl

@@ -184,7 +184,10 @@ def betweenness_centrality(
         raise
 
     scale = 1.0
-    if len(sources) < n:
+    # len(sources) == 0 is reachable (strategy='degree' on an edgeless graph
+    # returns no sources): no batches ran, centrality is all-zero — any
+    # finite scale is correct, so skip the extrapolation instead of dividing
+    if len(sources) and len(sources) < n:
         scale = n / len(sources)  # RA-Brandes extrapolation
     if direction == "BOTH":
         scale *= 0.5  # undirected geodesics counted from both endpoints

@@ -307,7 +307,9 @@ def minhash_dedup_pairs(
             .map_batches(pick, batch_format="pandas")
             .iter_batches(batch_format="pandas")
         ):
-            total_bytes += int(tb["text"].str.len().sum())
+            # encoded UTF-8 size, not code points: non-ASCII text is up to
+            # 4 bytes/char, and this cap exists to bound driver memory
+            total_bytes += int(tb["text"].str.encode("utf-8").str.len().sum())
             if total_bytes > BROADCAST_MAX_TEXT_BYTES:
                 tmap = None  # too much text for a driver-side dict
                 break

@@ -289,10 +289,23 @@ def sliding_window_agg(
         new[0] = True
         new[1:] = k[1:] != k[:-1]
         seg = np.cumsum(new) - 1
-        huge = np.int64(int(t0.max()) + w + 2)
-        t_adj = t0 + seg * huge
-        lb = np.searchsorted(t_adj, t_adj - w, side="left")
-        ub = np.searchsorted(t_adj, t_adj, side="right")  # includes t-ties
+        huge = int(t0.max()) + w + 2
+        if int(seg[-1]) * huge + int(t0.max()) < 2**62:
+            t_adj = t0 + seg * np.int64(huge)
+            lb = np.searchsorted(t_adj, t_adj - w, side="left")
+            ub = np.searchsorted(t_adj, t_adj, side="right")  # includes t-ties
+        else:
+            # many-keys x wide-time-span regime: seg * huge would silently
+            # wrap int64.  Composite over RANKS instead (an order
+            # isomorphism, so left/right semantics carry over exactly):
+            # seg * M + rank with M <= 2n+1 and seg < n, so the product is
+            # < 2n^2 < 2^63 for any bucket under 2^31 rows.
+            st = np.unique(np.concatenate([t0, t0 - w]))
+            M = np.int64(len(st) + 1)
+            t_adj = seg * M + np.searchsorted(st, t0)
+            lo_adj = seg * M + np.searchsorted(st, t0 - w)
+            lb = np.searchsorted(t_adj, lo_adj, side="left")
+            ub = np.searchsorted(t_adj, t_adj, side="right")  # includes t-ties
         pre = np.concatenate([[0], np.cumsum(vu)])  # exact int prefix sums
         return pa.table(
             {

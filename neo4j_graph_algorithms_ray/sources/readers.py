@@ -27,9 +27,23 @@ _EXT_FORMAT = {
     ".parquet": "parquet",
     ".csv": "csv",
     ".jsonl": "jsonl",
-    ".json": "jsonl",
+    ".json": "sniff_json",  # ambiguous: JSON-lines or a top-level array
     ".ndjson": "jsonl",
 }
+
+
+def _sniff_json(path: str) -> str:
+    """Disambiguate a ``.json`` file: first non-whitespace byte ``[`` means a
+    top-level array (one document holding all rows), anything else is treated
+    as JSON-lines.  Guessing wrong used to misparse silently (ADVICE r03)."""
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(4096)
+            if not chunk:
+                return "jsonl"  # empty file: either reader yields no rows
+            stripped = chunk.lstrip()
+            if stripped:
+                return "json_array" if stripped[:1] == b"[" else "jsonl"
 
 
 def _infer_format(path: str) -> str:
@@ -38,12 +52,14 @@ def _infer_format(path: str) -> str:
         for f in sorted(os.listdir(path)):
             ext = os.path.splitext(f)[1].lower()
             if ext in _EXT_FORMAT:
-                return _EXT_FORMAT[ext]
+                fmt = _EXT_FORMAT[ext]
+                return _sniff_json(os.path.join(path, f)) if fmt == "sniff_json" else fmt
         raise ValueError(f"cannot infer corpus format from directory {path!r}")
     ext = os.path.splitext(path)[1].lower()
     if ext not in _EXT_FORMAT:
         raise ValueError(f"unrecognized corpus extension {ext!r} ({path!r})")
-    return _EXT_FORMAT[ext]
+    fmt = _EXT_FORMAT[ext]
+    return _sniff_json(path) if fmt == "sniff_json" else fmt
 
 
 def read_corpus(path: str, *, format: str | None = None, columns: list[str] | None = None) -> rd.Dataset:
@@ -60,6 +76,24 @@ def read_corpus(path: str, *, format: str | None = None, columns: list[str] | No
         ds = rd.read_csv(path)
     elif fmt == "jsonl":
         ds = rd.read_json(path)
+    elif fmt == "json_array":
+        # top-level-array JSON: one document per file (inherently
+        # non-splittable) — parse file-parallel via read_binary_files so a
+        # directory of array files still streams one task per file
+        import json as _json
+
+        def parse_array(t: pa.Table) -> pa.Table:
+            rows = []
+            for payload in t["bytes"].to_pylist():
+                doc = _json.loads(payload)
+                if not isinstance(doc, list):
+                    raise ValueError("json_array corpus file is not a top-level array")
+                rows.extend(doc)
+            if not rows:
+                return pa.table({c: pa.array([], pa.string()) for c in cols})
+            return pa.Table.from_pylist(rows)
+
+        ds = rd.read_binary_files(path).map_batches(parse_array, batch_format="pyarrow")
     else:
         raise ValueError(f"unsupported corpus format {fmt!r}")
 

@@ -3,6 +3,7 @@
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -146,3 +147,32 @@ def test_read_corpus_csv_jsonl_parquet_equivalent(tmp_workdir, tmp_path):
     e_jl, n_jl = edge_set(read_corpus(jl_path), tmp_workdir + "/jl")
     assert n_pq == n_csv == n_jl and len(e_pq) > 0
     assert e_pq == e_csv == e_jl
+
+
+def test_read_corpus_json_array_vs_jsonl_sniffed(tmp_path):
+    """A '.json' file is sniffed: '[' means a top-level array, anything else
+    JSON-lines — both parse to the same rows (ADVICE r03: the blind
+    '.json'->JSONL mapping misparsed array files)."""
+    import json as _json
+
+    from neo4j_graph_algorithms_ray.sources.corpus import fixture_corpus
+    from neo4j_graph_algorithms_ray.sources.readers import read_corpus
+
+    corpus, _ = fixture_corpus("pr1")
+    pdf = corpus.to_pandas()
+    arr_path = str(tmp_path / "arr.json")
+    with open(arr_path, "w") as f:
+        _json.dump(pdf.to_dict(orient="records"), f, indent=1)
+    jl_path = str(tmp_path / "lines.json")
+    with open(jl_path, "w") as f:
+        for rec in pdf.to_dict(orient="records"):
+            f.write(_json.dumps(rec) + "\n")
+
+    def rows(ds):
+        d = ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        return d[["repo", "path", "commit", "lang", "content"]]
+
+    expected = rows(read_corpus(str(tmp_path / "arr.json"), format="json_array"))
+    pd.testing.assert_frame_equal(rows(read_corpus(arr_path)), expected)
+    pd.testing.assert_frame_equal(rows(read_corpus(jl_path)), expected)
+    assert len(expected) == len(pdf)

@@ -399,3 +399,13 @@ def test_betweenness_cancellation_leaves_resumable_checkpoint(tmp_workdir, tmp_p
     a = full.scores.to_pandas().sort_values("vid")["centrality"].to_numpy()
     b = res.scores.to_pandas().sort_values("vid")["centrality"].to_numpy()
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_betweenness_empty_source_list(tmp_workdir):
+    """An explicit empty source list (what strategy='degree' yields on an
+    edgeless graph) returns all-zero scores instead of ZeroDivisionError
+    (ADVICE r03)."""
+    g = _graph("bc-rings", tmp_workdir, P=2)
+    res = betweenness_centrality(g, sources=np.array([], dtype=np.int64))
+    c = res.scores.to_pandas()["centrality"].to_numpy()
+    assert len(c) == g.n_vertices and (c == 0).all()

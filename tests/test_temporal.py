@@ -246,3 +246,39 @@ def test_sliding_window_agg_matches_bruteforce(ray_session):
         assert row["n_win"] == int(m.sum()), row["event_id"]
         assert row["win_sum_u"] == int(vu[m].sum()), row["event_id"]
     assert len(out) == n
+
+
+def test_sliding_window_overflow_fallback_matches_bruteforce(ray_session):
+    """Many keys x astronomically wide time span: seg * huge would wrap
+    int64 (ADVICE r03) — the rank-composited fallback must yield the same
+    answers as a brute force.  fan=1 co-locates every key so the overflow
+    condition actually fires inside one kernel call."""
+    from neo4j_graph_algorithms_ray.pipelines.temporal import sliding_window_agg
+
+    rng = np.random.default_rng(5)
+    n_users, per = 16, 4
+    # 15 * 2^56 > 2^63: the pre-guard composite genuinely wrapped here
+    base = np.repeat(np.arange(n_users, dtype=np.int64), per) * (2**56)
+    t_us = base + rng.integers(0, 20 * US, n_users * per)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n_users * per, dtype=np.int64),
+            "user_id": np.repeat(np.arange(n_users, dtype=np.int64), per),
+            "ts": pd.Series(t_us).astype("datetime64[us]"),
+            "value": rng.normal(10, 3, n_users * per),
+        }
+    )
+    w_us = 5 * US
+    out = (
+        sliding_window_agg(rd.from_pandas(ev), window_us=w_us, fan=1)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    vu = np.floor(ev["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    uid = ev["user_id"].to_numpy()
+    for _, row in out.iterrows():
+        m = (uid == row["user_id"]) & (t_us >= row["t_us"] - w_us) & (t_us <= row["t_us"])
+        assert row["n_win"] == int(m.sum())
+        assert row["win_sum_u"] == int(vu[m].sum())
+    assert len(out) == n_users * per

@@ -75,7 +75,9 @@ def _wrap(fn: Callable[..., Any]) -> Callable[..., Any]:
     from . import procs
 
     def proc(graph, config=None, **kw):
-        cfg = procs._cfg(config, kw)
+        # user extensions get the OPEN config map (ProcedureConfiguration.get
+        # semantics) — only built-ins validate keys against the known set
+        cfg = procs._cfg(config, kw, strict=False)
         g, load_ms = procs._as_graph(graph, cfg)
         return fn(GraphContext(graph=g, config=cfg, load_millis=load_ms))
 

@@ -267,38 +267,71 @@ def _partition_and_manifest(edges, n_vertices, workdir, P, default_weight, sampl
     return g
 
 
-def node_props_to_vids(props_ds: rd.Dataset, graph: BuiltGraph) -> rd.Dataset:
+def node_props_to_vids(
+    props_ds: rd.Dataset, graph: BuiltGraph, *, cap: int | None = None
+) -> rd.Dataset:
     """Sidecar ``{repo, path, partition, weight}`` -> ``{vid, partition, weight}``.
 
     Mirrors ``GraphLoader.withOptionalNodeProperty`` (seed labels) and node
-    weights (``LabelPropagationProc.java:128-134``).  Broadcast-joined via the
-    vertex table.
+    weights (``LabelPropagationProc.java:128-134``).  Same auto contract as
+    ``stages.joins.lookup_vids``: the vertex table is broadcast (one
+    ``ray.put``, read from local plasma by every mapper) only while it fits
+    under ``cap`` rows; above that a hash-shuffle join runs instead — an
+    uncapped driver ``to_pandas`` of the whole vertex table is a guaranteed
+    OOM at the 10^12-file scale.
     """
     import ray
 
-    vt = graph.vertices_ds().to_pandas()
-    ref = ray.put(vt)
+    from ..stages.joins import BROADCAST_MAX_ROWS
 
-    class MapProps:
-        def __init__(self):
-            import pandas as pd
+    cap = BROADCAST_MAX_ROWS if cap is None else int(cap)
+    if graph.n_vertices <= cap:
+        vt = graph.vertices_ds().to_pandas()
+        ref = ray.put(vt)
 
-            v = ray.get(ref)
-            self.index = __import__("pandas").Index(v["key"])
-            self.vids = v["vid"].to_numpy()
+        class MapProps:
+            def __init__(self):
+                import pandas as pd
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = (
-                batch["repo"].to_pandas() + "/" + batch["path"].to_pandas()
-            )
-            idx = self.index.get_indexer(keys)
-            ok = idx >= 0
-            return pa.table(
-                {
-                    "vid": pa.array(self.vids[idx[ok]], pa.int64()),
-                    "partition": batch["partition"].filter(pa.array(ok)),
-                    "weight": batch["weight"].filter(pa.array(ok)),
-                }
-            )
+                v = ray.get(ref)
+                self.index = pd.Index(v["key"]) if "key" in v.columns else pd.Index([])
+                self.vids = (
+                    v["vid"].to_numpy() if "vid" in v.columns else np.array([], dtype=np.int64)
+                )
 
-    return props_ds.map_batches(MapProps, batch_format="pyarrow", concurrency=(1, 4))
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keys = (
+                    batch["repo"].to_pandas() + "/" + batch["path"].to_pandas()
+                )
+                idx = self.index.get_indexer(keys)
+                ok = idx >= 0
+                return pa.table(
+                    {
+                        "vid": pa.array(self.vids[idx[ok]], pa.int64()),
+                        "partition": batch["partition"].filter(pa.array(ok)),
+                        "weight": batch["weight"].filter(pa.array(ok)),
+                    }
+                )
+
+        return props_ds.map_batches(MapProps, batch_format="pyarrow", concurrency=(1, 4))
+
+    # large-vertex-table path: hash-shuffle join on the string key (the
+    # lookup_vids fallback shape; join fan sized to the session like docs.py)
+    import pyarrow.compute as pc
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(16, ncpu // 2))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.binary_join_element_wise(batch["repo"], batch["path"], "/"),
+                "partition": batch["partition"],
+                "weight": batch["weight"],
+            }
+        )
+
+    j = props_ds.map_batches(keyed, batch_format="pyarrow").join(
+        graph.vertices_ds(), "inner", npart, on=("key",)
+    )
+    return j.select_columns(["vid", "partition", "weight"])

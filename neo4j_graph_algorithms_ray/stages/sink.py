@@ -74,3 +74,24 @@ def read_partitioned(path: str, **kwargs) -> rd.Dataset:
     """Read back a ``resumable_write`` layout (markers are not parquet files,
     so point the reader at the parquet files only)."""
     return rd.read_parquet(path, file_extensions=["parquet"], **kwargs)
+
+
+def write_relationships(edges: rd.Dataset, path: str, bounds) -> list:
+    """Relationship write-back (``MSTPrimProc.java:65`` writes the spanning
+    tree back as typed relationships; the Parquet analogue is an edge table
+    on disk).  The edge Dataset (``u``/``v`` endpoints + any payload columns)
+    is persisted through ``resumable_write``, Hive-partitioned by the owning
+    shard of ``u`` (the graph's ``bounds`` ranges) — so a failed write-back
+    resumes per shard, and a later ``read_partitioned`` can prune by owner.
+    Returns the partition ids written this call."""
+    import numpy as np
+
+    b = np.asarray(bounds, dtype=np.int64)
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        part = (np.searchsorted(b, u, side="right") - 1).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    tagged = edges.map_batches(tag, batch_format="pyarrow")
+    return resumable_write(tagged, path, partition_col="part", partitions=list(range(len(b) - 1)))

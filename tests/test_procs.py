@@ -88,9 +88,15 @@ def test_unionfind_stats_and_variants(uf_graph):
         "nodes", "setCount", "write", "partitionProperty",
     ]
     assert stats.iloc[0]["setCount"] == 3  # UnionFindProcIntegrationTest
-    # scheduling-variant aliases dispatch to the same implementation
-    for variant in (algo.unionFind.queue, algo.unionFind.forkJoin, algo.unionFind.forkJoinMerge):
-        assert variant(uf_graph, write=False).iloc[0]["setCount"] == 3
+    # scheduling-variant aliases dispatch to the same implementation AND
+    # record which variant was requested in the stats row
+    for proc, name in (
+        (algo.unionFind.queue, "queue"),
+        (algo.unionFind.forkJoin, "forkJoin"),
+        (algo.unionFind.forkJoinMerge, "forkJoinMerge"),
+    ):
+        row = proc(uf_graph, write=False).iloc[0]
+        assert row["setCount"] == 3 and row["variant"] == name
     stream = algo.unionFind.stream(uf_graph).to_pandas()
     assert sorted(stream.columns) == ["nodeId", "setId"]
     assert stream["setId"].nunique() == 3
@@ -129,6 +135,12 @@ def test_triangle_procs(tmp_path_factory):
     triples = algo.triangle.stream(g).to_pandas()
     assert sorted(triples.columns) == ["nodeA", "nodeB", "nodeC"]
     assert len(triples) == stats.iloc[0]["triangleCount"]
+    # forkJoin alias (TriangleProc.java:224,117): same counts, variant recorded
+    fj = algo.triangleCount.forkJoin(g, write=False).iloc[0]
+    assert fj["triangleCount"] == stats.iloc[0]["triangleCount"]
+    assert fj["variant"] == "forkJoin"
+    fj_stream = algo.triangleCount.forkJoin.stream(g).to_pandas().sort_values("nodeId")
+    assert fj_stream["triangles"].tolist() == per_node.sort_values("nodeId")["triangles"].tolist()
 
 
 def test_louvain_proc(tmp_path_factory):
@@ -192,10 +204,14 @@ def test_scc_procs(tmp_path_factory):
         "minSetSize", "maxSetSize",
     ]  # SCCResult.java:26-31
     # variant aliases (StronglyConnectedComponentsProc.java:66-381) agree
+    ms = algo.scc.multistep(g, write=False).iloc[0]
+    tj = algo.scc.recursive.tarjan(g, write=False).iloc[0]
+    assert ms["setCount"] == tj["setCount"] == stats.iloc[0]["setCount"]
+    assert ms["variant"] == "multistep" and tj["variant"] == "recursive.tarjan"
     assert (
-        algo.scc.multistep(g, write=False).iloc[0]["setCount"]
-        == algo.scc.recursive.tarjan(g, write=False).iloc[0]["setCount"]
-        == stats.iloc[0]["setCount"]
+        algo.scc.iterative(g, write=False).iloc[0]["variant"] == "iterative"
+        and algo.scc.recursive.tunedTarjan(g, write=False).iloc[0]["variant"]
+        == "recursive.tunedTarjan"
     )
     stream = algo.scc.stream(g).to_pandas()
     assert sorted(stream.columns) == ["nodeId", "partition"]
@@ -243,9 +259,44 @@ def test_mst_proc(tmp_path_factory):
     ]  # MSTPrimResult.java:26-32
 
 
+def test_mst_relationship_writeback_roundtrip(tmp_path_factory, tmp_path):
+    """MSTPrimProc.java:65 parity: the forest is persisted as a resumable
+    relationship Parquet (per-shard _DONE markers) and reads back as the
+    identical edge set (VERDICT r03 #9)."""
+    import os as _os
+
+    from neo4j_graph_algorithms_ray.pipelines.mst import minimum_spanning_forest
+    from neo4j_graph_algorithms_ray.stages.sink import read_partitioned, write_relationships
+
+    corpus, _ = fixture_corpus("mst1")
+    g = build_graph(rd.from_arrow(corpus), str(tmp_path_factory.mktemp("mstw")), P=2)
+    path = str(tmp_path / "forest")
+    algo.mst(g, writePath=path)
+    back = read_partitioned(path).to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    want = (
+        minimum_spanning_forest(g).edges.to_pandas()
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    assert back[["u", "v"]].values.tolist() == want[["u", "v"]].values.tolist()
+    np.testing.assert_allclose(back["weight"].to_numpy(), want["weight"].to_numpy())
+    # every shard partition carries a completion marker; a second write-back
+    # call into the same layout is a no-op (resume contract)
+    for p in range(g.P):
+        assert _os.path.exists(_os.path.join(path, f"part={p}", "_DONE"))
+    assert write_relationships(minimum_spanning_forest(g).edges, path, g.bounds) == []
+
+
 def test_list_and_scalars():
     cat = algo.list()
     assert len(cat) > 25 and "name" in cat.columns
+    # the per-variant reference aliases are catalogued (VERDICT r03 #6)
+    names = set(cat["name"])
+    for alias in (
+        "unionfind.queue", "unionfind.forkjoin", "unionfind.forkjoinmerge",
+        "scc.recursive.tarjan", "scc.recursive.tunedtarjan", "scc.iterative",
+        "scc.multistep", "scc.forwardbackward.stream", "trianglecount.forkjoin",
+    ):
+        assert alias in names, alias
     assert math.isinf(algo.Infinity()) and math.isnan(algo.NaN())
     import pyarrow as pa
 
@@ -317,3 +368,38 @@ def test_unionfind_from_raw_edge_table():
     tri_edges = pd.DataFrame({"src": [0, 1, 2, 0], "dst": [1, 2, 0, 3]})
     tri = algo.triangleCount.stream(tri_edges).to_pandas().sort_values("nodeId")
     assert tri["triangles"].tolist() == [1, 1, 1, 0]
+
+
+def test_procedure_configuration_matrix(uf_graph, tmp_path):
+    """ProcedureConfiguration key contract (ProcedureConfiguration.java:
+    114-406): honored keys take effect, no-op keys are accepted, unknown
+    keys raise instead of being silently dropped (VERDICT r03 #7)."""
+    import pyarrow as pa
+
+    # unknown / typo'd key -> loud error
+    with pytest.raises(ValueError, match="unrecognized config key"):
+        algo.unionFind(uf_graph, {"batchSiz": 100})
+    with pytest.raises(ValueError, match="unrecognized config key"):
+        algo.pageRank.stream(uf_graph, iteratons=5)
+
+    # graph:'cypher'-style impl selector accepted (one impl -> no-op)
+    assert algo.unionFind(uf_graph, {"graph": "huge", "write": False}).iloc[0]["setCount"] == 3
+
+    # batchSize flows to the betweenness source-batch width: a width-1
+    # batching must give identical centralities to the default
+    a = algo.betweenness.stream(uf_graph, batchSize=1).to_pandas().sort_values("nodeId")
+    b = algo.betweenness.stream(uf_graph).to_pandas().sort_values("nodeId")
+    np.testing.assert_allclose(a["centrality"].to_numpy(), b["centrality"].to_numpy(), atol=1e-12)
+
+    # concurrency -> P and defaultValue -> weight fill on edge-table projections
+    edges = pa.table(
+        {"src": pa.array([0, 1, 2], pa.int64()), "dst": pa.array([1, 2, 3], pa.int64())}
+    )
+    wd = str(tmp_path / "cfg_proj")
+    algo.unionFind(edges, {"workdir": wd, "concurrency": 3, "defaultValue": 2.5, "write": False})
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import BuiltGraph
+
+    g2 = BuiltGraph.load(wd)
+    assert g2.P == 3
+    w = g2.edges_ds(columns=["weight"]).to_pandas()["weight"].to_numpy()
+    assert (w == 2.5).all()

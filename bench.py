@@ -87,14 +87,13 @@ def scaling_leg() -> dict:
     # same shard count per core budget (P = ncpu/4, 4 GIL-releasing kernel
     # threads per shard): round-coordination cost stays at small P while the
     # kernel scales with the core count — the analogue of one multi-core
-    # worker per node on a real cluster.  Best of three runs (the first also
-    # warms the page cache; shared-infra load spikes last minutes, so a
-    # single lucky/unlucky run should not set the recorded ratio).
+    # worker per node on a real cluster.  Best of two runs per leg (the first
+    # also warms the page cache); cross-run robustness now comes from the
+    # median over 5 interleaved leg-pairs in the --scaling driver.
     res = pagerank(g, tol=1e-6, threads=4)
-    for _ in range(2):
-        r2 = pagerank(g, tol=1e-6, threads=4)
-        if r2.metrics["edges_per_sec"] > res.metrics["edges_per_sec"]:
-            res = r2
+    r2 = pagerank(g, tol=1e-6, threads=4)
+    if r2.metrics["edges_per_sec"] > res.metrics["edges_per_sec"]:
+        res = r2
     out = {
         "num_cpus": NCPU,
         "P": g.P,
@@ -126,10 +125,17 @@ def plain_bench() -> dict:
     queries: dict[str, float] = {}
     extra: dict = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    # median-of-3 per query: a single shared-infra load spike during one run
+    # must not set the recorded number (BENCH_r03 recorded a 2.9x sessionize
+    # swing on identical code; the quiet-box re-run contradicted it)
+    def timed(name, fn, reps: int = 3):
+        times = []
+        out = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            times.append(time.perf_counter() - t0)
+        queries[name] = round(sorted(times)[len(times) // 2], 3)
         return out
 
     # warm the hash-shuffle machinery once (first groupby of a session pays
@@ -230,45 +236,64 @@ def main():
         print(json.dumps(scaling_leg()))
         return
     if "--scaling" in sys.argv:
-        # two corpus sizes, reported honestly (BASELINE.md "Scaling"): the
-        # headline 2.4M-file size meets the criterion outright; the smaller
-        # 1.2M-file size exposes the single-box simulation artifact (all
-        # "nodes" share one memory bus, so the per-shard kernel loses ~20%
-        # bandwidth when 32 cores are active — ns/edge per leg quantifies it)
+        # Headline size: MEDIAN OF 5 INTERLEAVED LEG-PAIRS.  Each pair runs
+        # the 8-cpu and 32-cpu legs back to back in fresh processes, so a
+        # shared-infra load spike hits both legs of a pair (the pair's ratio
+        # stays meaningful) instead of sinking one side of a single recorded
+        # pair — BENCH_r03's recorded 0.793 came from exactly that; the
+        # same-day controlled decomposition measured engine coordination
+        # overhead at ~0% (BASELINE.md:62-98).  The smaller 1.2M-file size
+        # (one pair) is kept as the single-box bus-sharing diagnostic;
+        # per-leg ns/edge/shard quantifies the kernel's bandwidth share.
+        def run_leg(files: int, ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_FILES=str(files))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling-leg"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            leg = json.loads(out.strip().splitlines()[-1])
+            leg["ns_per_edge_per_shard"] = round(
+                1e9 * leg["compute_sec"] * leg["P"] / leg["edges_processed"], 3
+            )
+            return leg
+
+        def median(vals):
+            s = sorted(vals)
+            return s[len(s) // 2]
+
         sizes = {}
-        for files in (1_200_000, 2_400_000):
-            legs = {}
-            for ncpu in (8, 32):
-                env = dict(
-                    os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_FILES=str(files)
+        HEADLINE = 2_400_000
+        for files, n_pairs in ((1_200_000, 1), (HEADLINE, 5)):
+            pairs = []
+            for _ in range(n_pairs):
+                l8 = run_leg(files, 8)
+                l32 = run_leg(files, 32)
+                pairs.append(
+                    {
+                        "eff": round((l32["edges_per_sec"] / l8["edges_per_sec"]) / 4, 3),
+                        "legs": {8: l8, 32: l32},
+                    }
                 )
-                out = subprocess.run(
-                    [sys.executable, os.path.join(REPO, "bench.py"), "--scaling-leg"],
-                    env=env,
-                    capture_output=True,
-                    text=True,
-                    check=True,
-                ).stdout
-                legs[ncpu] = json.loads(out.strip().splitlines()[-1])
-            eff = (legs[32]["edges_per_sec"] / legs[8]["edges_per_sec"]) / (32 / 8)
-            for leg in legs.values():
-                leg["ns_per_edge_per_shard"] = round(
-                    1e9 * leg["compute_sec"] * leg["P"] / leg["edges_processed"], 3
-                )
+            effs = [p["eff"] for p in pairs]
             sizes[str(files)] = {
-                "eff": round(eff, 3),
-                "edges": legs[32]["n_edges"],
-                "edges_per_sec_8": legs[8]["edges_per_sec"],
-                "edges_per_sec_32": legs[32]["edges_per_sec"],
-                "legs": legs,
+                "eff": round(median(effs), 3),
+                "pair_effs": effs,
+                "edges": pairs[0]["legs"][32]["n_edges"],
+                "edges_per_sec_8": median([p["legs"][8]["edges_per_sec"] for p in pairs]),
+                "edges_per_sec_32": median([p["legs"][32]["edges_per_sec"] for p in pairs]),
+                "legs": sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]["legs"],
             }
-        headline = sizes[str(2_400_000)]
+        headline = sizes[str(HEADLINE)]
         print(
             json.dumps(
                 {
                     "metric": "pagerank_scaling_efficiency",
                     "value": headline["eff"],
                     "unit": "ratio",
+                    "protocol": "median of 5 interleaved fresh-process leg-pairs",
                     "edges_per_sec_8": headline["edges_per_sec_8"],
                     "edges_per_sec_32": headline["edges_per_sec_32"],
                     "sizes": sizes,

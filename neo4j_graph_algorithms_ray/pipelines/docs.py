@@ -865,9 +865,7 @@ def tfidf(
 
     df = bucketed_agg(  # each (doc, term) row is unique -> count = doc freq
         tf, "term", {"df": (None, "count")}, types={"term": pa.string()}
-    ).filter(expr=f"df <= {mdf}")  # stop-term prune (hot-key join skew armor)
-    k = npart if npart is not None else _shuffle_fan()
-    joined = tf.join(df, "inner", k, on=("term",))
+    ).filter(expr=f"df <= {mdf}").materialize()  # stop-term prune (hot-key join skew armor)
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         idf = np.log((n_docs + 1.0) / (b["df"].to_numpy() + 1.0)) + 1.0
@@ -876,6 +874,37 @@ def tfidf(
             {"doc_id": b["doc_id"], "term": b["term"], "tf": b["tf"], "df": b["df"], "tfidf_u": u}
         )
 
+    # the df side is the VOCABULARY (distinct surviving terms) — small until
+    # the corpus is enormous.  Standard auto contract: broadcast it once and
+    # attach df per batch (no join shuffle); hash join above the cap.
+    from ..stages.joins import BROADCAST_MAX_ROWS
+
+    if df.count() <= BROADCAST_MAX_ROWS:
+        import ray
+
+        ref = ray.put(df.to_pandas())
+
+        def attach_and_score(b: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(ref)
+            if len(b) == 0 or "term" not in d.columns:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype=np.int64),
+                        "term": pd.Series(dtype=object),
+                        "tf": pd.Series(dtype=np.int64),
+                        "df": pd.Series(dtype=np.int64),
+                        "tfidf_u": pd.Series(dtype=np.int64),
+                    }
+                )
+            idx = pd.Index(d["term"]).get_indexer(b["term"])
+            keep = idx >= 0  # stop-pruned terms drop (inner-join semantics)
+            b = b[keep].assign(df=d["df"].to_numpy()[idx[keep]])
+            return score(b)
+
+        return tf.map_batches(attach_and_score, batch_format="pandas")
+
+    k = npart if npart is not None else _shuffle_fan()
+    joined = tf.join(df, "inner", k, on=("term",))
     return joined.map_batches(score, batch_format="pandas")
 
 

@@ -37,6 +37,17 @@ def _ts_us(col: pd.Series) -> np.ndarray:
     return col.astype("datetime64[us]").astype("int64").to_numpy()
 
 
+def _ts_us_arrow(col: "pa.ChunkedArray") -> np.ndarray:
+    """Arrow column (timestamp of any unit, date, or integral epoch-us) ->
+    int64 epoch-microseconds, without a pandas round-trip."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+    if pa.types.is_date(t):
+        return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+    return col.cast(pa.int64()).to_numpy()
+
+
 def sessionize(
     events: rd.Dataset,
     *,
@@ -56,14 +67,16 @@ def sessionize(
     npart = shuffle_fan()
     fan = int(fan) if fan is not None else 4 * npart
 
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
-        k = b[key].to_numpy().astype(np.int64)
-        return pd.DataFrame(
+    def tag(b: pa.Table) -> pa.Table:
+        # Arrow-native: five int64/float64 columns built straight from the
+        # Arrow buffers (no pandas block materialization in the hot path)
+        k = b[key].cast(pa.int64()).to_numpy()
+        return pa.table(
             {
-                "k": k,
-                "t": _ts_us(b[ts]),
-                "v": b[value].to_numpy().astype(np.float64),
-                "__b": _bucket_of(k, fan),
+                "k": pa.array(k),
+                "t": pa.array(_ts_us_arrow(b[ts])),
+                "v": pa.array(b[value].cast(pa.float64()).to_numpy()),
+                "__b": pa.array(_bucket_of(k, fan)),
             }
         )
 
@@ -98,7 +111,7 @@ def sessionize(
         )
 
     return (
-        events.map_batches(tag, batch_format="pandas")
+        events.map_batches(tag, batch_format="pyarrow")
         .groupby("__b", num_partitions=npart)
         .map_groups(kernel, batch_format="pandas")
     )
@@ -144,12 +157,21 @@ def asof_join(
         own = lpay if side == 0 else rpay
         pre = "l_" if side == 0 else "r_"
 
-        def tag(b: pd.DataFrame) -> pd.DataFrame:
-            k = b[key_col].to_numpy().astype(np.int64)
-            out = {"side": np.full(len(b), side, dtype=np.int8), "k": k, "t": _ts_us(b[ts_col])}
+        def tag(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            k = b[key_col].cast(pa.int64()).to_numpy()
+            out = {"side": np.full(n, side, dtype=np.int8), "k": k, "t": _ts_us_arrow(b[ts_col])}
             # canonical column order (all l_ then all r_) on BOTH sides, so
-            # the union's block schemas line up
-            filled = {pre + dst: b[src].to_numpy().astype(np.float64) for src, dst, _ in own}
+            # the union's block schemas line up.  Arrow's checked cast raises
+            # on int64 values float64 can't hold exactly — keep the guard's
+            # message explicit
+            try:
+                filled = {pre + dst: b[src].cast(pa.float64()).to_numpy() for src, dst, _ in own}
+            except pa.lib.ArrowInvalid as e:
+                raise ValueError(
+                    "asof_join: an int64 payload has |value| >= 2^53; it would "
+                    f"be corrupted by the float64 union transport ({e})"
+                ) from None
             # int payloads ride the float64 union — exact only below 2^53;
             # fail loudly instead of silently corrupting larger ids
             for src, dst, dt in own:
@@ -161,16 +183,16 @@ def asof_join(
                             "it would be corrupted by the float64 union transport"
                         )
             for _, dst, _ in lpay:
-                out["l_" + dst] = filled.get("l_" + dst, np.full(len(b), np.nan))
+                out["l_" + dst] = filled.get("l_" + dst, np.full(n, np.nan))
             for _, dst, _ in rpay:
-                out["r_" + dst] = filled.get("r_" + dst, np.full(len(b), np.nan))
+                out["r_" + dst] = filled.get("r_" + dst, np.full(n, np.nan))
             out["__b"] = _bucket_of(k, fan)
-            return pd.DataFrame(out)
+            return pa.table({c: pa.array(v) for c, v in out.items()})
 
         return tag
 
-    both = left.map_batches(_tag(0, left_key, left_ts), batch_format="pandas").union(
-        right.map_batches(_tag(1, right_key, right_ts), batch_format="pandas")
+    both = left.map_batches(_tag(0, left_key, left_ts), batch_format="pyarrow").union(
+        right.map_batches(_tag(1, right_key, right_ts), batch_format="pyarrow")
     )
 
     def _patype(dt: str):
@@ -253,16 +275,16 @@ def sliding_window_agg(
     fan = int(fan) if fan is not None else 4 * npart
     w = int(window_us)
 
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
-        k = b[key].to_numpy().astype(np.int64)
-        v = b[value].to_numpy().astype(np.float64)
-        return pd.DataFrame(
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].cast(pa.int64()).to_numpy()
+        v = b[value].cast(pa.float64()).to_numpy()
+        return pa.table(
             {
-                "k": k,
-                "i": b[id_col].to_numpy().astype(np.int64),
-                "t": _ts_us(b[ts]),
-                "vu": np.floor(v * 1000 + 0.5).astype(np.int64),
-                "__b": _bucket_of(k, fan),
+                "k": pa.array(k),
+                "i": pa.array(b[id_col].cast(pa.int64()).to_numpy()),
+                "t": pa.array(_ts_us_arrow(b[ts])),
+                "vu": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64)),
+                "__b": pa.array(_bucket_of(k, fan)),
             }
         )
 
@@ -318,7 +340,7 @@ def sliding_window_agg(
         )
 
     return (
-        events.map_batches(tag, batch_format="pandas")
+        events.map_batches(tag, batch_format="pyarrow")
         .groupby("__b", num_partitions=npart)
         .map_groups(kernel, batch_format="pandas")
     )
@@ -360,22 +382,22 @@ def range_join(
     right_out = right_out or right_id
 
     def _tag(side: int, key_col: str, ts_col: str, id_col: str):
-        def tag(b: pd.DataFrame) -> pd.DataFrame:
-            k = b[key_col].to_numpy().astype(np.int64)
-            return pd.DataFrame(
+        def tag(b: pa.Table) -> pa.Table:
+            k = b[key_col].cast(pa.int64()).to_numpy()
+            return pa.table(
                 {
-                    "side": np.full(len(b), side, dtype=np.int8),
-                    "k": k,
-                    "t": _ts_us(b[ts_col]),
-                    "rid": b[id_col].to_numpy().astype(np.int64),
-                    "__b": _bucket_of(k, fan),
+                    "side": pa.array(np.full(b.num_rows, side, dtype=np.int8)),
+                    "k": pa.array(k),
+                    "t": pa.array(_ts_us_arrow(b[ts_col])),
+                    "rid": pa.array(b[id_col].cast(pa.int64()).to_numpy()),
+                    "__b": pa.array(_bucket_of(k, fan)),
                 }
             )
 
         return tag
 
-    both = left.map_batches(_tag(0, left_key, left_ts, left_id), batch_format="pandas").union(
-        right.map_batches(_tag(1, right_key, right_ts, right_id), batch_format="pandas")
+    both = left.map_batches(_tag(0, left_key, left_ts, left_id), batch_format="pyarrow").union(
+        right.map_batches(_tag(1, right_key, right_ts, right_id), batch_format="pyarrow")
     )
 
     def kernel(g: pd.DataFrame) -> pa.Table:

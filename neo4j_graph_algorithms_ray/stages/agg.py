@@ -65,6 +65,7 @@ def bucketed_agg(
     fan: int | None = None,
     num_partitions: int | None = None,
     types: "dict[str, pa.DataType] | None" = None,
+    small_fold_rows: "int | None" = 100_000,
 ) -> rd.Dataset:
     """``groupby(keys).aggregate`` with bounded per-group Python work.
 
@@ -76,6 +77,11 @@ def bucketed_agg(
     block, a padding partition from ``map_groups``) can't poison downstream
     schema inference; without it empty blocks default every column to int64 —
     pass ``types`` whenever any key/output column is not int64.
+    ``small_fold_rows``: when the map-side combine leaves at most this many
+    rows, the hash shuffle is skipped and the fold runs in one coalesced
+    partition (the partial stage is materialized to count — the groupby is a
+    barrier anyway, so this changes WHEN the pipeline runs, not its memory
+    shape).  Pass ``None`` to force the shuffle path.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     fan = int(fan) if fan is not None else max(64, 4 * shuffle_fan())
@@ -92,23 +98,27 @@ def bucketed_agg(
     fold_kwargs = _agg_kwargs("fold")
     out_cols = keys + list(spec.keys())
 
-    def _empty_pd() -> pd.DataFrame:
-        cols = out_cols + ["__b"]
-        if types is not None:
-            t = pa.table({c: pa.array([], types.get(c, pa.int64())) for c in cols})
-            return t.to_pandas()
-        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
-
-    def _empty_arrow() -> pa.Table:
+    def _empty_arrow(with_bucket: bool = False) -> pa.Table:
         t = types or {}
-        return pa.table({c: pa.array([], t.get(c, pa.int64())) for c in out_cols})
+        cols = out_cols + (["__b"] if with_bucket else [])
+        return pa.table({c: pa.array([], t.get(c, pa.int64())) for c in cols})
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    # partial emits ARROW blocks (the pandas groupby stays as the combine
+    # kernel, but blocks between map_batches and the shuffle are Arrow —
+    # no PandasBlockSchema mixing into downstream unions/shuffles)
+    def partial(b: pd.DataFrame) -> pa.Table:
         if len(b) == 0:
-            return _empty_pd()
+            return _empty_arrow(with_bucket=True)
         g = b.groupby(keys, as_index=False, sort=False, dropna=False).agg(**partial_kwargs)
         g["__b"] = _bucket_ids(g, keys, fan)
-        return g
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        if types is not None:
+            t = t.cast(
+                pa.schema(
+                    [pa.field(c, types.get(c, t.schema.field(c).type)) for c in t.column_names]
+                )
+            )
+        return t
 
     # fold emits ARROW blocks: downstream zero-copy ops (rename_columns /
     # select_columns -> Project) assume Arrow-convertible blocks, and pandas
@@ -130,9 +140,22 @@ def bucketed_agg(
         return t
 
     npart = num_partitions if num_partitions is not None else shuffle_fan()
+    mp = ds.map_batches(partial, batch_format="pandas")
+    if small_fold_rows:
+        # Small-input short-circuit: the hash shuffle has a multi-second
+        # session floor (aggregator-actor spin-up) that dominates when the
+        # map-side combine already collapsed the input to a handful of rows
+        # (tfidf's ds.stats audit: 3.8s shuffling 310 pre-aggregated rows).
+        # Count the partials (metadata on the materialized stage) and fold
+        # tiny inputs in ONE coalesced partition instead — identical
+        # semantics (fold groups by the real keys, not the bucket).
+        mp = mp.materialize()
+        if mp.count() <= small_fold_rows:
+            return mp.repartition(1).map_batches(
+                fold, batch_format="pandas", batch_size=None
+            )
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("__b", num_partitions=npart)
+        mp.groupby("__b", num_partitions=npart)
         .map_groups(fold, batch_format="pandas")
     )
 
@@ -184,24 +207,20 @@ def topk_per_group(
     fan = int(fan) if fan is not None else max(64, 4 * shuffle_fan())
     npart = num_partitions if num_partitions is not None else shuffle_fan()
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame(
-                {
-                    key: pd.Series(dtype=np.int64),
-                    id_col: pd.Series(dtype=np.int64),
-                    score: pd.Series(dtype=np.float64),
-                    "__b": pd.Series(dtype=np.int64),
-                }
-            )
-        out = _prune(b, with_rank=False)
-        out["__b"] = _bucket_ids(out, [key], fan)
-        return out
-
     ty = {key: pa.int64(), id_col: pa.int64(), score: pa.float64(), "rank": pa.int64()}
     if types:
         ty.update(types)  # e.g. string keys, int64 scores (hash ranks must
         # not round-trip through float64 — above 2^53 that reorders ties)
+
+    # partial emits ARROW blocks with the pinned schema (same rationale as
+    # bucketed_agg: no pandas blocks between the map stage and the shuffle)
+    def partial(b: pd.DataFrame) -> pa.Table:
+        part_cols = [(key, ty[key]), (id_col, ty[id_col]), (score, ty[score]), ("__b", pa.int64())]
+        if len(b) == 0:
+            return pa.table({c: pa.array([], t) for c, t in part_cols})
+        out = _prune(b, with_rank=False)
+        out["__b"] = _bucket_ids(out, [key], fan)
+        return pa.table({c: pa.array(out[c].to_numpy()).cast(t) for c, t in part_cols})
 
     def fold(g: pd.DataFrame) -> pa.Table:
         cols = [(c, ty[c]) for c in (key, id_col, score, "rank")]

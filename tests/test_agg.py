@@ -121,3 +121,32 @@ def test_resumable_write_skips_finished_partitions(ray_session, tmp_path):
     back = read_partitioned(base).to_pandas()
     assert len(back) == 400
     assert back["v"].sum() == df["v"].sum()
+
+
+def test_bucketed_agg_small_fold_short_circuit_parity(ray_session):
+    """The small-input short-circuit (fold in one coalesced partition, no
+    hash shuffle) returns exactly the shuffle path's rows — fold groups by
+    the real keys, so bucket routing is an implementation detail
+    (VERDICT r03 #5)."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.stages.agg import bucketed_agg
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 50, 5000), "v": rng.normal(10, 2, 5000)}
+    )
+    spec = {"s": ("v", "sum"), "n": (None, "count"), "mx": ("v", "max")}
+    ty = {"s": pa.float64(), "mx": pa.float64()}
+
+    def run(small):
+        out = bucketed_agg(
+            rd.from_pandas(df), "k", spec, types=ty, small_fold_rows=small
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        return out
+
+    fast, shuffle = run(100_000), run(None)
+    assert fast["k"].tolist() == shuffle["k"].tolist() and len(fast) == 50
+    np.testing.assert_allclose(fast["s"], shuffle["s"], rtol=1e-12)
+    assert fast["n"].tolist() == shuffle["n"].tolist()
+    np.testing.assert_allclose(fast["mx"], shuffle["mx"], rtol=0)

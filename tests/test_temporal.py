@@ -81,6 +81,13 @@ def test_asof_join_backward_with_ties(ray_session):
 def test_asof_join_rejects_int_payloads_beyond_2_53(ray_session):
     """int64 payloads ride a float64 union; values >= 2^53 must fail loudly
     instead of round-tripping corrupted (ADVICE r02)."""
+    from ray.data import DataContext
+
+    # surface the original ValueError instead of Ray Data's UserCodeException
+    # wrapper (which replaces the message with a block dump)
+    ctx = DataContext.get_current()
+    old = getattr(ctx, "raise_original_map_exception", False)
+    ctx.raise_original_map_exception = True
     left = pd.DataFrame({"eid": [2**53 + 1], "k": [1], "ts": _ts([5])})
     right = pd.DataFrame({"okey": [100], "k": [1], "ts": _ts([3])})
     with pytest.raises((ValueError, Exception)) as ei:
@@ -95,7 +102,12 @@ def test_asof_join_rejects_int_payloads_beyond_2_53(ray_session):
             right_cols={"okey": ("o_orderkey", "int64")},
             right_tiebreak="o_orderkey",
         ).to_pandas()
-    assert "2^53" in str(ei.value)
+    import traceback
+
+    ctx.raise_original_map_exception = old
+    # the ValueError is chained inside RayTaskError; match the full formatted
+    # chain, not the top-level str()
+    assert "2^53" in "".join(traceback.format_exception(ei.value))
 
 
 def test_range_join_matches_bruteforce(ray_session):
@@ -282,3 +294,55 @@ def test_sliding_window_overflow_fallback_matches_bruteforce(ray_session):
         assert row["n_win"] == int(m.sum())
         assert row["win_sum_u"] == int(vu[m].sum())
     assert len(out) == n_users * per
+
+
+def test_temporal_hot_key_skew_bounded(ray_session):
+    """Skew edge the module docstring documents (temporal.py:12-13): ONE key
+    owns ~all rows.  The whole key lands in one bucket task; the kernels must
+    stay vectorized (no per-row Python) and the range_join expansion bounded
+    by the lookback fan-out — 20k single-key events with ~40 matches each
+    complete in seconds and match the independent searchsorted oracle."""
+    from neo4j_graph_algorithms_ray.pipelines.temporal import range_join, sliding_window_agg
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    t_us = np.sort(rng.integers(0, n * US // 10, n)).astype(np.int64)  # ~10 ev/sec, ties likely
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),  # one hot key
+            "ts": pd.Series(t_us).astype("datetime64[us]"),
+            "value": rng.normal(10, 3, n),
+        }
+    )
+    # a cold key alongside proves the bucket kernel still separates keys
+    cold = ev.iloc[:5].assign(user_id=np.int64(7), event_id=np.arange(n, n + 5, dtype=np.int64))
+    both = pd.concat([ev, cold], ignore_index=True)
+    w = 4 * US
+
+    sw = (
+        sliding_window_agg(rd.from_pandas(both), window_us=w)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(sw) == n + 5
+    hot_sw = sw[sw["user_id"] == 0]
+    lb = np.searchsorted(t_us, hot_sw["t_us"].to_numpy() - w, side="left")
+    ub = np.searchsorted(t_us, hot_sw["t_us"].to_numpy(), side="right")
+    np.testing.assert_array_equal(hot_sw["n_win"].to_numpy(), ub - lb)
+    vu = np.floor(ev["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    pre = np.concatenate([[0], np.cumsum(vu)])
+    np.testing.assert_array_equal(hot_sw["win_sum_u"].to_numpy(), pre[ub] - pre[lb])
+
+    rj = range_join(
+        rd.from_pandas(both), rd.from_pandas(both),
+        left_key="user_id", left_ts="ts", right_key="user_id", right_ts="ts",
+        left_id="event_id", right_id="event_id",
+        left_out="l_id", right_out="r_id", lookback_us=w,
+    )
+    # expected cardinality: per hot left row, right rows with t in [t-w, t];
+    # plus the cold key's own 5x5 band
+    hot_matches = int((ub - lb).sum())
+    ct = t_us[:5]
+    clb = np.searchsorted(ct, ct - w, side="left")
+    cub = np.searchsorted(ct, ct, side="right")
+    assert rj.count() == hot_matches + int((cub - clb).sum())

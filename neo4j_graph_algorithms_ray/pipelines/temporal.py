@@ -143,51 +143,50 @@ def asof_join(
 
     Shape: both sides are tagged into the same coarse key-bucket space and
     co-shuffled through ONE ``groupby`` (a ``side`` marker keeps them
-    apart; payloads ride as float64 through the union — exact for ids
-    < 2^53 — and are cast back at output); per bucket, pandas
-    ``merge_asof(by=key)`` does the vectorized backward scan.  One shuffle
-    total, no driver materialization.
+    apart); payloads travel in their NATIVE Arrow types with per-side null
+    columns (the union schemas align, and an int64 id never rides a float —
+    exact at any magnitude).  Per bucket, pandas ``merge_asof(by=key)``
+    does the vectorized backward scan carrying only a row *position* for
+    the right side (positions are < 2^53, so the float64 column pandas
+    upcasts on misses is still exact); payloads are gathered by position
+    afterwards in their own dtype.  One shuffle total, no driver
+    materialization.
     """
     npart = shuffle_fan()
     fan = int(fan) if fan is not None else 4 * npart
     lpay = [(src, dst, dt) for src, (dst, dt) in left_cols.items()]
     rpay = [(src, dst, dt) for src, (dst, dt) in right_cols.items()]
 
+    def _patype(dt: str):
+        return pa.int64() if dt == "int64" else pa.float64()
+
     def _tag(side: int, key_col: str, ts_col: str):
-        own = lpay if side == 0 else rpay
-        pre = "l_" if side == 0 else "r_"
+        own = {("l_" if side == 0 else "r_") + dst: (src, dt) for src, dst, dt in (lpay if side == 0 else rpay)}
 
         def tag(b: pa.Table) -> pa.Table:
             n = b.num_rows
             k = b[key_col].cast(pa.int64()).to_numpy()
-            out = {"side": np.full(n, side, dtype=np.int8), "k": k, "t": _ts_us_arrow(b[ts_col])}
-            # canonical column order (all l_ then all r_) on BOTH sides, so
-            # the union's block schemas line up.  Arrow's checked cast raises
-            # on int64 values float64 can't hold exactly — keep the guard's
-            # message explicit
-            try:
-                filled = {pre + dst: b[src].cast(pa.float64()).to_numpy() for src, dst, _ in own}
-            except pa.lib.ArrowInvalid as e:
-                raise ValueError(
-                    "asof_join: an int64 payload has |value| >= 2^53; it would "
-                    f"be corrupted by the float64 union transport ({e})"
-                ) from None
-            # int payloads ride the float64 union — exact only below 2^53;
-            # fail loudly instead of silently corrupting larger ids
-            for src, dst, dt in own:
-                if dt == "int64":
-                    v = np.abs(filled[pre + dst])
-                    if len(v) and np.nanmax(v) >= 2.0**53:
-                        raise ValueError(
-                            f"asof_join: int64 payload {src!r} has |value| >= 2^53; "
-                            "it would be corrupted by the float64 union transport"
-                        )
-            for _, dst, _ in lpay:
-                out["l_" + dst] = filled.get("l_" + dst, np.full(n, np.nan))
-            for _, dst, _ in rpay:
-                out["r_" + dst] = filled.get("r_" + dst, np.full(n, np.nan))
-            out["__b"] = _bucket_of(k, fan)
-            return pa.table({c: pa.array(v) for c, v in out.items()})
+            cols = {
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "k": pa.array(k),
+                "t": pa.array(_ts_us_arrow(b[ts_col])),
+            }
+            # canonical column order (all l_ then all r_) on BOTH sides with
+            # identical Arrow types — the other side's payloads are null
+            # columns, so the union's block schemas line up with no float
+            # transport for int64 payloads
+            for _, dst, dt in lpay:
+                name = "l_" + dst
+                cols[name] = (
+                    b[own[name][0]].cast(_patype(dt)) if name in own else pa.nulls(n, _patype(dt))
+                )
+            for _, dst, dt in rpay:
+                name = "r_" + dst
+                cols[name] = (
+                    b[own[name][0]].cast(_patype(dt)) if name in own else pa.nulls(n, _patype(dt))
+                )
+            cols["__b"] = pa.array(_bucket_of(k, fan))
+            return pa.table(cols)
 
         return tag
 
@@ -195,54 +194,70 @@ def asof_join(
         right.map_batches(_tag(1, right_key, right_ts), batch_format="pyarrow")
     )
 
-    def _patype(dt: str):
-        return pa.int64() if dt == "int64" else pa.float64()
-
     out_fields = (
         [(left_key, pa.int64()), ("t_us", pa.int64())]
         + [(dst, _patype(dt)) for _, dst, dt in lpay]
         + [(dst, _patype(dt)) for _, dst, dt in rpay]
     )
 
-    def _emit(vals: np.ndarray, dt: str) -> pa.Array:
-        if dt == "int64":
-            return pa.array(np.nan_to_num(vals, nan=-1.0).astype(np.int64), pa.int64())
-        return pa.array(np.nan_to_num(vals, nan=0.0), pa.float64())
-
-    def kernel(g: pd.DataFrame) -> pa.Table:
+    def kernel(g: pa.Table) -> pa.Table:
         empty = pa.table({name: pa.array([], ty) for name, ty in out_fields})
-        if len(g) == 0 or "side" not in g.columns:
+        if g.num_rows == 0 or "side" not in g.column_names:
             return empty
-        l = g[g["side"] == 0]
-        r = g[g["side"] == 1]
-        if len(l) == 0:
+        side = g["side"].to_numpy()
+        l = g.filter(pa.array(side == 0))
+        if l.num_rows == 0:
             return empty
+        r = g.filter(pa.array(side == 1))
+        # per-side slices are fully valid in their own payload columns, so
+        # to_numpy() yields the native dtype (int64 stays int64)
+        lt = pd.DataFrame({"k": l["k"].to_numpy(), "t": l["t"].to_numpy()})
+        for _, d, _ in lpay:
+            lt[f"l_{d}"] = l[f"l_{d}"].to_numpy()
+        rpayload = {d: r[f"r_{d}"].to_numpy() for _, d, _ in rpay}
+        rt = pd.DataFrame(
+            {
+                "k": r["k"].to_numpy(),
+                "t": r["t"].to_numpy(),
+                "pos": np.arange(r.num_rows, dtype=np.int64),
+                "_tb": rpayload[right_tiebreak],
+            }
+        )
         rt = (
-            r.sort_values(["k", "t", "r_" + right_tiebreak], kind="mergesort")
+            rt.sort_values(["k", "t", "_tb"], kind="mergesort")
             .drop_duplicates(["k", "t"], keep="last")
             .sort_values("t", kind="mergesort")
         )
-        lt = l.sort_values("t", kind="mergesort")
+        lt = lt.sort_values("t", kind="mergesort")
         merged = pd.merge_asof(
-            lt[["k", "t"] + [f"l_{d}" for _, d, _ in lpay]],
-            rt[["k", "t"] + [f"r_{d}" for _, d, _ in rpay]],
-            on="t",
-            by="k",
-            direction="backward",
+            lt, rt[["k", "t", "pos"]], on="t", by="k", direction="backward"
         )
+        pos = merged["pos"].to_numpy()  # float64 w/ NaN on miss; positions exact
+        miss = np.isnan(pos)
+        pidx = np.where(miss, 0, pos).astype(np.int64)
         cols = {
             left_key: pa.array(merged["k"].to_numpy(), pa.int64()),
             "t_us": pa.array(merged["t"].to_numpy(), pa.int64()),
         }
         for _, d, dt in lpay:
-            cols[d] = _emit(merged[f"l_{d}"].to_numpy(), dt)
+            # left payloads pass through merge_asof untouched (no misses on
+            # the left of a left join) — dtype and value exact
+            cols[d] = pa.array(merged[f"l_{d}"].to_numpy()).cast(_patype(dt))
         for _, d, dt in rpay:
-            cols[d] = _emit(merged[f"r_{d}"].to_numpy(), dt)
+            src_vals = rpayload[d]
+            if len(src_vals):
+                base = src_vals[pidx]
+            else:
+                base = np.zeros(len(pidx), dtype=np.int64 if dt == "int64" else np.float64)
+            if dt == "int64":
+                cols[d] = pa.array(np.where(miss, np.int64(-1), base), pa.int64())
+            else:
+                cols[d] = pa.array(np.where(miss, 0.0, base), pa.float64())
         return pa.table(cols)
 
     return (
         both.groupby("__b", num_partitions=npart)
-        .map_groups(kernel, batch_format="pandas")
+        .map_groups(kernel, batch_format="pyarrow")
     )
 
 

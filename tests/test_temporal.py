@@ -78,19 +78,16 @@ def test_asof_join_backward_with_ties(ray_session):
     np.testing.assert_allclose(out["o_price"], [1.5, 3.5, 0.0, 0.0])
 
 
-def test_asof_join_rejects_int_payloads_beyond_2_53(ray_session):
-    """int64 payloads ride a float64 union; values >= 2^53 must fail loudly
-    instead of round-tripping corrupted (ADVICE r02)."""
-    from ray.data import DataContext
-
-    # surface the original ValueError instead of Ray Data's UserCodeException
-    # wrapper (which replaces the message with a block dump)
-    ctx = DataContext.get_current()
-    old = getattr(ctx, "raise_original_map_exception", False)
-    ctx.raise_original_map_exception = True
-    left = pd.DataFrame({"eid": [2**53 + 1], "k": [1], "ts": _ts([5])})
-    right = pd.DataFrame({"okey": [100], "k": [1], "ts": _ts([3])})
-    with pytest.raises((ValueError, Exception)) as ei:
+def test_asof_join_preserves_int_payloads_beyond_2_53(ray_session):
+    """int64 payloads used to ride a float64 union (lossy above 2^53, caught
+    by a loud guard — ADVICE r02).  The typed transport (per-side null
+    columns + position-indirected merge) must now round-trip any int64
+    EXACTLY on both sides."""
+    big_l = 2**53 + 1
+    big_r = 2**62 + 7
+    left = pd.DataFrame({"eid": [big_l, big_l + 2], "k": [1, 1], "ts": _ts([5, 1])})
+    right = pd.DataFrame({"okey": [big_r, 100], "k": [1, 1], "ts": _ts([3, 4])})
+    out = (
         asof_join(
             rd.from_pandas(left),
             rd.from_pandas(right),
@@ -101,13 +98,26 @@ def test_asof_join_rejects_int_payloads_beyond_2_53(ray_session):
             left_cols={"eid": ("event_id", "int64")},
             right_cols={"okey": ("o_orderkey", "int64")},
             right_tiebreak="o_orderkey",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # t=5 matches the latest right at t=4 (okey 100); t=1 has no match (-1)
+    assert out["event_id"].tolist() == [big_l, big_l + 2]
+    assert out["o_orderkey"].tolist() == [100, -1]
+    # and a left row that picks the huge right id gets it bit-exactly
+    out2 = (
+        asof_join(
+            rd.from_pandas(pd.DataFrame({"eid": [1], "k": [1], "ts": _ts([3])})),
+            rd.from_pandas(right),
+            left_key="k", left_ts="ts", right_key="k", right_ts="ts",
+            left_cols={"eid": ("event_id", "int64")},
+            right_cols={"okey": ("o_orderkey", "int64")},
+            right_tiebreak="o_orderkey",
         ).to_pandas()
-    import traceback
-
-    ctx.raise_original_map_exception = old
-    # the ValueError is chained inside RayTaskError; match the full formatted
-    # chain, not the top-level str()
-    assert "2^53" in "".join(traceback.format_exception(ei.value))
+    )
+    assert out2["o_orderkey"].tolist() == [big_r]
 
 
 def test_range_join_matches_bruteforce(ray_session):

@@ -976,13 +976,18 @@ def dedup_clusters(
             {"h": pa.array(h), "doc_id": t["doc_id"], "bucket": pa.array(bucket)}
         )
 
-    def fold_reps(g: pd.DataFrame) -> pd.DataFrame:
+    def fold_reps(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0 or "h" not in g.columns:
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype=np.int64), "rep": pd.Series(dtype=np.int64)}
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
             )
         rep = g.groupby("h")["doc_id"].transform("min")
-        return pd.DataFrame({"doc_id": g["doc_id"], "rep": rep})
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "rep": pa.array(rep.to_numpy(), pa.int64()),
+            }
+        )
 
     k = _shuffle_fan()
     dmap = (

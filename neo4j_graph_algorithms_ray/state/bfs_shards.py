@@ -39,13 +39,14 @@ class MsBfsShard(EdgeShardBase):
             rsrc = t["dst"].to_numpy().astype(np.int64, copy=False) - self.lo  # local u
             rdst = t["src"].to_numpy().astype(np.int64, copy=False)
             if direction == "INCOMING":
-                self.esrc, self.dst = rsrc, rdst
+                esrc, dst = rsrc, rdst
             else:
-                self.esrc = np.concatenate([self.esrc, rsrc])
-                self.dst = np.concatenate([self.dst, rdst])
-            order = np.argsort(self.dst, kind="stable")
-            self.esrc_by_dst = self.esrc[order]
-            dst_sorted = self.dst[order]
+                esrc = np.concatenate([self.esrc_by_dst.astype(np.int64), rsrc])
+                dst = np.concatenate([self._dst_per_edge(), rdst])
+            order = np.argsort(dst, kind="stable")
+            self.esrc_by_dst = esrc[order].astype(np.int32)
+            dst_sorted = dst[order]
+            self.n_edges = len(dst_sorted)
             if len(dst_sorted):
                 self.uniq_dst, self.seg_starts = np.unique(dst_sorted, return_index=True)
             else:
@@ -194,6 +195,8 @@ class SsspShard(EdgeShardBase):
     def __init__(self, part, bounds, edges_dir, weighted=False):
         super().__init__(part, bounds, edges_dir, weighted=weighted)
         self.weighted = weighted
+        # per-edge relax targets, dst-sorted — runtime state for every step()
+        self.dst_vals = self._dst_per_edge()
 
     def start(self, source: int):
         self.dist = np.full(self.n_local, np.inf)
@@ -221,13 +224,12 @@ class SsspShard(EdgeShardBase):
         else:
             n_improved = self._apply_round(incoming)
         # relax: push tentative distances along out-edges of active vertices
-        w = self.weight if self.weighted else None
-        cand = self.dist[self.esrc_by_dst] + (w[self.dorder] if self.weighted else 1.0)
+        cand = self.dist[self.esrc_by_dst] + (self.w_by_dst if self.weighted else 1.0)
         act = self.active[self.esrc_by_dst]
         cand = np.where(act, cand, np.inf)
         uglob = self.esrc_by_dst.astype(np.int64) + self.lo
         if len(self.seg_starts):
-            dst_vals = self.dst[self.dorder]
+            dst_vals = self.dst_vals
             order = np.lexsort((uglob, cand, dst_vals))
             ds = dst_vals[order]
             first = np.unique(ds, return_index=True)[1]
@@ -317,14 +319,20 @@ class DeltaSsspShard(EdgeShardBase):
         self.delta = float(delta)
         from .scc_shard import _csr
 
-        light = self.weight <= self.delta
-        lo_, self.l_indptr = _csr(self.esrc[light], self.n_local)
-        self.l_dst = self.dst[light][lo_]
-        self.l_w = self.weight[light][lo_]
+        # per-kind local CSRs built from the resident dst-sorted view (edge
+        # order within a source differs from file order; per-dst min folds
+        # with the lexsort tie-break are order-independent)
+        esrc = self.esrc_by_dst.astype(np.int64, copy=False)
+        dst = self._dst_per_edge()
+        w = self.w_by_dst
+        light = w <= self.delta
+        lo_, self.l_indptr = _csr(esrc[light], self.n_local)
+        self.l_dst = dst[light][lo_]
+        self.l_w = w[light][lo_]
         hv = ~light
-        ho, self.h_indptr = _csr(self.esrc[hv], self.n_local)
-        self.h_dst = self.dst[hv][ho]
-        self.h_w = self.weight[hv][ho]
+        ho, self.h_indptr = _csr(esrc[hv], self.n_local)
+        self.h_dst = dst[hv][ho]
+        self.h_w = w[hv][ho]
 
     def start(self, source: int):
         self.dist = np.full(self.n_local, np.inf)

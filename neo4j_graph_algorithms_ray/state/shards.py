@@ -72,7 +72,6 @@ class EdgeShardBase:
         src = t["src"].to_numpy().astype(np.int64, copy=False)
         dst = t["dst"].to_numpy().astype(np.int64, copy=False)
         esrc = src - self.lo
-        self.weight = t["weight"].to_numpy().astype(np.float64, copy=False) if weighted else None
         self.n_edges = len(src)
         self.outdeg = np.bincount(esrc, minlength=self.n_local).astype(np.float64)
 
@@ -81,6 +80,11 @@ class EdgeShardBase:
         order = np.argsort(dst, kind="stable")
         dst_sorted = dst[order]
         self.esrc_by_dst = esrc[order].astype(np.int32)
+        # weights live in dst-sorted order too — the only order any consumer
+        # (SSSP relax, delta-stepping light/heavy split) walks edges in
+        self.w_by_dst = (
+            t["weight"].to_numpy().astype(np.float64, copy=False)[order] if weighted else None
+        )
         if self.n_edges:
             self.uniq_dst, self.seg_starts = np.unique(dst_sorted, return_index=True)
         else:
@@ -105,6 +109,14 @@ class EdgeShardBase:
         if len(self.seg_starts) == 0:
             return np.array([], dtype=np.float64)
         return np.add.reduceat(per_edge, self.seg_starts)
+
+    def _dst_per_edge(self) -> np.ndarray:
+        """Per-edge dst vids in dst-sorted order, reconstructed from the
+        segment arrays (the full int64 dst column is init-only scaffolding)."""
+        if not self.n_edges:
+            return np.array([], dtype=np.int64)
+        seg_lens = np.diff(np.append(self.seg_starts, self.n_edges))
+        return np.repeat(self.uniq_dst, seg_lens)
 
 
 class PageRankShard(EdgeShardBase):

@@ -81,6 +81,8 @@ def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int =
     """
     import pandas as pd
 
+    from ..stages.agg import grouped_map
+
     n_buckets = 64
 
     def canon(t: pa.Table) -> pa.Table:
@@ -186,10 +188,8 @@ def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int =
             m2 = np.unique(np.stack([np.minimum(uu, vv), np.maximum(uu, vv)], axis=1), axis=0)
             return pd.DataFrame({"u": m2[:, 0], "v": m2[:, 1]})
 
-        out = (
-            ds.map_batches(emit, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(reduce_bucket, batch_format="pandas")
+        out = grouped_map(
+            ds.map_batches(emit, batch_format="pyarrow"), "bucket", reduce_bucket
         )
         # cross-bucket dedup via canonicalizing map (cheap page) then return
         return out.map_batches(

@@ -34,7 +34,7 @@ def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-from ..stages.agg import bucketed_agg, shuffle_fan as _shuffle_fan
+from ..stages.agg import bucketed_agg, grouped_map, shuffle_fan as _shuffle_fan
 
 
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
@@ -172,10 +172,11 @@ def minhash_candidate_pairs(
     # pairs may repeat across bands (different buckets); consumers dedup —
     # minhash_dedup_pairs picks drop_duplicates (small) or a packed-key
     # groupby (large) by volume
-    return (
-        band_rows.map_batches(tag, batch_format="pandas")
-        .groupby("bucket", num_partitions=_shuffle_fan())
-        .map_groups(bucket_pairs, batch_format="pandas")
+    return grouped_map(
+        band_rows.map_batches(tag, batch_format="pandas"),
+        "bucket",
+        bucket_pairs,
+        num_partitions=_shuffle_fan(),
     )
 
 
@@ -463,9 +464,12 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"pk": pk, "inter": inter.astype(np.int64)})
 
     inter = bucketed_agg(
-        grams.map_batches(tag, batch_format="pandas")
-        .groupby("bucket", num_partitions=_shuffle_fan())
-        .map_groups(bucket_pair_counts, batch_format="pandas"),
+        grouped_map(
+            grams.map_batches(tag, batch_format="pandas"),
+            "bucket",
+            bucket_pair_counts,
+            num_partitions=_shuffle_fan(),
+        ),
         "pk",
         {"inter": ("inter", "sum")},
     )
@@ -622,10 +626,11 @@ def simhash_near_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
             }
         )
 
-    pairs = (
-        rows.map_batches(tag, batch_format="pandas")
-        .groupby("bucket", num_partitions=_shuffle_fan())
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = grouped_map(
+        rows.map_batches(tag, batch_format="pandas"),
+        "bucket",
+        bucket_pairs,
+        num_partitions=_shuffle_fan(),
     )
     # dedup pairs surfaced by multiple bands (pair cardinality scales with
     # the corpus — bucketed aggregate, stages/agg.py)
@@ -990,13 +995,12 @@ def dedup_clusters(
         )
 
     k = _shuffle_fan()
-    dmap = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=k)
-        .map_groups(fold_reps, batch_format="pandas")
-        .materialize()
-    )
+    dmap = grouped_map(
+        docs.select_columns(["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow"),
+        "bucket",
+        fold_reps,
+        num_partitions=k,
+    ).materialize()
 
     star = dmap.map_batches(
         lambda t: pa.table(

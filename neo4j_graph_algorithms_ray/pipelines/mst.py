@@ -213,7 +213,7 @@ def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64) -> MstResult:
     npart = max(2, graph.P)
     edges = _canon_edges(graph).materialize()  # {u, v, w}
     # labels live as a Dataset keyed by vid (only vertices touching edges matter)
-    from ..stages.agg import bucketed_agg
+    from ..stages.agg import bucketed_agg, grouped_map
 
     labels = bucketed_agg(
         edges.map_batches(
@@ -289,10 +289,9 @@ def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64) -> MstResult:
             )
 
         sel = bucketed_agg(
-            cross.map_batches(two_sided, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(bucket_min, batch_format="pandas")
-            .map_batches(normalize, batch_format="pandas"),
+            grouped_map(
+                cross.map_batches(two_sided, batch_format="pyarrow"), "bucket", bucket_min
+            ).map_batches(normalize, batch_format="pandas"),
             ["u", "v"],  # an edge may win for both endpoints
             {"w": ("w", "min"), "cu": ("cu", "min"), "cv": ("cv", "min")},
             types={"w": pa.float64()},

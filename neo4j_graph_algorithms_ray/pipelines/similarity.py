@@ -28,6 +28,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..stages.agg import grouped_map
+
 
 def read_embeddings(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -136,7 +138,7 @@ def knn_bruteforce(emb: rd.Dataset, qids: np.ndarray, Q: np.ndarray, *, k: int =
         batch_size=4096,
         concurrency=(1, 8),
     )
-    return cand.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return grouped_map(cand, "query_id", _final_topk(k))
 
 
 def embedding_near_dup_pairs(
@@ -201,7 +203,7 @@ def embedding_near_dup_pairs(
             {"id_a": ids[ii][keep], "id_b": ids[jj][keep], "cos_u": cos_u[ii, jj][keep]}
         )
 
-    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = grouped_map(rows, "bucket", bucket_pairs)
     # dedup pairs found in multiple shared buckets (packed single-int key;
     # pair cardinality scales with the corpus -> bucketed aggregate)
     from ..stages.agg import bucketed_agg
@@ -305,8 +307,14 @@ def knn_ivf(
                     pd.DataFrame({"query_id": int(q), "vec_id": v[top], "cos_u": c[top]})
                 )
             if not outs:
-                return pd.DataFrame({"query_id": [], "vec_id": [], "cos_u": []})
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype=np.int64),
+                        "vec_id": pd.Series(dtype=np.int64),
+                        "cos_u": pd.Series(dtype=np.int64),
+                    }
+                )
             return pd.concat(outs, ignore_index=True)
 
     cand = filtered.map_batches(Score, batch_format="pandas", batch_size=4096, concurrency=(1, 8))
-    return cand.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return grouped_map(cand, "query_id", _final_topk(k))

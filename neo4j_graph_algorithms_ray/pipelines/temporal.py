@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..stages.agg import shuffle_fan
+from ..stages.agg import grouped_map, shuffle_fan
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
@@ -110,10 +110,11 @@ def sessionize(
             }
         )
 
-    return (
-        events.map_batches(tag, batch_format="pyarrow")
-        .groupby("__b", num_partitions=npart)
-        .map_groups(kernel, batch_format="pandas")
+    return grouped_map(
+        events.map_batches(tag, batch_format="pyarrow"),
+        "__b",
+        kernel,
+        num_partitions=npart,
     )
 
 
@@ -255,10 +256,7 @@ def asof_join(
                 cols[d] = pa.array(np.where(miss, 0.0, base), pa.float64())
         return pa.table(cols)
 
-    return (
-        both.groupby("__b", num_partitions=npart)
-        .map_groups(kernel, batch_format="pyarrow")
-    )
+    return grouped_map(both, "__b", kernel, num_partitions=npart, batch_format="pyarrow")
 
 
 def sliding_window_agg(
@@ -354,10 +352,11 @@ def sliding_window_agg(
             }
         )
 
-    return (
-        events.map_batches(tag, batch_format="pyarrow")
-        .groupby("__b", num_partitions=npart)
-        .map_groups(kernel, batch_format="pandas")
+    return grouped_map(
+        events.map_batches(tag, batch_format="pyarrow"),
+        "__b",
+        kernel,
+        num_partitions=npart,
     )
 
 
@@ -476,4 +475,4 @@ def range_join(
             }
         )
 
-    return both.groupby("__b", num_partitions=npart).map_groups(kernel, batch_format="pandas")
+    return grouped_map(both, "__b", kernel, num_partitions=npart)

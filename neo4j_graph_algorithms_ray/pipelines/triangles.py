@@ -40,6 +40,7 @@ import ray
 import ray.data as rd
 
 from .graph_build import BuiltGraph, partition_edges
+from ..stages.agg import grouped_map
 import os
 
 # vertex count above which degree orientation switches from a broadcast
@@ -262,7 +263,7 @@ def _canonical_edges(graph: BuiltGraph) -> rd.Dataset:
         return pa.table({"u": pa.array(m[:, 0]), "v": pa.array(m[:, 1])})
 
     e = graph.edges_ds(columns=["src", "dst"]).map_batches(canon, batch_format="pyarrow")
-    return e.groupby("part").map_groups(dedup_bucket, batch_format="pyarrow")
+    return grouped_map(e, "part", dedup_bucket, batch_format="pyarrow")
 
 
 def _degrees(canon: rd.Dataset) -> rd.Dataset:
@@ -502,9 +503,9 @@ def _count_dataset_shuffle(
     def check_group(g: pa.Table) -> pa.Table:
         return checker(g)
 
-    triangles = (
-        wedges.groupby("bucket").map_groups(check_group, batch_format="pyarrow").materialize()
-    )
+    triangles = grouped_map(
+        wedges, "bucket", check_group, batch_format="pyarrow"
+    ).materialize()
     n_triangles = triangles.count()
 
     # per-corner counts: partial bincount -> groupby.sum -> left join all vertices

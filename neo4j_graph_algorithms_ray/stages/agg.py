@@ -160,6 +160,75 @@ def bucketed_agg(
     )
 
 
+def grouped_map(
+    ds: rd.Dataset,
+    keys: "str | list[str]",
+    fn,
+    *,
+    num_partitions: int | None = None,
+    batch_format: str = "pandas",
+    small_rows: "int | None" = 100_000,
+) -> rd.Dataset:
+    """``groupby(keys).map_groups(fn)`` with the bucketed_agg small-input
+    short-circuit.
+
+    The hash shuffle behind ``groupby`` has a multi-second session floor
+    (aggregator-actor spin-up) that dominates whenever the grouped input is
+    small — the common case for coarse-bucketed stages (64 LSH band buckets,
+    per-query top-k folds) at test/bench scale.  When the input holds at most
+    ``small_rows`` rows, run the whole group-map inside ONE coalesced
+    ``map_batches`` task: sort the single block by ``keys`` and call ``fn``
+    once per group slice — identical group membership, no shuffle.  Above the
+    cap (the 100-TB path), fall through to the real distributed groupby.
+
+    ``fn`` must not depend on intra-group row order (every call site here
+    sorts internally) and must accept/return what ``batch_format`` implies
+    (pandas DataFrame or pyarrow Table).  Counting requires a materialize —
+    the groupby is an all-to-all barrier anyway, so this changes when the
+    upstream runs, not the pipeline's memory shape.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    npart = num_partitions if num_partitions is not None else shuffle_fan()
+
+    if small_rows:
+        ds = ds.materialize()
+        n = ds.count()
+        if 0 < n <= small_rows:
+            if batch_format == "pandas":
+
+                def apply_block(b: pd.DataFrame):
+                    outs = [fn(g) for _, g in b.groupby(keys, sort=False, dropna=False)]
+                    if isinstance(outs[0], pa.Table):
+                        return pa.concat_tables(outs, promote_options="default")
+                    return pd.concat(outs, ignore_index=True)
+
+                return ds.repartition(1).map_batches(
+                    apply_block, batch_format="pandas", batch_size=None
+                )
+
+            def apply_block_arrow(t: pa.Table) -> pa.Table:
+                # group slicing stays in Arrow — a pandas hop would upcast
+                # int64-with-nulls columns to float64
+                t = t.sort_by([(c, "ascending") for c in keys])
+                nrows = t.num_rows
+                newg = np.zeros(nrows, dtype=bool)
+                newg[0] = True
+                for c in keys:
+                    a = t[c].to_numpy(zero_copy_only=False)
+                    newg[1:] |= a[1:] != a[:-1]
+                starts = np.flatnonzero(newg)
+                ends = np.append(starts[1:], nrows)
+                outs = [fn(t.slice(s, e - s)) for s, e in zip(starts, ends)]
+                return pa.concat_tables(outs, promote_options="default")
+
+            return ds.repartition(1).map_batches(
+                apply_block_arrow, batch_format="pyarrow", batch_size=None
+            )
+
+    gb = ds.groupby(keys[0] if len(keys) == 1 else keys, num_partitions=npart)
+    return gb.map_groups(fn, batch_format=batch_format)
+
+
 def topk_per_group(
     ds: rd.Dataset,
     key: str,

@@ -150,3 +150,76 @@ def test_bucketed_agg_small_fold_short_circuit_parity(ray_session):
     np.testing.assert_allclose(fast["s"], shuffle["s"], rtol=1e-12)
     assert fast["n"].tolist() == shuffle["n"].tolist()
     np.testing.assert_allclose(fast["mx"], shuffle["mx"], rtol=0)
+
+
+def test_grouped_map_small_path_parity_pandas(ray_session):
+    """grouped_map's coalesced small path returns the shuffle path's rows
+    exactly — same group membership, per-group fn, no hash shuffle."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.stages.agg import grouped_map
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {"b": rng.integers(0, 16, 4000), "x": rng.integers(0, 1000, 4000)}
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        # order-insensitive per-group kernel (sorts internally, like all sites)
+        x = np.sort(g["x"].to_numpy())
+        return pd.DataFrame(
+            {"b": g["b"].iloc[:1], "lo": x[:1], "hi": x[-1:], "n": [len(x)]}
+        )
+
+    def run(small):
+        return (
+            grouped_map(rd.from_pandas(df), "b", fn, small_rows=small)
+            .to_pandas()
+            .sort_values("b")
+            .reset_index(drop=True)
+        )
+
+    fast, shuffle = run(100_000), run(None)
+    pd.testing.assert_frame_equal(fast, shuffle, check_dtype=False)
+    assert len(fast) == df["b"].nunique()
+
+
+def test_grouped_map_small_path_parity_arrow(ray_session):
+    """Arrow-format variant: group slicing stays in Arrow (no pandas hop),
+    int64 dtype preserved; parity with the distributed groupby."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.stages.agg import grouped_map
+
+    rng = np.random.default_rng(12)
+    t = pa.table(
+        {
+            "b": pa.array(rng.integers(0, 8, 2000), pa.int64()),
+            "x": pa.array(rng.integers(0, 2**62, 2000), pa.int64()),
+        }
+    )
+
+    def fn(g: pa.Table) -> pa.Table:
+        x = np.sort(g["x"].to_numpy(zero_copy_only=False))
+        b = g["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array(b[:1], pa.int64()),
+                "mx": pa.array(x[-1:], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+            }
+        )
+
+    def run(small):
+        return (
+            grouped_map(
+                rd.from_arrow(t), "b", fn, batch_format="pyarrow", small_rows=small
+            )
+            .to_pandas()
+            .sort_values("b")
+            .reset_index(drop=True)
+        )
+
+    fast, shuffle = run(100_000), run(None)
+    pd.testing.assert_frame_equal(fast, shuffle)
+    assert fast["mx"].dtype == np.int64  # 2^62 values must not ride float64

@@ -177,6 +177,7 @@ def minhash_candidate_pairs(
         "bucket",
         bucket_pairs,
         num_partitions=_shuffle_fan(),
+        small_rows=1_000_000,  # pair fan-out per row bounded by max_band_freq
     )
 
 
@@ -469,6 +470,9 @@ def ngram_jaccard_pairs(
             "bucket",
             bucket_pair_counts,
             num_partitions=_shuffle_fan(),
+            # default 100k cap: the pair-count kernel is the pipeline's heavy
+            # stage — above ~100k gram rows the parallel shuffle beats one
+            # coalesced task (measured 2.2s vs 4.0s at sf0.1)
         ),
         "pk",
         {"inter": ("inter", "sum")},
@@ -631,6 +635,7 @@ def simhash_near_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
         "bucket",
         bucket_pairs,
         num_partitions=_shuffle_fan(),
+        small_rows=1_000_000,  # pair fan-out per row bounded by the band cap
     )
     # dedup pairs surfaced by multiple bands (pair cardinality scales with
     # the corpus — bucketed aggregate, stages/agg.py)

@@ -115,6 +115,7 @@ def sessionize(
         "__b",
         kernel,
         num_partitions=npart,
+        small_rows=1_000_000,  # kernel is one lexsort — linear per row, no pair fan-out
     )
 
 
@@ -256,7 +257,10 @@ def asof_join(
                 cols[d] = pa.array(np.where(miss, 0.0, base), pa.float64())
         return pa.table(cols)
 
-    return grouped_map(both, "__b", kernel, num_partitions=npart, batch_format="pyarrow")
+    return grouped_map(
+        both, "__b", kernel, num_partitions=npart, batch_format="pyarrow",
+        small_rows=1_000_000,  # merge_asof kernel — linear per row
+    )
 
 
 def sliding_window_agg(
@@ -357,6 +361,7 @@ def sliding_window_agg(
         "__b",
         kernel,
         num_partitions=npart,
+        small_rows=1_000_000,  # kernel is one lexsort — linear per row, no pair fan-out
     )
 
 
@@ -475,4 +480,4 @@ def range_join(
             }
         )
 
-    return grouped_map(both, "__b", kernel, num_partitions=npart)
+    return grouped_map(both, "__b", kernel, num_partitions=npart, small_rows=1_000_000)

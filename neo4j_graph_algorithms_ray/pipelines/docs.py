@@ -1052,19 +1052,23 @@ def dedup_clusters(
         ppdf = pairs.to_pandas() if n_pairs else None
         src = dpdf["doc_id"].to_numpy(dtype=np.int64)
         dst = dpdf["rep"].to_numpy(dtype=np.int64)
+        ids = src.copy()  # one dmap row per doc — the full id universe,
+        # in any order and of any magnitude (no dense-[0,n) assumption)
         if ppdf is not None and len(ppdf):
             src = np.concatenate([src, ppdf["id_a"].to_numpy(dtype=np.int64)])
             dst = np.concatenate([dst, ppdf["id_b"].to_numpy(dtype=np.int64)])
-        cluster = np.arange(n, dtype=np.int64)  # singletons keep themselves
+        cluster = ids.copy()  # singletons keep themselves
         if len(src):
             verts, roots = local_components(src, dst)
-            cluster[verts] = roots
+            order = np.argsort(ids)
+            pos = order[np.searchsorted(ids[order], verts)]
+            cluster[pos] = roots
         return rd.from_arrow(
             pa.table(
                 {
-                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "doc_id": pa.array(ids),
                     "cluster": pa.array(cluster),
-                    "keep": pa.array((cluster == np.arange(n)).astype(np.int64)),
+                    "keep": pa.array((cluster == ids).astype(np.int64)),
                 }
             )
         )
@@ -1079,7 +1083,66 @@ def dedup_clusters(
         ),
         batch_format="pyarrow",
     ).union(star)
+
+    # build_graph_from_edges requires dense vids in [0, n); doc ids are any
+    # int64.  When they happen to be dense (the common synthetic-table case)
+    # feed them straight through; otherwise rank them dense with the IdMap
+    # loader (one global sort — stages/ids.py, the 10^12-key shape) and
+    # translate edges out / labels back with the capped-broadcast lookups.
+    id_min = dmap.min("doc_id")
+    id_max = dmap.max("doc_id")
+    dense = id_min == 0 and id_max == n - 1
     wd = workdir or tempfile.mkdtemp(prefix="dedup_cc_")
+    if not dense:
+        from ..stages.ids import assign_dense_ids
+        from ..stages.joins import lookup_join
+
+        vmap, nv = assign_dense_ids(
+            dmap.map_batches(
+                lambda t: pa.table({"key": t["doc_id"]}), batch_format="pyarrow"
+            )
+        )
+        vmap = vmap.materialize()
+        for col, tmp in (("src", "__svid"), ("dst", "__dvid")):
+            side = vmap.map_batches(
+                lambda t, c=col, o=tmp: pa.table({c: t["key"], o: t["vid"]}),
+                batch_format="pyarrow",
+            )
+            edges = lookup_join(edges, side, col, tmp, default=-1)
+        edges = edges.map_batches(
+            lambda t: pa.table(
+                {"src": t["__svid"], "dst": t["__dvid"], "weight": t["weight"]}
+            ),
+            batch_format="pyarrow",
+        )
+        g = build_graph_from_edges(edges, nv, wd, P=P)
+        labels = connected_components(g).labels  # {vid, label}, label = min vid
+        # vids ascend with doc_id (assign_dense_ids sorts), so min-vid labels
+        # translate to min-doc_id clusters
+        back = vmap.map_batches(
+            lambda t: pa.table({"vid": t["vid"], "doc_id": t["key"]}),
+            batch_format="pyarrow",
+        )
+        labels = lookup_join(labels, back, "vid", "doc_id", default=-1)
+        back_l = vmap.map_batches(
+            lambda t: pa.table({"label": t["vid"], "cluster": t["key"]}),
+            batch_format="pyarrow",
+        )
+        labels = lookup_join(labels, back_l, "label", "cluster", default=-1)
+
+        def out_sparse(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "cluster": t["cluster"].cast(pa.int64()),
+                    "keep": pc.equal(t["doc_id"], t["cluster"]).cast(pa.int64()),
+                }
+            )
+
+        return labels.map_batches(out_sparse, batch_format="pyarrow")
+
     g = build_graph_from_edges(edges, n, wd, P=P)
     labels = connected_components(g).labels  # {vid, label}, label = min vid
 

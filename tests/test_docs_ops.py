@@ -326,3 +326,37 @@ def test_real_decode_is_gated_on_pillow():
     out = M.DecodeStage(real=True)(t)
     assert out["width"].to_pylist() == [5] and out["height"].to_pylist() == [3]
     assert out["n_frames"].to_pylist() == [1] and out["n_bytes"].to_pylist() == [len(raw)]
+
+
+def test_dedup_clusters_sparse_ids_both_paths(tmp_path, monkeypatch):
+    """doc_ids need not be dense [0, n): offset/gapped ids resolve to the
+    same clusters (relabeled) on BOTH the in-process fast path and the
+    distributed path, which dense-ranks ids via assign_dense_ids first."""
+    df = _megacluster_docs(n_copies=40)
+    base = D.dedup_clusters(rd.from_pandas(df), threshold=0.5).to_pandas()
+    base = base.sort_values("doc_id").reset_index(drop=True)
+
+    OFF = 7_000_000_001  # far beyond the row count, and non-contiguous
+    sp = df.copy()
+    sp["doc_id"] = sp["doc_id"].to_numpy() * 3 + OFF
+    relabel = lambda v: v * 3 + OFF
+
+    fast = (
+        D.dedup_clusters(rd.from_pandas(sp), threshold=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (fast["doc_id"].to_numpy() == relabel(base["doc_id"].to_numpy())).all()
+    assert (fast["cluster"].to_numpy() == relabel(base["cluster"].to_numpy())).all()
+    assert (fast["keep"].to_numpy() == base["keep"].to_numpy()).all()
+
+    monkeypatch.setattr(D, "SMALL_CC_MAX_VERTICES", 0)
+    dist = (
+        D.dedup_clusters(rd.from_pandas(sp), threshold=0.5, workdir=str(tmp_path / "cc3"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "cluster", "keep"):
+        assert (dist[c].to_numpy() == fast[c].to_numpy()).all(), c

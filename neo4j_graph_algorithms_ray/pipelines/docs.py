@@ -335,32 +335,54 @@ def minhash_dedup_pairs(
     # fractions — two chained 16-way joins deadlock a 4-cpu session)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     npart = max(2, min(16, ncpu // 2))
-    # dedup pairs surfaced by multiple bands: packed single-int key (doc ids
-    # < 2^31) — a single-key groupby shuffles far cheaper than multi-key
-    cands = bucketed_agg(
-        cands.map_batches(
+    # dedup pairs surfaced by multiple bands: packed single-int key when doc
+    # ids fit 31 bits (a single-key groupby shuffles far cheaper than
+    # multi-key); arbitrary int64 ids take the two-key aggregate instead —
+    # packing would silently collide (same contract as dedup_clusters)
+    cands = cands.materialize()
+    big_ids = bool(cands.count()) and (
+        max(cands.max("id_a"), cands.max("id_b")) >= 2**31
+    )
+    if big_ids:
+        cands = bucketed_agg(
+            cands, ["id_a", "id_b"], {"_n": (None, "count")}
+        ).select_columns(["id_a", "id_b"])
+    else:
+        cands = bucketed_agg(
+            cands.map_batches(
+                lambda b: pd.DataFrame(
+                    {"pk": (b["id_a"].to_numpy().astype(np.int64) << 32) | b["id_b"].to_numpy()}
+                ),
+                batch_format="pandas",
+            ),
+            "pk",
+            {"_n": (None, "count")},
+        ).map_batches(
             lambda b: pd.DataFrame(
-                {"pk": (b["id_a"].to_numpy().astype(np.int64) << 32) | b["id_b"].to_numpy()}
+                {
+                    "id_a": b["pk"].to_numpy() >> 32,
+                    "id_b": b["pk"].to_numpy() & 0xFFFFFFFF,
+                }
             ),
             batch_format="pandas",
-        ),
-        "pk",
-        {"_n": (None, "count")},
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "id_a": b["pk"].to_numpy() >> 32,
-                "id_b": b["pk"].to_numpy() & 0xFFFFFFFF,
-            }
-        ),
-        batch_format="pandas",
-    )
+        )
+    # rename via an Arrow map (not Dataset.rename_columns): the zero-copy
+    # Project op requires Arrow blocks, and a from_pandas-sourced docs table
+    # carries pandas blocks
+    def _texts_as(a: str, b: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({a: t["doc_id"], b: t["text"]})
+
+        return f
+
     texts = docs.select_columns(["doc_id", "text"])
     with_a = cands.join(
-        texts.rename_columns({"doc_id": "id_a", "text": "text_a"}), "inner", npart, on=("id_a",)
+        texts.map_batches(_texts_as("id_a", "text_a"), batch_format="pyarrow"),
+        "inner", npart, on=("id_a",),
     )
     with_ab = with_a.join(
-        texts.rename_columns({"doc_id": "id_b", "text": "text_b"}), "inner", npart, on=("id_b",)
+        texts.map_batches(_texts_as("id_b", "text_b"), batch_format="pyarrow"),
+        "inner", npart, on=("id_b",),
     )
     return with_ab.map_batches(verify, batch_format="pandas")
 
@@ -444,6 +466,11 @@ def ngram_jaccard_pairs(
         did = g[did_t].to_numpy()
         if len(did) < 2:
             return empty
+        if did.max() >= 2**31:
+            # the global intersection counts ride a packed (id_a<<32|id_b)
+            # key; wider ids would silently collide — fail loudly (dense-rank
+            # ids first, e.g. stages/ids.assign_dense_ids)
+            raise ValueError("ngram_jaccard_pairs requires doc_id < 2^31 (packed pair keys)")
         order = np.lexsort((did, gh))
         gh, did = gh[order], did[order]
         gnew = np.empty(len(gh), dtype=bool)

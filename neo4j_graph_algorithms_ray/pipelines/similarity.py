@@ -81,7 +81,17 @@ def coarse_centroids(
       invariance); quantized-grid comparisons absorb the cross-engine ulp
       noise exactly like the scoring stages (module docstring).
     """
-    samp = _filter_below(emb, sample).to_pandas().sort_values("vec_id")
+    samp = _filter_below(emb, sample).to_pandas()
+    if len(samp) < int(n_centroids):
+        # arbitrary / offset vec_ids leave the [0, sample) window underfull:
+        # shift it to start at the corpus' min id.  Dense-id corpora (min = 0,
+        # the oracle-replayed case) never take this branch, so the SQL mirror
+        # stays term-for-term.
+        lo = emb.min("vec_id")
+        if lo is None:
+            raise ValueError("coarse_centroids: empty embedding table")
+        samp = _filter_below(emb, int(lo) + int(sample)).to_pandas()
+    samp = samp.sort_values("vec_id")
     E = _batch_matrix(samp)  # raw (S, d)
     En = _normalize(E)
     Eq = np.floor(E * 1e6 + 0.5)  # int-valued float64 micro-coords (exact)
@@ -203,11 +213,15 @@ def embedding_near_dup_pairs(
             {"id_a": ids[ii][keep], "id_b": ids[jj][keep], "cos_u": cos_u[ii, jj][keep]}
         )
 
-    pairs = grouped_map(rows, "bucket", bucket_pairs)
+    pairs = grouped_map(rows, "bucket", bucket_pairs).materialize()
     # dedup pairs found in multiple shared buckets (packed single-int key;
-    # pair cardinality scales with the corpus -> bucketed aggregate)
+    # pair cardinality scales with the corpus -> bucketed aggregate).
+    # Ids that don't fit 31 bits take the two-key aggregate — packing would
+    # silently collide (same contract as minhash_dedup_pairs)
     from ..stages.agg import bucketed_agg
 
+    if bool(pairs.count()) and max(pairs.max("id_a"), pairs.max("id_b")) >= 2**31:
+        return bucketed_agg(pairs, ["id_a", "id_b"], {"cos_u": ("cos_u", "min")})
     return bucketed_agg(
         pairs.map_batches(
             lambda b: pd.DataFrame(

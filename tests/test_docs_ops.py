@@ -303,6 +303,30 @@ def test_embedding_near_dups_blocker():
         assert np.floor(float(M[a] @ M[b]) * 1e6 + 0.5) >= np.floor(0.95 * 1e6 + 0.5)
 
 
+def test_embedding_near_dups_big_ids():
+    """vec_ids above 2^31 take the two-key pair dedup (packing would collide)."""
+    import numpy as np
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    base = rng.normal(size=(80, 16)).astype(np.float32)
+    base[50] = base[20] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    OFF = 3_000_000_000  # > 2^31
+    ds = rd.from_pandas(
+        __import__("pandas").DataFrame(
+            {"vec_id": np.arange(80, dtype=np.int64) + OFF, "embedding": list(base)}
+        )
+    )
+    pairs = embedding_near_dup_pairs(ds, threshold=0.95, n_centroids=8, nprobe=2).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (20 + OFF, 50 + OFF) in found
+    assert all(a < b for a, b in found)
+    # one row per pair even when surfaced by multiple probed buckets
+    assert len(found) == len(pairs)
+
+
 def test_real_decode_is_gated_on_pillow():
     """real=True loads Pillow once per actor; without it, pool construction
     fails loudly with NotImplementedError.  When Pillow IS present, a real
@@ -360,3 +384,35 @@ def test_dedup_clusters_sparse_ids_both_paths(tmp_path, monkeypatch):
     )
     for c in ("doc_id", "cluster", "keep"):
         assert (dist[c].to_numpy() == fast[c].to_numpy()).all(), c
+
+
+def test_pair_dedup_big_ids(monkeypatch, tmp_path):
+    """Pair dedup above 2^31 ids: minhash takes the two-key aggregate on the
+    join path (packing would collide), ngram fails loudly."""
+    import pytest
+
+    df = _megacluster_docs(n_copies=10)
+    OFF = 3_000_000_000  # > 2^31
+    sp = df.copy()
+    sp["doc_id"] = sp["doc_id"].to_numpy() + OFF
+
+    base = (
+        D.minhash_dedup_pairs(rd.from_pandas(df), threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # force the distributed-join verify path so the pair dedup stage runs
+    monkeypatch.setattr(D, "BROADCAST_MAX_PAIRS", 0)
+    big = (
+        D.minhash_dedup_pairs(rd.from_pandas(sp), threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert (big["id_a"].to_numpy() == base["id_a"].to_numpy() + OFF).all()
+    assert (big["id_b"].to_numpy() == base["id_b"].to_numpy() + OFF).all()
+    assert (big["jac_u"].to_numpy() == base["jac_u"].to_numpy()).all()
+
+    with pytest.raises(Exception, match="2\\^31"):
+        D.ngram_jaccard_pairs(rd.from_pandas(sp), threshold=0.3).materialize()

@@ -56,6 +56,42 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def exact_rep_map(docs: rd.Dataset) -> rd.Dataset:
+    """{doc_id, rep}: every doc mapped to the min-doc_id representative of its
+    identical-text group (rep == doc_id for unique texts).
+
+    One vectorized sha256 pass, then ONE coarse-bucketed fold: hash rows are
+    bucketed by a digest prefix so whole digest groups land in one bucket and
+    the per-bucket min is exact; only (doc_id, rep) int pairs leave the fold.
+    Shared by ``dedup_clusters`` and ``ngram_jaccard_pairs`` — collapsing
+    exact duplicates before any pair-generating index is the armor that keeps
+    duplication-heavy corpora (the 100-TB norm) out of quadratic work.
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = np.array(T.hash_strings_hex(t["text"], "sha256"), dtype=object)
+        bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % 64
+        return pa.table({"h": pa.array(h), "doc_id": t["doc_id"], "bucket": pa.array(bucket)})
+
+    def fold_reps(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "h" not in g.columns:
+            return pa.table({"doc_id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
+        rep = g.groupby("h")["doc_id"].transform("min")
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "rep": pa.array(rep.to_numpy(), pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        docs.select_columns(["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow"),
+        "bucket",
+        fold_reps,
+        num_partitions=_shuffle_fan(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup
 # ---------------------------------------------------------------------------
@@ -399,35 +435,83 @@ def ngram_jaccard_pairs(
     (``jac_u = floor(jaccard * 1e6 + 0.5)``, pairs with jaccard >= threshold).
 
     The sketch-free sibling of MinHash-LSH: an **inverted index** on distinct
-    gram hashes.  Scale shape — per-doc gram rows from ``map_batches`` (one
-    vectorized md5 pass per batch), a bucketed groupby on the gram hash that
-    emits per-bucket *partial* pair counts (pre-aggregation: each bucket
-    reduces its pairs with ``np.unique`` before the shuffle), a single-int-key
-    ``groupby(pk).sum`` for the global intersection counts, then broadcast
-    lookups of the per-doc gram-set sizes.  Grams appearing in more than
-    ``max_doc_freq`` docs are dropped on BOTH engine and oracle sides (stop-
-    gram pruning — standard common-gram practice and the skew armor that
-    bounds any gram's pair fan-out at ``max_doc_freq**2/2``).
+    gram hashes.  Exact duplicates are collapsed FIRST (``exact_rep_map``):
+    the index runs over one representative per distinct text, so a corpus
+    where every doc has ``c`` identical copies costs the index 1/c**2 of the
+    naive pair work (measured: 10x-tiled sf0.1 with 10 copies/doc went
+    94s -> seconds; the naive index is quadratic in the copy count).  The
+    output contract is unchanged — jaccard depends only on the text, so
+    rep-level results expand exactly to doc pairs:
 
-    Jaccard needs no verify pass here (unlike LSH candidates) because the
-    intersection counts are exact: |A∩B| from the index, |A∪B| from
-    ``sz_a + sz_b - inter``.
+    - a cross-group rep pair (ra, rb) expands to every (a in group(ra),
+      b in group(rb)) combination with the same jac_u,
+    - a group of m >= 2 identical docs expands to its m*(m-1)/2 intra pairs
+      with jac = kept/(2*sz - kept) where ``kept`` is the doc's gram count
+      surviving the stop-gram prune (the same conservative jaccard the
+      uncollapsed index computes for identical texts; 1e6 exactly when
+      nothing is pruned).
+
+    Stop-gram pruning stays DOC-frequency based: a gram's df is the *weighted*
+    group count ``sum(m)`` over the reps containing it, so which grams are
+    dropped is identical to the uncollapsed index (and to the DuckDB oracle,
+    which replays the definition over all docs).  Per-bucket kernels emit
+    pre-aggregated partials; pruned-gram counts ride the same packed-key
+    aggregate as the pair counts (negative keys — rep ids are nonnegative).
+
+    Scale shape: the only wide ops are the rep fold, the gram-hash bucket
+    groupby, the single-int-key ``groupby(pk).sum`` and (only above the
+    broadcast cap) hash-join expansion.  Doc ids must fit 31 bits for the
+    packed pair keys — wider ids fail loudly (dense-rank first, e.g.
+    stages/ids.assign_dense_ids); ONLY rep ids are packed, members may be
+    any int64.  Intra-group output is inherently quadratic in the group size
+    (the contract enumerates all pairs) — use ``dedup_clusters`` when cluster
+    membership, not the pair list, is the goal.
     """
     from ..stages.joins import lookup_join
 
     did_t = "doc_id"
+    mdf = int(max_doc_freq)
+    thr = float(threshold)
+    fan = _shuffle_fan()
+
+    _empty_pairs = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jac_u": pa.array([], pa.int64()),
+        }
+    )
+
+    # ---- exact-dup collapse: {doc_id, rep}, group sizes, rep texts --------
+    dmap = exact_rep_map(docs).materialize()
+    msz = bucketed_agg(
+        dmap.map_batches(lambda t: pa.table({did_t: t["rep"]}), batch_format="pyarrow"),
+        did_t,
+        {"m": (None, "count")},
+    ).materialize()
+    rep_docs = (
+        lookup_join(
+            docs.select_columns([did_t, "text"]), dmap, did_t, "rep",
+            default="key", num_partitions=fan,
+        )
+        .filter(expr=f"{did_t} == rep")
+        .drop_columns(["rep"])
+    )
+    rep_docs = lookup_join(rep_docs, msz, did_t, "m", default=1, num_partitions=fan)
 
     def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
         H, c = T.batch_shingle_hashes(list(b["text"]), k)
         rows = pd.DataFrame(
-            {did_t: np.repeat(b[did_t].to_numpy(), c), "gh": H.view(np.int64)}
+            {
+                did_t: np.repeat(b[did_t].to_numpy(), c),
+                "m": np.repeat(b["m"].to_numpy(), c),
+                "gh": H.view(np.int64),
+            }
         )
         # distinct per doc (each doc's grams live in exactly one input batch)
-        return rows.drop_duplicates()
+        return rows.drop_duplicates([did_t, "gh"])
 
-    grams = docs.select_columns([did_t, "text"]).map_batches(
-        gram_rows, batch_format="pandas", batch_size=512
-    )
+    grams = rep_docs.map_batches(gram_rows, batch_format="pandas", batch_size=512)
 
     def size_rows(b: pd.DataFrame) -> pd.DataFrame:
         H, c = T.batch_shingle_hashes(list(b["text"]), k)
@@ -443,14 +527,11 @@ def ngram_jaccard_pairs(
         sz = np.bincount(r[first], minlength=len(c)).astype(np.int64)
         return pd.DataFrame({did_t: b[did_t], "sz": sz})
 
-    # per-doc distinct-gram counts: second streaming pass over the docs (no
-    # shuffle) rather than a groupby over the big gram table
-    sizes = docs.select_columns([did_t, "text"]).map_batches(
-        size_rows, batch_format="pandas", batch_size=512
-    )
+    # per-rep distinct-gram counts: second streaming pass over the rep docs
+    # (no shuffle) rather than a groupby over the big gram table
+    sizes = rep_docs.map_batches(size_rows, batch_format="pandas", batch_size=512)
 
     n_buckets = 64
-    mdf = int(max_doc_freq)
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -458,64 +539,88 @@ def ngram_jaccard_pairs(
         return b
 
     def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
-        """Partial {pk, inter} for this bucket's gram groups (vectorized)."""
+        """Partial {pk, inter} for this bucket's gram groups (vectorized).
+
+        pk >= 0: packed (rep_a << 32 | rep_b) co-occurrence partial.
+        pk < 0: encoded ``-rep - 1`` pruned-gram partial (one per rep per
+        gram whose weighted df exceeds ``max_doc_freq``) — feeds the per-rep
+        ``kept = sz - npruned`` count the intra-group jaccard needs.
+        """
         empty = pd.DataFrame(
             {"pk": pd.Series(dtype=np.int64), "inter": pd.Series(dtype=np.int64)}
         )
+        if len(g) == 0 or "gh" not in g.columns:
+            return empty
         gh = g["gh"].to_numpy()
         did = g[did_t].to_numpy()
-        if len(did) < 2:
-            return empty
+        wm = g["m"].to_numpy()
         if did.max() >= 2**31:
             # the global intersection counts ride a packed (id_a<<32|id_b)
             # key; wider ids would silently collide — fail loudly (dense-rank
             # ids first, e.g. stages/ids.assign_dense_ids)
             raise ValueError("ngram_jaccard_pairs requires doc_id < 2^31 (packed pair keys)")
         order = np.lexsort((did, gh))
-        gh, did = gh[order], did[order]
+        gh, did, wm = gh[order], did[order], wm[order]
         gnew = np.empty(len(gh), dtype=bool)
         gnew[0] = True
         gnew[1:] = gh[1:] != gh[:-1]
-        counts = np.diff(np.append(np.flatnonzero(gnew), len(gh)))
-        starts = np.cumsum(counts) - counts
-        pks = []
+        starts = np.flatnonzero(gnew)
+        counts = np.diff(np.append(starts, len(gh)))
+        W = np.add.reduceat(wm, starts)  # weighted doc frequency per gram
+        pruned = W > mdf
+        keys = []
+        prows = np.repeat(pruned, counts)
+        if prows.any():
+            keys.append(-did[prows] - 1)
         for s in np.unique(counts):
-            if s < 2 or s > mdf:  # singleton grams pair nothing; stop-grams pruned
+            if s < 2:  # singleton gram groups pair nothing
                 continue
-            gs = starts[counts == s]
+            gs = starts[(counts == s) & ~pruned]
+            if not len(gs):
+                continue
             m = did[gs[:, None] + np.arange(s)[None, :]]  # rows ascending by doc_id
             ii, jj = np.triu_indices(s, k=1)
-            pks.append((m[:, ii].ravel() << 32) | m[:, jj].ravel())
-        if not pks:
+            keys.append((m[:, ii].ravel() << 32) | m[:, jj].ravel())
+        if not keys:
             return empty
-        pk, inter = np.unique(np.concatenate(pks), return_counts=True)
+        pk, inter = np.unique(np.concatenate(keys), return_counts=True)
         return pd.DataFrame({"pk": pk, "inter": inter.astype(np.int64)})
 
-    inter = bucketed_agg(
+    agg = bucketed_agg(
         grouped_map(
             grams.map_batches(tag, batch_format="pandas"),
             "bucket",
             bucket_pair_counts,
-            num_partitions=_shuffle_fan(),
+            num_partitions=fan,
             # default 100k cap: the pair-count kernel is the pipeline's heavy
             # stage — above ~100k gram rows the parallel shuffle beats one
             # coalesced task (measured 2.2s vs 4.0s at sf0.1)
         ),
         "pk",
         {"inter": ("inter", "sum")},
+    ).materialize()
+
+    npruned = agg.filter(expr="pk < 0").map_batches(
+        lambda b: pa.table(
+            {
+                did_t: pa.array((-b["pk"].to_numpy() - 1).astype(np.int64)),
+                "npruned": pa.array(b["inter"].to_numpy().astype(np.int64)),
+            }
+        ),
+        batch_format="pandas",
     )
 
-    def unpack(b: pd.DataFrame) -> pd.DataFrame:
+    def unpack(b: pd.DataFrame) -> pa.Table:
         pk = b["pk"].to_numpy()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": pk >> 32,
-                "id_b": pk & 0xFFFFFFFF,
-                "inter": b["inter"].to_numpy(),
+                "id_a": pa.array((pk >> 32).astype(np.int64)),
+                "id_b": pa.array((pk & 0xFFFFFFFF).astype(np.int64)),
+                "inter": pa.array(b["inter"].to_numpy().astype(np.int64)),
             }
         )
 
-    pairs = inter.map_batches(unpack, batch_format="pandas")
+    pairs = agg.filter(expr="pk >= 0").map_batches(unpack, batch_format="pandas")
     sizes = sizes.materialize()
     pairs = lookup_join(
         pairs,
@@ -525,7 +630,7 @@ def ngram_jaccard_pairs(
         "id_a",
         "sz_a",
         default=0,
-        num_partitions=_shuffle_fan(),
+        num_partitions=fan,
     )
     pairs = lookup_join(
         pairs,
@@ -535,25 +640,293 @@ def ngram_jaccard_pairs(
         "id_b",
         "sz_b",
         default=0,
-        num_partitions=_shuffle_fan(),
+        num_partitions=fan,
     )
 
-    thr = float(threshold)
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
+    def finish(b: pd.DataFrame) -> pa.Table:
         inter_ = b["inter"].to_numpy(dtype=np.int64)
         union = b["sz_a"].to_numpy(dtype=np.int64) + b["sz_b"].to_numpy(dtype=np.int64) - inter_
         jac = inter_ / np.maximum(union, 1)
         keep = jac >= thr
-        return pd.DataFrame(
+        # typed Arrow out: empty blocks keep the schema (pandas empties have
+        # none, which breaks the distributed expansion joins downstream)
+        return pa.table(
             {
-                "id_a": b["id_a"].to_numpy()[keep],
-                "id_b": b["id_b"].to_numpy()[keep],
-                "jac_u": np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64),
+                "id_a": pa.array(b["id_a"].to_numpy()[keep].astype(np.int64)),
+                "id_b": pa.array(b["id_b"].to_numpy()[keep].astype(np.int64)),
+                "jac_u": pa.array(np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64)),
             }
         )
 
-    return pairs.map_batches(finish, batch_format="pandas")
+    rep_pairs = pairs.map_batches(finish, batch_format="pandas")
+
+    # ---- intra-group pairs: {rep, jac_u} for groups of m >= 2 -------------
+    # jac = kept/(2*sz - kept): identical texts share every gram, so their
+    # intersection over KEPT grams is the per-doc kept count while the union
+    # uses the unpruned sizes — exactly what the uncollapsed index computes.
+    intra = lookup_join(
+        lookup_join(
+            msz.filter(expr="m >= 2"), sizes, did_t, "sz", default=0, num_partitions=fan
+        ),
+        npruned,
+        did_t,
+        "npruned",
+        default=0,
+        num_partitions=fan,
+    )
+
+    def intra_jac(b: pd.DataFrame) -> pd.DataFrame:
+        sz = b["sz"].to_numpy(dtype=np.int64)
+        kept = sz - b["npruned"].to_numpy(dtype=np.int64)
+        jac = kept / np.maximum(2 * sz - kept, 1)
+        ok = (kept >= 1) & (jac >= thr)
+        return pa.table(
+            {
+                "rep": pa.array(b[did_t].to_numpy()[ok].astype(np.int64)),
+                "jac_u": pa.array(np.floor(jac[ok] * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    intra = intra.map_batches(intra_jac, batch_format="pandas")
+
+    # ---- expand rep-level results to doc pairs ----------------------------
+    return _expand_rep_pairs(rep_pairs, intra, dmap, empty=_empty_pairs, fan=fan)
+
+
+def _expand_rep_pairs(
+    rep_pairs: rd.Dataset,
+    intra: rd.Dataset,
+    dmap: rd.Dataset,
+    *,
+    empty: pa.Table,
+    fan: int,
+    cap: int | None = None,
+) -> rd.Dataset:
+    """Expand rep-level near-dup results to doc pairs ``{id_a, id_b, jac_u}``.
+
+    - ``rep_pairs`` (cross-group): each (ra, rb, jac_u) row becomes every
+      (member(ra), member(rb)) combination, reordered so id_a < id_b.
+    - ``intra`` (within-group): each (rep, jac_u) row becomes the group's
+      m*(m-1)/2 ascending pairs.
+
+    Under ``cap`` rows the member table is broadcast once (sorted arrays +
+    searchsorted offsets — every expansion is vectorized); above it the
+    cross side runs two distributed hash joins and the intra side a
+    ``grouped_map`` on the rep key, so nothing ever lands on the driver.
+    Each output pair is produced exactly once (groups partition the docs),
+    so no dedup pass follows.
+    """
+    import ray
+
+    from ..stages.joins import BROADCAST_MAX_ROWS, lookup_join
+
+    cap = BROADCAST_MAX_ROWS if cap is None else int(cap)
+    n_docs = dmap.count()
+
+    if n_docs <= cap:
+        mt = dmap.to_pandas()
+        if len(mt) == 0:
+            return rd.from_arrow(empty)
+        mt = mt.sort_values(["rep", "doc_id"])
+        reps_u, offs0 = np.unique(mt["rep"].to_numpy(), return_index=True)
+        members = mt["doc_id"].to_numpy().astype(np.int64)
+        cnts = np.diff(np.append(offs0, len(members)))
+        ref = ray.put((reps_u, offs0.astype(np.int64), cnts.astype(np.int64), members))
+
+        def expand_cross(b: pd.DataFrame) -> pa.Table:
+            if len(b) == 0 or "id_a" not in b.columns:
+                return empty
+            reps_u_, offs_, cnts_, mem_ = ray.get(ref)
+            ia = np.searchsorted(reps_u_, b["id_a"].to_numpy())
+            ib = np.searchsorted(reps_u_, b["id_b"].to_numpy())
+            na, nb = cnts_[ia], cnts_[ib]
+            tot = na * nb
+            row = np.repeat(np.arange(len(b), dtype=np.int64), tot)
+            base = np.cumsum(tot) - tot
+            within = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(base, tot)
+            nb_r = nb[row]
+            a_id = mem_[offs_[ia][row] + within // nb_r]
+            b_id = mem_[offs_[ib][row] + within % nb_r]
+            return pa.table(
+                {
+                    "id_a": pa.array(np.minimum(a_id, b_id)),
+                    "id_b": pa.array(np.maximum(a_id, b_id)),
+                    "jac_u": pa.array(b["jac_u"].to_numpy()[row]),
+                }
+            )
+
+        def expand_intra(b: pd.DataFrame) -> pa.Table:
+            if len(b) == 0 or "rep" not in b.columns:
+                return empty
+            reps_u_, offs_, cnts_, mem_ = ray.get(ref)
+            out_a, out_b, out_j = [], [], []
+            for rep, ju in zip(b["rep"].to_numpy(), b["jac_u"].to_numpy()):
+                i = int(np.searchsorted(reps_u_, rep))
+                m = int(cnts_[i])
+                g = mem_[offs_[i] : offs_[i] + m]  # ascending doc_ids
+                ii, jj = np.triu_indices(m, k=1)
+                out_a.append(g[ii])
+                out_b.append(g[jj])
+                out_j.append(np.full(len(ii), ju, dtype=np.int64))
+            return pa.table(
+                {
+                    "id_a": pa.array(np.concatenate(out_a)),
+                    "id_b": pa.array(np.concatenate(out_b)),
+                    "jac_u": pa.array(np.concatenate(out_j)),
+                }
+            )
+
+        return rep_pairs.map_batches(expand_cross, batch_format="pandas").union(
+            intra.map_batches(expand_intra, batch_format="pandas")
+        )
+
+    # distributed path.  NOT Ray's ``Dataset.join``: its hash-shuffle
+    # aggregator crashes (ArrowInvalid: "No match ... on left side") whenever
+    # a partition receives zero left-side rows — empty partitions carry no
+    # schema — which sparse/skewed key sets hit routinely.  Instead both
+    # sides are tagged into one coarse key-bucket space and co-shuffled
+    # through a single ``grouped_map`` per hop (the asof_join shape): the
+    # per-bucket kernel does the vectorized pandas merge, and empty buckets
+    # return a TYPED empty table.
+    nb = 4 * fan
+
+    def _bkt(a: np.ndarray) -> pa.Array:
+        return pa.array((a.astype(np.uint64) % np.uint64(nb)).astype(np.int64))
+
+    s1_empty = pa.table(
+        {
+            "id_b": pa.array([], pa.int64()),
+            "jac_u": pa.array([], pa.int64()),
+            "da": pa.array([], pa.int64()),
+        }
+    )
+
+    def tag_rp(t: pa.Table) -> pa.Table:
+        k = t["id_a"].cast(pa.int64()).to_numpy()
+        n = len(k)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(k),
+                "id_b": t["id_b"].cast(pa.int64()),
+                "jac_u": t["jac_u"].cast(pa.int64()),
+                "mem": pa.nulls(n, pa.int64()),
+                "bucket": _bkt(k),
+            }
+        )
+
+    def tag_mem(t: pa.Table) -> pa.Table:
+        k = t["rep"].cast(pa.int64()).to_numpy()
+        n = len(k)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(k),
+                "id_b": pa.nulls(n, pa.int64()),
+                "jac_u": pa.nulls(n, pa.int64()),
+                "mem": t["doc_id"].cast(pa.int64()),
+                "bucket": _bkt(k),
+            }
+        )
+
+    def s1_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return s1_empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        L = g.filter(pa.array(side == 0))
+        R = g.filter(pa.array(side == 1))
+        if L.num_rows == 0 or R.num_rows == 0:
+            return s1_empty
+        # per-side slices are fully valid in their own columns -> native int64
+        lt = pd.DataFrame(
+            {"key": L["key"].to_numpy(), "id_b": L["id_b"].to_numpy(), "jac_u": L["jac_u"].to_numpy()}
+        )
+        rt = pd.DataFrame({"key": R["key"].to_numpy(), "da": R["mem"].to_numpy()})
+        m = lt.merge(rt, on="key")
+        return pa.table(
+            {
+                "id_b": pa.array(m["id_b"].to_numpy(), pa.int64()),
+                "jac_u": pa.array(m["jac_u"].to_numpy(), pa.int64()),
+                "da": pa.array(m["da"].to_numpy(), pa.int64()),
+            }
+        )
+
+    half = grouped_map(
+        rep_pairs.map_batches(tag_rp, batch_format="pyarrow").union(
+            dmap.map_batches(tag_mem, batch_format="pyarrow")
+        ),
+        "bucket",
+        s1_kernel,
+        num_partitions=fan,
+        batch_format="pyarrow",
+    )
+
+    def tag_half(t: pa.Table) -> pa.Table:
+        k = t["id_b"].cast(pa.int64()).to_numpy()
+        n = len(k)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(k),
+                "id_b": t["da"].cast(pa.int64()),  # carry da in the payload slot
+                "jac_u": t["jac_u"].cast(pa.int64()),
+                "mem": pa.nulls(n, pa.int64()),
+                "bucket": _bkt(k),
+            }
+        )
+
+    def s2_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        L = g.filter(pa.array(side == 0))
+        R = g.filter(pa.array(side == 1))
+        if L.num_rows == 0 or R.num_rows == 0:
+            return empty
+        lt = pd.DataFrame(
+            {"key": L["key"].to_numpy(), "da": L["id_b"].to_numpy(), "jac_u": L["jac_u"].to_numpy()}
+        )
+        rt = pd.DataFrame({"key": R["key"].to_numpy(), "db": R["mem"].to_numpy()})
+        m = lt.merge(rt, on="key")
+        da, db = m["da"].to_numpy(), m["db"].to_numpy()
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(da, db).astype(np.int64)),
+                "id_b": pa.array(np.maximum(da, db).astype(np.int64)),
+                "jac_u": pa.array(m["jac_u"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cross = grouped_map(
+        half.map_batches(tag_half, batch_format="pyarrow").union(
+            dmap.map_batches(tag_mem, batch_format="pyarrow")
+        ),
+        "bucket",
+        s2_kernel,
+        num_partitions=fan,
+        batch_format="pyarrow",
+    )
+
+    flagged = lookup_join(
+        dmap, intra, "rep", "jac_u", default=-1, num_partitions=fan
+    ).filter(expr="jac_u >= 0")
+
+    def intra_group(g: pd.DataFrame) -> pa.Table:
+        if len(g) < 2 or "doc_id" not in g.columns:
+            return empty
+        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ii]),
+                "id_b": pa.array(ids[jj]),
+                "jac_u": pa.array(
+                    np.full(len(ii), int(g["jac_u"].iloc[0]), dtype=np.int64)
+                ),
+            }
+        )
+
+    return cross.union(grouped_map(flagged, "rep", intra_group, num_partitions=fan))
 
 
 # ---------------------------------------------------------------------------
@@ -1000,39 +1373,10 @@ def dedup_clusters(
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         P = max(2, min(32, ncpu // 4))
 
-    # doc -> exact-dup representative {doc_id, rep}: hash rows are coarse-
-    # bucketed by digest and each bucket broadcasts its per-digest min back
-    # to its rows — ONE groupby shuffle (an agg + a digest join costs two;
-    # measured 7.0s -> 2.5s at sf0.1).  Buckets hold whole digest groups, so
-    # the fold is exact; group sizes are exact-dup cluster sizes (bounded in
-    # practice, and only (doc_id, rep) pairs leave the fold).
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = np.array(T.hash_strings_hex(t["text"], "sha256"), dtype=object)
-        bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % 64
-        return pa.table(
-            {"h": pa.array(h), "doc_id": t["doc_id"], "bucket": pa.array(bucket)}
-        )
-
-    def fold_reps(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0 or "h" not in g.columns:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
-            )
-        rep = g.groupby("h")["doc_id"].transform("min")
-        return pa.table(
-            {
-                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-                "rep": pa.array(rep.to_numpy(), pa.int64()),
-            }
-        )
-
+    # doc -> exact-dup representative {doc_id, rep}: ONE groupby shuffle (an
+    # agg + a digest join costs two; measured 7.0s -> 2.5s at sf0.1).
     k = _shuffle_fan()
-    dmap = grouped_map(
-        docs.select_columns(["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow"),
-        "bucket",
-        fold_reps,
-        num_partitions=k,
-    ).materialize()
+    dmap = exact_rep_map(docs).materialize()
 
     star = dmap.map_batches(
         lambda t: pa.table(

@@ -386,6 +386,67 @@ def test_dedup_clusters_sparse_ids_both_paths(tmp_path, monkeypatch):
         assert (dist[c].to_numpy() == fast[c].to_numpy()).all(), c
 
 
+def _dup_heavy_docs(n_texts: int = 20, copies: int = 6) -> pd.DataFrame:
+    rng = np.random.Generator(np.random.Philox(key=[3, 0]))
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows, did = [], 0
+    for _ in range(n_texts):
+        t = " ".join(words[int(x)] for x in rng.integers(0, 10, 25))
+        for _ in range(copies):
+            rows.append((did, t))
+            did += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_ngram_jaccard_dup_heavy_vs_oracle(monkeypatch):
+    """Exact-dup rep collapse preserves the output exactly: a corpus where
+    every text has 6 identical copies matches the DuckDB oracle — including
+    intra-group pairs, weighted stop-gram pruning, and the distributed
+    (cap=0) expansion path."""
+    import duckdb
+
+    from neo4j_graph_algorithms_ray import oracles as O
+
+    df = _dup_heavy_docs()
+
+    def oracle(thr, mdf):
+        con = duckdb.connect()
+        con.register("documents", df)
+        return (
+            con.execute(O.ngram_jaccard_sql(threshold=thr, max_doc_freq=mdf))
+            .df()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    def engine(thr, mdf):
+        got = D.ngram_jaccard_pairs(
+            rd.from_pandas(df), threshold=thr, max_doc_freq=mdf
+        ).to_pandas()
+        return got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    for thr, mdf in [(0.3, 256), (0.1, 20)]:  # mdf=20 < 6*df: pruning bites
+        want = oracle(thr, mdf)
+        got = engine(thr, mdf)
+        assert len(got) == len(want), (thr, mdf)
+        for c in ("id_a", "id_b", "jac_u"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), (thr, mdf, c)
+
+    # distributed expansion (broadcast cap forced to 0): identical output
+    orig = D._expand_rep_pairs
+
+    def patched(rp, intra, dmap, **kw):
+        kw["cap"] = 0
+        return orig(rp, intra, dmap, **kw)
+
+    monkeypatch.setattr(D, "_expand_rep_pairs", patched)
+    want = oracle(0.3, 256)
+    got = engine(0.3, 256)
+    assert len(got) == len(want)
+    for c in ("id_a", "id_b", "jac_u"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
 def test_pair_dedup_big_ids(monkeypatch, tmp_path):
     """Pair dedup above 2^31 ids: minhash takes the two-key aggregate on the
     join path (packing would collide), ngram fails loudly."""

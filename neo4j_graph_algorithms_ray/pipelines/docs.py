@@ -402,23 +402,17 @@ def minhash_dedup_pairs(
             ),
             batch_format="pandas",
         )
-    # rename via an Arrow map (not Dataset.rename_columns): the zero-copy
-    # Project op requires Arrow blocks, and a from_pandas-sourced docs table
-    # carries pandas blocks
-    def _texts_as(a: str, b: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({a: t["doc_id"], b: t["text"]})
-
-        return f
+    # text attachment via the co-shuffle lookup, NOT Dataset.join: the byte-
+    # cap fallback can arrive here with FEW pairs (huge texts), and Ray's
+    # hash join crashes on any partition that receives zero left rows
+    from ..stages.joins import coshuffle_lookup
 
     texts = docs.select_columns(["doc_id", "text"])
-    with_a = cands.join(
-        texts.map_batches(_texts_as("id_a", "text_a"), batch_format="pyarrow"),
-        "inner", npart, on=("id_a",),
+    with_a = coshuffle_lookup(
+        cands, texts, "id_a", "doc_id", "text", "text_a", fan=npart, how="inner"
     )
-    with_ab = with_a.join(
-        texts.map_batches(_texts_as("id_b", "text_b"), batch_format="pyarrow"),
-        "inner", npart, on=("id_b",),
+    with_ab = coshuffle_lookup(
+        with_a, texts, "id_b", "doc_id", "text", "text_b", fan=npart, how="inner"
     )
     return with_ab.map_batches(verify, batch_format="pandas")
 

@@ -145,17 +145,11 @@ def lookup_join(
         )
     if small_df is not None:
         small = rd.from_pandas(small_df)
-    joined = big.join(small, "left_outer", num_partitions, on=(key,))
-
-    def _coalesce(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        f = t[key] if default == "key" else pa.array(np.full(t.num_rows, default, dtype=np.int64))
-        cols = {c: t[c] for c in t.column_names if c != value}
-        cols[value] = pc.coalesce(t[value], f).cast(pa.int64())
-        return pa.table(cols)
-
-    return joined.map_batches(_coalesce, batch_format="pyarrow")
+    # co-shuffle, not Dataset.join: Ray's hash join crashes on partitions
+    # that receive zero left rows (sparse/skewed key sets)
+    return coshuffle_lookup(
+        big, small, key, key, value, value, fan=num_partitions, how="left", default=default
+    )
 
 
 def small_group_agg(
@@ -215,3 +209,138 @@ def small_group_agg(
     # overflow path: key cardinality too high for a driver fold — and far too
     # high for the native per-key-Python Aggregate; bucketed shuffle instead
     return bucketed_agg(ds, key, {out: (vcol if op != "count" else None, op)})
+
+
+def _pa_type(t) -> pa.DataType:
+    """Normalize a Ray schema type (Arrow DataType or numpy dtype from
+    pandas-block schemas) to an Arrow DataType; object dtype means strings."""
+    if isinstance(t, pa.DataType):
+        return t
+    dt = np.dtype(t)
+    if dt == np.dtype(object):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
+def coshuffle_lookup(
+    big: rd.Dataset,
+    small: rd.Dataset,
+    key: str,
+    small_key: str,
+    value: str,
+    out: str,
+    *,
+    fan: int,
+    how: str = "inner",
+    default=None,
+) -> rd.Dataset:
+    """Attach ``small[value]`` to ``big`` rows by ``big[key] == small[small_key]``
+    via a side-tagged co-shuffle — the crash-proof alternative to
+    ``Dataset.join``.
+
+    Ray 2.49's hash join raises ``ArrowInvalid`` whenever a partition
+    receives zero left-side rows (empty partitions carry no schema), which
+    sparse or skewed key sets hit routinely.  Here both sides are tagged
+    into one coarse bucket space on the int64 key and flow through a single
+    ``grouped_map``; the per-bucket kernel does a vectorized pandas merge
+    carrying only right-side row POSITIONS (exact through the float64 upcast
+    pandas applies on misses), then gathers the payload by position in its
+    own dtype — so int64 and string payloads survive bit-exactly.  Empty
+    buckets return a TYPED empty table.
+
+    ``how='inner'`` drops misses; ``how='left'`` fills them with ``default``
+    (``'key'`` = the row's own key value, lookup_vids semantics).  One
+    shuffle total; small-input runs fold in one task via ``grouped_map``'s
+    short-circuit.
+    """
+    from .agg import grouped_map
+
+    bsch = big.schema()
+    big_cols = list(bsch.names)
+    big_types = [_pa_type(t) for t in bsch.types]
+    if key not in big_cols:
+        raise ValueError(f"coshuffle_lookup: key {key!r} not in big columns {big_cols}")
+    ssch = small.schema()
+    vtype = _pa_type(dict(zip(ssch.names, ssch.types))[value])
+    out_schema = pa.schema(list(zip(big_cols, big_types)) + [(out, vtype)])
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+    nb = 4 * int(fan)
+
+    def _bkt(k: np.ndarray) -> pa.Array:
+        return pa.array((k.astype(np.uint64) % np.uint64(nb)).astype(np.int64))
+
+    def tag_big(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"side": pa.array(np.zeros(n, dtype=np.int8))}
+        for c, ty in zip(big_cols, big_types):
+            cols[c] = t[c].cast(ty)
+        cols["__val"] = pa.nulls(n, vtype)
+        cols["bucket"] = _bkt(t[key].cast(pa.int64()).to_numpy())
+        return pa.table(cols)
+
+    def tag_small(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t[small_key].cast(pa.int64()).to_numpy()
+        cols = {"side": pa.array(np.ones(n, dtype=np.int8))}
+        for c, ty in zip(big_cols, big_types):
+            cols[c] = pa.array(k) if c == key else pa.nulls(n, ty)
+        cols["__val"] = t[value].cast(vtype)
+        cols["bucket"] = _bkt(k)
+        return pa.table(cols)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        L = g.filter(pa.array(side == 0))
+        if L.num_rows == 0:
+            return empty
+        R = g.filter(pa.array(side == 1))
+        # carry only right POSITIONS and left ROW indices through the merge:
+        # positions are < 2^53, so the float64 upcast pandas applies on
+        # left-misses is exact; payloads are gathered afterwards in their
+        # own dtype.  A key matching multiple small rows expands its big row
+        # (join semantics) — __lrow maps each output row to its source row.
+        lt = pd.DataFrame(
+            {
+                "__k": L[key].cast(pa.int64()).to_numpy(),
+                "__lrow": np.arange(L.num_rows, dtype=np.int64),
+            }
+        )
+        rt = pd.DataFrame(
+            {
+                "__k": R[key].cast(pa.int64()).to_numpy(),
+                "__pos": np.arange(R.num_rows, dtype=np.int64),
+            }
+        )
+        m = lt.merge(rt, on="__k", how="left")
+        pos = m["__pos"].to_numpy()
+        lrow = m["__lrow"].to_numpy()
+        miss = np.isnan(pos) if pos.dtype.kind == "f" else np.zeros(len(pos), dtype=bool)
+        if how == "inner":
+            keep = ~miss
+            pos, lrow = pos[keep], lrow[keep]
+            miss = np.zeros(len(pos), dtype=bool)
+        pidx = np.where(miss, 0, pos).astype(np.int64)
+        vals = R["__val"].to_numpy(zero_copy_only=False)
+        cols = {}
+        for c, ty in zip(big_cols, big_types):
+            cols[c] = L[c].take(pa.array(lrow))
+        if R.num_rows:
+            picked = vals[pidx]
+        else:
+            picked = np.empty(len(pidx), dtype=object)
+        if miss.any():
+            if default == "key":
+                fill = L[key].cast(pa.int64()).to_numpy()[lrow]
+                picked = np.where(miss, fill, picked)
+            else:
+                picked = np.asarray(picked, dtype=object)
+                picked[miss] = default
+        cols[out] = pa.array(picked, vtype)
+        return pa.table(cols)
+
+    both = big.map_batches(tag_big, batch_format="pyarrow").union(
+        small.map_batches(tag_small, batch_format="pyarrow")
+    )
+    return grouped_map(both, "bucket", kernel, num_partitions=int(fan), batch_format="pyarrow")

@@ -223,3 +223,69 @@ def test_grouped_map_small_path_parity_arrow(ray_session):
     fast, shuffle = run(100_000), run(None)
     pd.testing.assert_frame_equal(fast, shuffle)
     assert fast["mx"].dtype == np.int64  # 2^62 values must not ride float64
+
+
+def test_coshuffle_lookup_sparse_keys_and_types(ray_session):
+    """The co-shuffle join attaches payloads exactly where Dataset.join
+    crashes: 2 left rows fanned over 8 partitions (Ray's hash join raises
+    ArrowInvalid when a partition receives zero left rows).  int64 payloads
+    beyond 2^53 and string payloads survive in their own dtype."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.stages.joins import coshuffle_lookup
+
+    big = rd.from_arrow(
+        pa.table({"id": pa.array([5, 7, 99], pa.int64()), "w": pa.array([1.5, 2.5, 3.5])})
+    )
+    small = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([5, 7, 7], pa.int64()),
+                "txt": pa.array(["five", "seven-A", "seven-B"], pa.string()),
+            }
+        )
+    )
+    inner = (
+        coshuffle_lookup(big, small, "id", "k", "txt", "t", fan=8, how="inner")
+        .to_pandas()
+        .sort_values(["id", "t"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(inner["id"], inner["t"])) == [(5, "five"), (7, "seven-A"), (7, "seven-B")]
+    assert (inner[inner["id"] == 7]["w"] == 2.5).all()  # multi-match expands the big row
+
+    sm2 = rd.from_arrow(
+        pa.table({"k": pa.array([5], pa.int64()), "v": pa.array([2**62 + 7], pa.int64())})
+    )
+    left = (
+        coshuffle_lookup(big, sm2, "id", "k", "v", "v", fan=8, how="left", default=-1)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert left["v"].tolist() == [2**62 + 7, -1, -1]
+    assert left["v"].dtype == np.int64
+
+
+def test_lookup_join_fallback_matches_broadcast(ray_session):
+    """lookup_join above the cap (forced with cap=0) must agree with the
+    broadcast path — including default fills and sparse keys over a fan that
+    leaves hash partitions empty."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.stages.joins import lookup_join
+
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 42], pa.int64())}))
+    small = pd.DataFrame({"k": [2, 42], "val": [20, 420]})
+
+    def run(cap):
+        return (
+            lookup_join(big, small, "k", "val", default="key", num_partitions=8, cap=cap)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    bcast, shuf = run(10**9), run(0)
+    pd.testing.assert_frame_equal(bcast, shuf)
+    assert bcast["val"].tolist() == [1, 20, 3, 420]

@@ -16,6 +16,13 @@ long key).  Distributed, those become either
 shuffle join above it.  Both paths drop edges with unresolved endpoints
 (inner semantics — the reference only loads relationships between scanned
 nodes, ``RelationshipImporter``).
+
+CAUTION — ``Dataset.join`` (Ray 2.49) raises ``ArrowInvalid`` whenever a
+hash partition receives zero LEFT rows (empty partitions carry no schema;
+2 left rows at npart>=3 reproduces it).  It is therefore only safe when the
+left side's keys are dense and plentiful relative to the fan (vid spaces in
+[0, n) with n >> npart, >5M-row fallbacks).  For sparse or few-key attaches
+use ``coshuffle_lookup`` below — same semantics, immune by construction.
 """
 
 from __future__ import annotations

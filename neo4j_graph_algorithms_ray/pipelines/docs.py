@@ -56,15 +56,24 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
-def exact_rep_map(docs: rd.Dataset) -> rd.Dataset:
-    """{doc_id, rep}: every doc mapped to the min-doc_id representative of its
-    identical-text group (rep == doc_id for unique texts).
+def exact_rep_map(docs: rd.Dataset, *, compact: bool = False) -> rd.Dataset:
+    """Exact-duplicate group map: every doc's identical-text group is keyed by
+    its min-doc_id representative.
+
+    - ``compact=False`` (default): ``{doc_id, rep}`` — one row per doc
+      (``rep == doc_id`` for unique texts).  What ``dedup_clusters`` needs
+      for its star edges.
+    - ``compact=True``: ``{doc_id, rep, m}`` — singleton groups collapse to
+      ONE row (``doc_id == rep``, ``m = 1``); duplicated groups emit one row
+      per member with the group size.  Output is ``#distinct texts +
+      #duplicated docs`` rows, so the table (and any broadcast of it) scales
+      with the *duplication*, not the corpus.
 
     One vectorized sha256 pass, then ONE coarse-bucketed fold: hash rows are
     bucketed by a digest prefix so whole digest groups land in one bucket and
-    the per-bucket min is exact; only (doc_id, rep) int pairs leave the fold.
-    Shared by ``dedup_clusters`` and ``ngram_jaccard_pairs`` — collapsing
-    exact duplicates before any pair-generating index is the armor that keeps
+    the per-bucket min/size are exact; only int rows leave the fold.  Shared
+    by ``dedup_clusters`` and ``ngram_jaccard_pairs`` — collapsing exact
+    duplicates before any pair-generating index is the armor that keeps
     duplication-heavy corpora (the 100-TB norm) out of quadratic work.
     """
 
@@ -73,16 +82,43 @@ def exact_rep_map(docs: rd.Dataset) -> rd.Dataset:
         bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % 64
         return pa.table({"h": pa.array(h), "doc_id": t["doc_id"], "bucket": pa.array(bucket)})
 
-    def fold_reps(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0 or "h" not in g.columns:
-            return pa.table({"doc_id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
-        rep = g.groupby("h")["doc_id"].transform("min")
-        return pa.table(
-            {
-                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-                "rep": pa.array(rep.to_numpy(), pa.int64()),
-            }
-        )
+    if not compact:
+
+        def fold_reps(g: pd.DataFrame) -> pa.Table:
+            if len(g) == 0 or "h" not in g.columns:
+                return pa.table({"doc_id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
+            rep = g.groupby("h")["doc_id"].transform("min")
+            return pa.table(
+                {
+                    "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                    "rep": pa.array(rep.to_numpy(), pa.int64()),
+                }
+            )
+
+    else:
+
+        def fold_reps(g: pd.DataFrame) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rep": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                }
+            )
+            if len(g) == 0 or "h" not in g.columns:
+                return empty
+            gb = g.groupby("h")["doc_id"]
+            rep = gb.transform("min").to_numpy()
+            m = gb.transform("size").to_numpy().astype(np.int64)
+            did = g["doc_id"].to_numpy()
+            keep = (m > 1) | (did == rep)  # singletons: the rep row only
+            return pa.table(
+                {
+                    "doc_id": pa.array(did[keep], pa.int64()),
+                    "rep": pa.array(rep[keep], pa.int64()),
+                    "m": pa.array(m[keep]),
+                }
+            )
 
     return grouped_map(
         docs.select_columns(["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow"),
@@ -476,22 +512,16 @@ def ngram_jaccard_pairs(
         }
     )
 
-    # ---- exact-dup collapse: {doc_id, rep}, group sizes, rep texts --------
-    dmap = exact_rep_map(docs).materialize()
-    msz = bucketed_agg(
-        dmap.map_batches(lambda t: pa.table({did_t: t["rep"]}), batch_format="pyarrow"),
-        did_t,
-        {"m": (None, "count")},
-    ).materialize()
-    rep_docs = (
-        lookup_join(
-            docs.select_columns([did_t, "text"]), dmap, did_t, "rep",
-            default="key", num_partitions=fan,
-        )
-        .filter(expr=f"{did_t} == rep")
-        .drop_columns(["rep"])
-    )
-    rep_docs = lookup_join(rep_docs, msz, did_t, "m", default=1, num_partitions=fan)
+    # ---- exact-dup collapse (compact: one row per distinct text + member
+    # rows for duplicated groups only, so broadcasts scale with duplication)
+    dmap = exact_rep_map(docs, compact=True).materialize()
+    msz = dmap.filter(expr=f"{did_t} == rep").drop_columns(["rep"])  # {doc_id, m} per rep
+    dups = dmap.filter(expr="m >= 2")  # {doc_id, rep, m}: dup-group members
+    # rep texts with group size attached in ONE lookup: non-rep docs miss the
+    # msz table and fill 0, the filter drops them
+    rep_docs = lookup_join(
+        docs.select_columns([did_t, "text"]), msz, did_t, "m", default=0, num_partitions=fan
+    ).filter(expr="m >= 1")
 
     def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
         H, c = T.batch_shingle_hashes(list(b["text"]), k)
@@ -684,13 +714,13 @@ def ngram_jaccard_pairs(
     intra = intra.map_batches(intra_jac, batch_format="pandas")
 
     # ---- expand rep-level results to doc pairs ----------------------------
-    return _expand_rep_pairs(rep_pairs, intra, dmap, empty=_empty_pairs, fan=fan)
+    return _expand_rep_pairs(rep_pairs, intra, dups, empty=_empty_pairs, fan=fan)
 
 
 def _expand_rep_pairs(
     rep_pairs: rd.Dataset,
     intra: rd.Dataset,
-    dmap: rd.Dataset,
+    dups: rd.Dataset,
     *,
     empty: pa.Table,
     fan: int,
@@ -698,49 +728,77 @@ def _expand_rep_pairs(
 ) -> rd.Dataset:
     """Expand rep-level near-dup results to doc pairs ``{id_a, id_b, jac_u}``.
 
+    ``dups`` holds members of DUPLICATED groups only (``{doc_id, rep, m}``,
+    m >= 2) — a rep absent from it is a singleton and expands to itself, so
+    the member table (and its broadcast) scales with the corpus'
+    *duplication*, not its size.
+
     - ``rep_pairs`` (cross-group): each (ra, rb, jac_u) row becomes every
       (member(ra), member(rb)) combination, reordered so id_a < id_b.
     - ``intra`` (within-group): each (rep, jac_u) row becomes the group's
-      m*(m-1)/2 ascending pairs.
+      m*(m-1)/2 ascending pairs (reps here are always in ``dups``).
 
     Under ``cap`` rows the member table is broadcast once (sorted arrays +
     searchsorted offsets — every expansion is vectorized); above it the
-    cross side runs two distributed hash joins and the intra side a
-    ``grouped_map`` on the rep key, so nothing ever lands on the driver.
-    Each output pair is produced exactly once (groups partition the docs),
-    so no dedup pass follows.
+    cross side runs side-tagged co-shuffles (NOT ``Dataset.join``, which
+    crashes on empty left partitions) carrying right-row positions so int64
+    ids survive exactly, and the intra side a ``grouped_map`` on the rep
+    key.  Each output pair is produced exactly once (groups partition the
+    docs), so no dedup pass follows.
     """
     import ray
 
     from ..stages.joins import BROADCAST_MAX_ROWS, lookup_join
 
     cap = BROADCAST_MAX_ROWS if cap is None else int(cap)
-    n_docs = dmap.count()
+    n_dup_rows = dups.count()
 
-    if n_docs <= cap:
-        mt = dmap.to_pandas()
-        if len(mt) == 0:
-            return rd.from_arrow(empty)
-        mt = mt.sort_values(["rep", "doc_id"])
-        reps_u, offs0 = np.unique(mt["rep"].to_numpy(), return_index=True)
-        members = mt["doc_id"].to_numpy().astype(np.int64)
-        cnts = np.diff(np.append(offs0, len(members)))
+    if n_dup_rows <= cap:
+        mt = dups.to_pandas()
+        if len(mt) and "rep" in mt.columns:
+            mt = mt.sort_values(["rep", "doc_id"])
+            reps_u = np.unique(mt["rep"].to_numpy())
+            offs0 = np.searchsorted(mt["rep"].to_numpy(), reps_u)
+            members = mt["doc_id"].to_numpy().astype(np.int64)
+            cnts = np.diff(np.append(offs0, len(members)))
+        else:
+            reps_u = np.array([], dtype=np.int64)
+            offs0 = np.array([], dtype=np.int64)
+            members = np.array([], dtype=np.int64)
+            cnts = np.array([], dtype=np.int64)
         ref = ray.put((reps_u, offs0.astype(np.int64), cnts.astype(np.int64), members))
+
+        def _locate(reps_u_, cnts_, keys):
+            """(found, idx, n_members) per key; singletons: found=False, n=1."""
+            if len(reps_u_) == 0:
+                z = np.zeros(len(keys), dtype=np.int64)
+                return np.zeros(len(keys), dtype=bool), z, np.ones(len(keys), dtype=np.int64)
+            idx = np.minimum(np.searchsorted(reps_u_, keys), len(reps_u_) - 1)
+            found = reps_u_[idx] == keys
+            return found, idx, np.where(found, cnts_[idx], 1)
 
         def expand_cross(b: pd.DataFrame) -> pa.Table:
             if len(b) == 0 or "id_a" not in b.columns:
                 return empty
             reps_u_, offs_, cnts_, mem_ = ray.get(ref)
-            ia = np.searchsorted(reps_u_, b["id_a"].to_numpy())
-            ib = np.searchsorted(reps_u_, b["id_b"].to_numpy())
-            na, nb = cnts_[ia], cnts_[ib]
+            ra = b["id_a"].to_numpy()
+            rb = b["id_b"].to_numpy()
+            fa, ia, na = _locate(reps_u_, cnts_, ra)
+            fb, ib, nb = _locate(reps_u_, cnts_, rb)
             tot = na * nb
             row = np.repeat(np.arange(len(b), dtype=np.int64), tot)
             base = np.cumsum(tot) - tot
             within = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(base, tot)
             nb_r = nb[row]
-            a_id = mem_[offs_[ia][row] + within // nb_r]
-            b_id = mem_[offs_[ib][row] + within % nb_r]
+            ai = within // nb_r
+            bi = within % nb_r
+            if len(mem_):
+                ga = mem_[np.where(fa, offs_[ia], 0)[row] + ai * fa[row]]
+                gb = mem_[np.where(fb, offs_[ib], 0)[row] + bi * fb[row]]
+                a_id = np.where(fa[row], ga, ra[row])
+                b_id = np.where(fb[row], gb, rb[row])
+            else:
+                a_id, b_id = ra[row], rb[row]
             return pa.table(
                 {
                     "id_a": pa.array(np.minimum(a_id, b_id)),
@@ -753,9 +811,13 @@ def _expand_rep_pairs(
             if len(b) == 0 or "rep" not in b.columns:
                 return empty
             reps_u_, offs_, cnts_, mem_ = ray.get(ref)
-            out_a, out_b, out_j = [], [], []
+            out_a, out_b, out_j = [empty["id_a"].to_numpy()], [empty["id_b"].to_numpy()], [
+                empty["jac_u"].to_numpy()
+            ]
             for rep, ju in zip(b["rep"].to_numpy(), b["jac_u"].to_numpy()):
                 i = int(np.searchsorted(reps_u_, rep))
+                if i >= len(reps_u_) or reps_u_[i] != rep:
+                    continue  # singleton (shouldn't happen: intra is m >= 2)
                 m = int(cnts_[i])
                 g = mem_[offs_[i] : offs_[i] + m]  # ascending doc_ids
                 ii, jj = np.triu_indices(m, k=1)
@@ -775,13 +837,12 @@ def _expand_rep_pairs(
         )
 
     # distributed path.  NOT Ray's ``Dataset.join``: its hash-shuffle
-    # aggregator crashes (ArrowInvalid: "No match ... on left side") whenever
-    # a partition receives zero left-side rows — empty partitions carry no
-    # schema — which sparse/skewed key sets hit routinely.  Instead both
-    # sides are tagged into one coarse key-bucket space and co-shuffled
-    # through a single ``grouped_map`` per hop (the asof_join shape): the
-    # per-bucket kernel does the vectorized pandas merge, and empty buckets
-    # return a TYPED empty table.
+    # aggregator crashes (ArrowInvalid) whenever a partition receives zero
+    # left-side rows.  Both sides are tagged into one coarse key-bucket space
+    # and co-shuffled through a single ``grouped_map`` per hop (the asof_join
+    # shape): the per-bucket kernel does a vectorized pandas LEFT merge
+    # carrying right-row positions (exact through the float64 upcast on
+    # misses) — a rep with no member rows is a singleton and maps to itself.
     nb = 4 * fan
 
     def _bkt(a: np.ndarray) -> pa.Array:
@@ -823,34 +884,48 @@ def _expand_rep_pairs(
             }
         )
 
-    def s1_kernel(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or "side" not in g.column_names:
-            return s1_empty
-        side = g["side"].to_numpy(zero_copy_only=False)
-        L = g.filter(pa.array(side == 0))
-        R = g.filter(pa.array(side == 1))
-        if L.num_rows == 0 or R.num_rows == 0:
-            return s1_empty
-        # per-side slices are fully valid in their own columns -> native int64
-        lt = pd.DataFrame(
-            {"key": L["key"].to_numpy(), "id_b": L["id_b"].to_numpy(), "jac_u": L["jac_u"].to_numpy()}
-        )
-        rt = pd.DataFrame({"key": R["key"].to_numpy(), "da": R["mem"].to_numpy()})
-        m = lt.merge(rt, on="key")
+    def _hop_kernel(payload_cols, out_empty, emit):
+        """LEFT-merge kernel: left rows expand per member, misses map to the
+        key itself (singleton identity)."""
+
+        def kernel(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or "side" not in g.column_names:
+                return out_empty
+            side = g["side"].to_numpy(zero_copy_only=False)
+            L = g.filter(pa.array(side == 0))
+            if L.num_rows == 0:
+                return out_empty
+            R = g.filter(pa.array(side == 1))
+            lt = pd.DataFrame({"key": L["key"].to_numpy(), "__lrow": np.arange(L.num_rows, dtype=np.int64)})
+            rt = pd.DataFrame({"key": R["key"].to_numpy(), "__pos": np.arange(R.num_rows, dtype=np.int64)})
+            m = lt.merge(rt, on="key", how="left")
+            pos = m["__pos"].to_numpy()
+            lrow = m["__lrow"].to_numpy()
+            miss = np.isnan(pos) if pos.dtype.kind == "f" else np.zeros(len(pos), dtype=bool)
+            pidx = np.where(miss, 0, pos).astype(np.int64)
+            mem_vals = R["mem"].to_numpy(zero_copy_only=False)
+            key_vals = m["key"].to_numpy()
+            member = np.where(miss, key_vals, mem_vals[pidx] if R.num_rows else 0).astype(np.int64)
+            cols = {c: L[c].take(pa.array(lrow)).to_numpy(zero_copy_only=False) for c in payload_cols}
+            return emit(cols, member)
+
+        return kernel
+
+    def s1_emit(cols, member):
         return pa.table(
             {
-                "id_b": pa.array(m["id_b"].to_numpy(), pa.int64()),
-                "jac_u": pa.array(m["jac_u"].to_numpy(), pa.int64()),
-                "da": pa.array(m["da"].to_numpy(), pa.int64()),
+                "id_b": pa.array(cols["id_b"], pa.int64()),
+                "jac_u": pa.array(cols["jac_u"], pa.int64()),
+                "da": pa.array(member),
             }
         )
 
     half = grouped_map(
         rep_pairs.map_batches(tag_rp, batch_format="pyarrow").union(
-            dmap.map_batches(tag_mem, batch_format="pyarrow")
+            dups.map_batches(tag_mem, batch_format="pyarrow")
         ),
         "bucket",
-        s1_kernel,
+        _hop_kernel(["id_b", "jac_u"], s1_empty, s1_emit),
         num_partitions=fan,
         batch_format="pyarrow",
     )
@@ -869,40 +944,28 @@ def _expand_rep_pairs(
             }
         )
 
-    def s2_kernel(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or "side" not in g.column_names:
-            return empty
-        side = g["side"].to_numpy(zero_copy_only=False)
-        L = g.filter(pa.array(side == 0))
-        R = g.filter(pa.array(side == 1))
-        if L.num_rows == 0 or R.num_rows == 0:
-            return empty
-        lt = pd.DataFrame(
-            {"key": L["key"].to_numpy(), "da": L["id_b"].to_numpy(), "jac_u": L["jac_u"].to_numpy()}
-        )
-        rt = pd.DataFrame({"key": R["key"].to_numpy(), "db": R["mem"].to_numpy()})
-        m = lt.merge(rt, on="key")
-        da, db = m["da"].to_numpy(), m["db"].to_numpy()
+    def s2_emit(cols, member):
+        da = cols["id_b"]  # stage-1 member rode the id_b payload slot
         return pa.table(
             {
-                "id_a": pa.array(np.minimum(da, db).astype(np.int64)),
-                "id_b": pa.array(np.maximum(da, db).astype(np.int64)),
-                "jac_u": pa.array(m["jac_u"].to_numpy(), pa.int64()),
+                "id_a": pa.array(np.minimum(da, member).astype(np.int64)),
+                "id_b": pa.array(np.maximum(da, member).astype(np.int64)),
+                "jac_u": pa.array(cols["jac_u"], pa.int64()),
             }
         )
 
     cross = grouped_map(
         half.map_batches(tag_half, batch_format="pyarrow").union(
-            dmap.map_batches(tag_mem, batch_format="pyarrow")
+            dups.map_batches(tag_mem, batch_format="pyarrow")
         ),
         "bucket",
-        s2_kernel,
+        _hop_kernel(["id_b", "jac_u"], empty, s2_emit),
         num_partitions=fan,
         batch_format="pyarrow",
     )
 
     flagged = lookup_join(
-        dmap, intra, "rep", "jac_u", default=-1, num_partitions=fan
+        dups, intra, "rep", "jac_u", default=-1, num_partitions=fan
     ).filter(expr="jac_u >= 0")
 
     def intra_group(g: pd.DataFrame) -> pa.Table:

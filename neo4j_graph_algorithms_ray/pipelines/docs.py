@@ -56,76 +56,138 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
-def exact_rep_map(docs: rd.Dataset, *, compact: bool = False) -> rd.Dataset:
-    """Exact-duplicate group map: every doc's identical-text group is keyed by
-    its min-doc_id representative.
+def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = None) -> rd.Dataset:
+    """Exact-duplicate group map ``{doc_id, rep, m}`` — DUPLICATED groups only
+    (``m >= 2``, one row per member, ``rep`` = the group's min doc_id).  A doc
+    absent from the table is a singleton.  The output — and any broadcast or
+    materialization of it — scales with the corpus' *duplication*, not its
+    size: a mostly-unique 100-TB corpus folds to almost nothing.
 
-    - ``compact=False`` (default): ``{doc_id, rep}`` — one row per doc
-      (``rep == doc_id`` for unique texts).  What ``dedup_clusters`` needs
-      for its star edges.
-    - ``compact=True``: ``{doc_id, rep, m}`` — singleton groups collapse to
-      ONE row (``doc_id == rep``, ``m = 1``); duplicated groups emit one row
-      per member with the group size.  Output is ``#distinct texts +
-      #duplicated docs`` rows, so the table (and any broadcast of it) scales
-      with the *duplication*, not the corpus.
+    Two passes, neither shuffles per-doc rows:
 
-    One vectorized sha256 pass, then ONE coarse-bucketed fold: hash rows are
-    bucketed by a digest prefix so whole digest groups land in one bucket and
-    the per-bucket min/size are exact; only int rows leave the fold.  Shared
-    by ``dedup_clusters`` and ``ngram_jaccard_pairs`` — collapsing exact
-    duplicates before any pair-generating index is the armor that keeps
-    duplication-heavy corpora (the 100-TB norm) out of quadratic work.
+    1. ``exact_dedup`` — the map-side-combined digest aggregate (only
+       per-block digest partials reach the shuffle) — filtered to groups
+       with ``n >= 2``,
+    2. membership: a second streaming sha256 pass over the docs that keeps
+       rows whose digest is in the (usually tiny) duplicated set — broadcast
+       + sorted-array searchsorted under ``cap`` digests, a digest-bucketed
+       co-shuffle merge above it (exact full-string compare either way).
+
+    Shared by ``dedup_clusters`` and ``ngram_jaccard_pairs`` — collapsing
+    exact duplicates before any pair-generating index is the armor that
+    keeps duplication-heavy corpora (the 100-TB norm) out of quadratic work.
     """
+    import ray
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = np.array(T.hash_strings_hex(t["text"], "sha256"), dtype=object)
-        bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % 64
-        return pa.table({"h": pa.array(h), "doc_id": t["doc_id"], "bucket": pa.array(bucket)})
+    from ..stages.joins import BROADCAST_MAX_ROWS
 
     if not compact:
+        raise ValueError("exact_rep_map: only the compact (dup-only) form is supported")
+    cap = BROADCAST_MAX_ROWS if cap is None else int(cap)
 
-        def fold_reps(g: pd.DataFrame) -> pa.Table:
-            if len(g) == 0 or "h" not in g.columns:
-                return pa.table({"doc_id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
-            rep = g.groupby("h")["doc_id"].transform("min")
-            return pa.table(
-                {
-                    "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-                    "rep": pa.array(rep.to_numpy(), pa.int64()),
-                }
-            )
-
-    else:
-
-        def fold_reps(g: pd.DataFrame) -> pa.Table:
-            empty = pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "rep": pa.array([], pa.int64()),
-                    "m": pa.array([], pa.int64()),
-                }
-            )
-            if len(g) == 0 or "h" not in g.columns:
-                return empty
-            gb = g.groupby("h")["doc_id"]
-            rep = gb.transform("min").to_numpy()
-            m = gb.transform("size").to_numpy().astype(np.int64)
-            did = g["doc_id"].to_numpy()
-            keep = (m > 1) | (did == rep)  # singletons: the rep row only
-            return pa.table(
-                {
-                    "doc_id": pa.array(did[keep], pa.int64()),
-                    "rep": pa.array(rep[keep], pa.int64()),
-                    "m": pa.array(m[keep]),
-                }
-            )
-
-    return grouped_map(
-        docs.select_columns(["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow"),
-        "bucket",
-        fold_reps,
-        num_partitions=_shuffle_fan(),
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "rep": pa.array([], pa.int64()),
+            "m": pa.array([], pa.int64()),
+        }
     )
+    dupd = exact_dedup(docs).filter(expr="n >= 2").materialize()
+    nd = dupd.count()
+
+    if nd <= cap:
+        dd = dupd.to_pandas()
+        if len(dd) and "h" in dd.columns:
+            hs = np.asarray(dd["h"], dtype="U64")
+            order = np.argsort(hs)
+            hs = hs[order]
+            reps = dd["doc_id"].to_numpy(dtype=np.int64)[order]
+            ms = dd["n"].to_numpy(dtype=np.int64)[order]
+        else:
+            hs = np.array([], dtype="U64")
+            reps = ms = np.array([], dtype=np.int64)
+        ref = ray.put((hs, reps, ms))
+
+        def member_rows(t: pa.Table) -> pa.Table:
+            hs_, reps_, ms_ = ray.get(ref)
+            if len(hs_) == 0 or t.num_rows == 0:
+                return empty
+            h = np.asarray(T.hash_strings_hex(t["text"], "sha256"), dtype="U64")
+            pos = np.minimum(np.searchsorted(hs_, h), len(hs_) - 1)
+            hit = hs_[pos] == h
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].filter(pa.array(hit)).cast(pa.int64()),
+                    "rep": pa.array(reps_[pos[hit]]),
+                    "m": pa.array(ms_[pos[hit]]),
+                }
+            )
+
+        return docs.select_columns(["doc_id", "text"]).map_batches(
+            member_rows, batch_format="pyarrow"
+        )
+
+    # huge duplicated set: co-shuffle doc-hash rows with the dup digests on a
+    # digest-prefix bucket and merge on the FULL digest string (exact)
+    nb = 4 * _shuffle_fan()
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        h = np.array(T.hash_strings_hex(t["text"], "sha256"), dtype=object)
+        bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % nb
+        n = t.num_rows
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "h": pa.array(h, pa.string()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "rep": pa.nulls(n, pa.int64()),
+                "m": pa.nulls(n, pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def tag_dups(t: pa.Table) -> pa.Table:
+        h = t["h"].to_pandas().to_numpy()
+        bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % nb
+        n = t.num_rows
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "h": t["h"].cast(pa.string()),
+                "doc_id": pa.nulls(n, pa.int64()),
+                "rep": t["doc_id"].cast(pa.int64()),
+                "m": t["n"].cast(pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        L = g.filter(pa.array(side == 0))
+        R = g.filter(pa.array(side == 1))
+        if L.num_rows == 0 or R.num_rows == 0:
+            return empty
+        lt = pd.DataFrame({"h": L["h"].to_pandas(), "doc_id": L["doc_id"].to_numpy()})
+        rt = pd.DataFrame(
+            {"h": R["h"].to_pandas(), "rep": R["rep"].to_numpy(), "m": R["m"].to_numpy()}
+        )
+        mg = lt.merge(rt, on="h")  # inner: non-dup docs drop
+        return pa.table(
+            {
+                "doc_id": pa.array(mg["doc_id"].to_numpy(), pa.int64()),
+                "rep": pa.array(mg["rep"].to_numpy(), pa.int64()),
+                "m": pa.array(mg["m"].to_numpy(), pa.int64()),
+            }
+        )
+
+    both = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(tag_docs, batch_format="pyarrow")
+        .union(dupd.map_batches(tag_dups, batch_format="pyarrow"))
+    )
+    return grouped_map(both, "bucket", kernel, num_partitions=_shuffle_fan(), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -512,16 +574,50 @@ def ngram_jaccard_pairs(
         }
     )
 
-    # ---- exact-dup collapse (compact: one row per distinct text + member
-    # rows for duplicated groups only, so broadcasts scale with duplication)
-    dmap = exact_rep_map(docs, compact=True).materialize()
-    msz = dmap.filter(expr=f"{did_t} == rep").drop_columns(["rep"])  # {doc_id, m} per rep
-    dups = dmap.filter(expr="m >= 2")  # {doc_id, rep, m}: dup-group members
-    # rep texts with group size attached in ONE lookup: non-rep docs miss the
-    # msz table and fill 0, the filter drops them
-    rep_docs = lookup_join(
-        docs.select_columns([did_t, "text"]), msz, did_t, "m", default=0, num_partitions=fan
-    ).filter(expr="m >= 1")
+    # ---- exact-dup collapse, COST-BASED.  The dup map holds duplicated
+    # groups only (absence == singleton), so it scales with the corpus'
+    # duplication.  Collapsing pays a handful of fixed stage floors (the rep
+    # lookup, the intra branch, the expansion) but cuts the index's pair
+    # work by the SQUARE of the per-text copy count; with negligible
+    # duplication the uncollapsed index is within ~(1 + dup_share)^2 of
+    # optimal and the overhead dominates — so collapse only when duplicated
+    # docs are a material share of the corpus.  BOTH branches produce
+    # identical output (jaccard depends only on the text; oracle-verified).
+    dups = exact_rep_map(docs).materialize()  # {doc_id, rep, m} m>=2 rows only
+    n_dup_rows = dups.count()
+    n_docs = docs.count()
+    collapse = n_dup_rows >= max(64, n_docs // 20)  # >=5% duplicated (or tiny corpus armor)
+
+    if collapse:
+        # one signed lookup classifies every doc: miss -> singleton rep
+        # (m=1), m>=2 -> duplicated group's rep, -1 -> non-rep member (drop)
+        dsz = dups.map_batches(
+            lambda t: pa.table(
+                {
+                    did_t: t["doc_id"],
+                    "m": pa.array(
+                        np.where(
+                            t["doc_id"].to_numpy() == t["rep"].to_numpy(),
+                            t["m"].to_numpy(),
+                            -1,
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        rep_docs = lookup_join(
+            docs.select_columns([did_t, "text"]), dsz, did_t, "m", default=1, num_partitions=fan
+        ).filter(expr="m >= 1")
+        # duplicated groups' reps {doc_id, m>=2}: the intra-pair universe
+        msz = dups.filter(expr=f"{did_t} == rep").drop_columns(["rep"])
+    else:
+        # uncollapsed: every doc is its own "rep" with weight 1 (the original
+        # inverted index — exact-dup pairs surface through shared grams)
+        rep_docs = docs.select_columns([did_t, "text"]).map_batches(
+            lambda t: t.append_column("m", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow",
+        )
 
     def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
         H, c = T.batch_shingle_hashes(list(b["text"]), k)
@@ -683,6 +779,8 @@ def ngram_jaccard_pairs(
         )
 
     rep_pairs = pairs.map_batches(finish, batch_format="pandas")
+    if not collapse:
+        return rep_pairs  # docs ARE the reps; nothing to expand
 
     # ---- intra-group pairs: {rep, jac_u} for groups of m >= 2 -------------
     # jac = kept/(2*sz - kept): identical texts share every gram, so their
@@ -690,7 +788,7 @@ def ngram_jaccard_pairs(
     # uses the unpruned sizes — exactly what the uncollapsed index computes.
     intra = lookup_join(
         lookup_join(
-            msz.filter(expr="m >= 2"), sizes, did_t, "sz", default=0, num_partitions=fan
+            msz, sizes, did_t, "sz", default=0, num_partitions=fan
         ),
         npruned,
         did_t,
@@ -1430,12 +1528,12 @@ def dedup_clusters(
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         P = max(2, min(32, ncpu // 4))
 
-    # doc -> exact-dup representative {doc_id, rep}: ONE groupby shuffle (an
-    # agg + a digest join costs two; measured 7.0s -> 2.5s at sf0.1).
+    # doc -> exact-dup group map, DUPLICATED groups only (absence ==
+    # singleton): ONE groupby shuffle whose output scales with duplication.
     k = _shuffle_fan()
-    dmap = exact_rep_map(docs).materialize()
+    dups = exact_rep_map(docs, compact=True).materialize()  # {doc_id, rep, m} m>=2
 
-    star = dmap.map_batches(
+    star = dups.map_batches(
         lambda t: pa.table(
             {
                 "src": t["doc_id"].cast(pa.int64()),
@@ -1446,20 +1544,24 @@ def dedup_clusters(
         batch_format="pyarrow",
     ).filter(expr="src != dst")
 
-    # representatives' texts: flag docs whose doc_id is its group's rep
-    # (broadcast int-lookup under the cap, hash join above it)
-    rep_flag = dmap.map_batches(
+    # representatives' texts in one signed lookup: miss -> singleton rep,
+    # 1 -> duplicated group's rep, -1 -> non-rep member (dropped)
+    rep_flag = dups.map_batches(
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"],
-                "isrep": pa.compute.equal(t["doc_id"], t["rep"]).cast(pa.int64()),
+                "isrep": pa.compute.if_else(
+                    pa.compute.equal(t["doc_id"], t["rep"]),
+                    pa.scalar(1, pa.int64()),
+                    pa.scalar(-1, pa.int64()),
+                ),
             }
         ),
         batch_format="pyarrow",
     )
     rep_docs = lookup_join(
         docs.select_columns(["doc_id", "text"]), rep_flag, "doc_id", "isrep",
-        default=0, num_partitions=k,
+        default=1, num_partitions=k,
     ).filter(expr="isrep == 1")
 
     pairs = minhash_dedup_pairs(
@@ -1476,12 +1578,20 @@ def dedup_clusters(
     if n <= SMALL_CC_MAX_VERTICES and n_pairs <= SMALL_CC_MAX_VERTICES:
         from .components import local_components
 
-        dpdf = dmap.to_pandas()
+        # id universe straight from the docs table (the dup map no longer
+        # carries singleton rows); any order, any magnitude — no dense-[0,n)
+        # assumption
+        ids = (
+            docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy(dtype=np.int64)
+        )
+        dpdf = dups.to_pandas()
         ppdf = pairs.to_pandas() if n_pairs else None
-        src = dpdf["doc_id"].to_numpy(dtype=np.int64)
-        dst = dpdf["rep"].to_numpy(dtype=np.int64)
-        ids = src.copy()  # one dmap row per doc — the full id universe,
-        # in any order and of any magnitude (no dense-[0,n) assumption)
+        if len(dpdf) and "doc_id" in dpdf.columns:
+            src = dpdf["doc_id"].to_numpy(dtype=np.int64)
+            dst = dpdf["rep"].to_numpy(dtype=np.int64)
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
         if ppdf is not None and len(ppdf):
             src = np.concatenate([src, ppdf["id_a"].to_numpy(dtype=np.int64)])
             dst = np.concatenate([dst, ppdf["id_b"].to_numpy(dtype=np.int64)])
@@ -1517,8 +1627,8 @@ def dedup_clusters(
     # feed them straight through; otherwise rank them dense with the IdMap
     # loader (one global sort — stages/ids.py, the 10^12-key shape) and
     # translate edges out / labels back with the capped-broadcast lookups.
-    id_min = dmap.min("doc_id")
-    id_max = dmap.max("doc_id")
+    id_min = docs.min("doc_id")
+    id_max = docs.max("doc_id")
     dense = id_min == 0 and id_max == n - 1
     wd = workdir or tempfile.mkdtemp(prefix="dedup_cc_")
     if not dense:
@@ -1526,7 +1636,7 @@ def dedup_clusters(
         from ..stages.joins import lookup_join
 
         vmap, nv = assign_dense_ids(
-            dmap.map_batches(
+            docs.select_columns(["doc_id"]).map_batches(
                 lambda t: pa.table({"key": t["doc_id"]}), batch_format="pyarrow"
             )
         )

@@ -398,6 +398,30 @@ def _dup_heavy_docs(n_texts: int = 20, copies: int = 6) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 
 
+def test_exact_rep_map_both_paths():
+    """The dup-only group map is identical on the broadcast and the digest
+    co-shuffle path (cap=0), and empty on an all-unique corpus."""
+    df = _dup_heavy_docs(n_texts=8, copies=3)
+    want = (
+        D.exact_rep_map(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values(["rep", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(want) == 24 and (want["m"] == 3).all()
+    assert (want.groupby("rep")["doc_id"].min().to_numpy() == want["rep"].unique()).all()
+    got = (
+        D.exact_rep_map(rd.from_pandas(df), cap=0)
+        .to_pandas()
+        .sort_values(["rep", "doc_id"])
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "rep", "m"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    uniq = pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb cc", "dd ee ff"]})
+    assert D.exact_rep_map(rd.from_pandas(uniq)).count() == 0
+
+
 def test_ngram_jaccard_dup_heavy_vs_oracle(monkeypatch):
     """Exact-dup rep collapse preserves the output exactly: a corpus where
     every text has 6 identical copies matches the DuckDB oracle — including

@@ -71,7 +71,8 @@ def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = N
     2. membership: a second streaming sha256 pass over the docs that keeps
        rows whose digest is in the (usually tiny) duplicated set — broadcast
        + sorted-array searchsorted under ``cap`` digests, a digest-bucketed
-       co-shuffle merge above it (exact full-string compare either way).
+       co-shuffle merge above it (full-digest equality either way — the
+       same sha256-identity contract as ``exact_dedup``).
 
     Shared by ``dedup_clusters`` and ``ngram_jaccard_pairs`` — collapsing
     exact duplicates before any pair-generating index is the armor that
@@ -97,14 +98,16 @@ def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = N
 
     if nd <= cap:
         dd = dupd.to_pandas()
+        # hex digests as ASCII bytes ("S64", 64 B each) not unicode ("U64",
+        # 256 B each): at the 5M-row cap that is a 320 MB broadcast, not 1.3 GB
         if len(dd) and "h" in dd.columns:
-            hs = np.asarray(dd["h"], dtype="U64")
+            hs = np.asarray(dd["h"], dtype="S64")
             order = np.argsort(hs)
             hs = hs[order]
             reps = dd["doc_id"].to_numpy(dtype=np.int64)[order]
             ms = dd["n"].to_numpy(dtype=np.int64)[order]
         else:
-            hs = np.array([], dtype="U64")
+            hs = np.array([], dtype="S64")
             reps = ms = np.array([], dtype=np.int64)
         ref = ray.put((hs, reps, ms))
 
@@ -112,7 +115,7 @@ def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = N
             hs_, reps_, ms_ = ray.get(ref)
             if len(hs_) == 0 or t.num_rows == 0:
                 return empty
-            h = np.asarray(T.hash_strings_hex(t["text"], "sha256"), dtype="U64")
+            h = np.asarray(T.hash_strings_hex(t["text"], "sha256"), dtype="S64")
             pos = np.minimum(np.searchsorted(hs_, h), len(hs_) - 1)
             hit = hs_[pos] == h
             return pa.table(
@@ -131,9 +134,18 @@ def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = N
     # digest-prefix bucket and merge on the FULL digest string (exact)
     nb = 4 * _shuffle_fan()
 
+    def digest_bucket(h: np.ndarray) -> np.ndarray:
+        # first 8 ASCII hex chars viewed as raw uint64 bytes — vectorized,
+        # well-spread for sha256 hex, and identical on both tag sides
+        b = np.ascontiguousarray(np.asarray(h, dtype="S8"))
+        if len(b) == 0:
+            return np.array([], dtype=np.int64)
+        u = np.frombuffer(b.tobytes(), dtype=np.uint64)
+        return (u % np.uint64(nb)).astype(np.int64)
+
     def tag_docs(t: pa.Table) -> pa.Table:
         h = np.array(T.hash_strings_hex(t["text"], "sha256"), dtype=object)
-        bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % nb
+        bucket = digest_bucket(h)
         n = t.num_rows
         return pa.table(
             {
@@ -148,7 +160,7 @@ def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = N
 
     def tag_dups(t: pa.Table) -> pa.Table:
         h = t["h"].to_pandas().to_numpy()
-        bucket = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % nb
+        bucket = digest_bucket(h)
         n = t.num_rows
         return pa.table(
             {

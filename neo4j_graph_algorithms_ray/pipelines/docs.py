@@ -56,7 +56,13 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
-def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = None) -> rd.Dataset:
+def exact_rep_map(
+    docs: rd.Dataset,
+    *,
+    compact: bool = True,
+    cap: int | None = None,
+    dedup: rd.Dataset | None = None,
+) -> rd.Dataset:
     """Exact-duplicate group map ``{doc_id, rep, m}`` — DUPLICATED groups only
     (``m >= 2``, one row per member, ``rep`` = the group's min doc_id).  A doc
     absent from the table is a singleton.  The output — and any broadcast or
@@ -77,6 +83,9 @@ def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = N
     Shared by ``dedup_clusters`` and ``ngram_jaccard_pairs`` — collapsing
     exact duplicates before any pair-generating index is the armor that
     keeps duplication-heavy corpora (the 100-TB norm) out of quadratic work.
+
+    ``dedup``: a caller-precomputed, MATERIALIZED pass-1 aggregate (already
+    filtered to ``n >= 2``) — skips recomputing it here.
     """
     import ray
 
@@ -93,8 +102,10 @@ def exact_rep_map(docs: rd.Dataset, *, compact: bool = True, cap: int | None = N
             "m": pa.array([], pa.int64()),
         }
     )
-    dupd = exact_dedup(docs).filter(expr="n >= 2").materialize()
+    dupd = dedup if dedup is not None else exact_dedup(docs).filter(expr="n >= 2").materialize()
     nd = dupd.count()
+    if nd == 0:
+        return rd.from_arrow(empty)
 
     if nd <= cap:
         dd = dupd.to_pandas()
@@ -533,7 +544,12 @@ def minhash_dedup_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: rd.Dataset, *, threshold: float = 0.5, k: int = 3, max_doc_freq: int = 256
+    docs: rd.Dataset,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_doc_freq: int = 256,
+    collapse: bool | None = None,
 ) -> rd.Dataset:
     """Exact word-``k``-gram Jaccard near-dup pairs ``{id_a, id_b, jac_u}``
     (``jac_u = floor(jaccard * 1e6 + 0.5)``, pairs with jaccard >= threshold).
@@ -595,12 +611,20 @@ def ngram_jaccard_pairs(
     # optimal and the overhead dominates — so collapse only when duplicated
     # docs are a material share of the corpus.  BOTH branches produce
     # identical output (jaccard depends only on the text; oracle-verified).
-    dups = exact_rep_map(docs).materialize()  # {doc_id, rep, m} m>=2 rows only
-    n_dup_rows = dups.count()
-    n_docs = docs.count()
-    collapse = n_dup_rows >= max(64, n_docs // 20)  # >=5% duplicated (or tiny corpus armor)
+    # The decision needs only pass-1 of the map (the dup-group aggregate:
+    # sum(n) = docs living in duplicated groups); the membership pass — a
+    # second full text scan — runs only when actually collapsing.  Callers
+    # that already know their corpus' duplication (e.g. ran exact_dedup
+    # upstream) can pass collapse=True/False and skip the decision aggregate.
+    dupd = None
+    if collapse is None:
+        dupd = exact_dedup(docs).filter(expr="n >= 2").materialize()
+        n_dup_rows = int(dupd.sum("n") or 0)
+        n_docs = docs.count()
+        collapse = n_dup_rows >= max(64, n_docs // 20)  # >=5% dup'd (or tiny corpus armor)
 
     if collapse:
+        dups = exact_rep_map(docs, dedup=dupd).materialize()  # {doc_id, rep, m} m>=2 only
         # one signed lookup classifies every doc: miss -> singleton rep
         # (m=1), m>=2 -> duplicated group's rep, -1 -> non-rep member (drop)
         dsz = dups.map_batches(

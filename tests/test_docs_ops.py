@@ -422,6 +422,27 @@ def test_exact_rep_map_both_paths():
     assert D.exact_rep_map(rd.from_pandas(uniq)).count() == 0
 
 
+def test_ngram_jaccard_explicit_collapse_matches_auto():
+    """collapse=True / collapse=False / auto all produce identical pairs
+    (auto picks collapse=True here: 100% of docs are duplicated)."""
+    df = _dup_heavy_docs(n_texts=6, copies=4)
+
+    def run(**kw):
+        return (
+            D.ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.2, **kw)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    auto, on, off = run(), run(collapse=True), run(collapse=False)
+    assert len(auto) > 0
+    for other in (on, off):
+        assert len(other) == len(auto)
+        for c in ("id_a", "id_b", "jac_u"):
+            assert (other[c].to_numpy() == auto[c].to_numpy()).all(), c
+
+
 def test_ngram_jaccard_dup_heavy_vs_oracle(monkeypatch):
     """Exact-dup rep collapse preserves the output exactly: a corpus where
     every text has 6 identical copies matches the DuckDB oracle — including

@@ -442,6 +442,30 @@ def test_ngram_jaccard_explicit_collapse_matches_auto():
         for c in ("id_a", "id_b", "jac_u"):
             assert (other[c].to_numpy() == auto[c].to_numpy()).all(), c
 
+    # dup-FREE near-dup corpus: collapse=True flows an EMPTY member map
+    # through the collapse branch (every rep a singleton) — identity expand
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(8):
+        w = base.split()
+        w[3] = f"cat{i}"
+        rows.append((i, " ".join(w)))
+    df2 = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def run2(**kw):
+        return (
+            D.ngram_jaccard_pairs(rd.from_pandas(df2), threshold=0.2, **kw)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    a2, on2 = run2(), run2(collapse=True)
+    assert len(a2) == 28  # C(8,2): every pair of one-word-apart texts
+    assert len(on2) == 28
+    for c in ("id_a", "id_b", "jac_u"):
+        assert (on2[c].to_numpy() == a2[c].to_numpy()).all(), c
+
 
 def test_ngram_jaccard_dup_heavy_vs_oracle(monkeypatch):
     """Exact-dup rep collapse preserves the output exactly: a corpus where

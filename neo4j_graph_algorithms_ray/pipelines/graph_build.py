@@ -276,9 +276,12 @@ def node_props_to_vids(
     weights (``LabelPropagationProc.java:128-134``).  Same auto contract as
     ``stages.joins.lookup_vids``: the vertex table is broadcast (one
     ``ray.put``, read from local plasma by every mapper) only while it fits
-    under ``cap`` rows; above that a hash-shuffle join runs instead — an
-    uncapped driver ``to_pandas`` of the whole vertex table is a guaranteed
-    OOM at the 10^12-file scale.
+    under ``cap`` rows; above that a side-tagged co-shuffle runs instead (the
+    ``coshuffle_lookup`` shape on the string key — NOT ``Dataset.join``,
+    whose hash aggregator crashes on partitions with zero left rows, the
+    routine case for a sparse seed sidecar) — an uncapped driver
+    ``to_pandas`` of the whole vertex table is a guaranteed OOM at the
+    10^12-file scale.
     """
     import ray
 
@@ -315,23 +318,84 @@ def node_props_to_vids(
 
         return props_ds.map_batches(MapProps, batch_format="pyarrow", concurrency=(1, 4))
 
-    # large-vertex-table path: hash-shuffle join on the string key (the
-    # lookup_vids fallback shape; join fan sized to the session like docs.py)
+    # large-vertex-table path: side-tagged co-shuffle on the string key.
+    # Both sides land in one coarse bucket space (vectorized uint64 string
+    # hash — raw prefix bytes would skew, repo paths share prefixes); the
+    # per-bucket kernel merges on the FULL key string, so matches are exact.
+    import pandas as pd
     import pyarrow.compute as pc
+
+    from ..stages.agg import grouped_map
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     npart = max(2, min(16, ncpu // 2))
+    nb = 4 * npart
 
-    def keyed(batch: pa.Table) -> pa.Table:
+    def _bkt(keys: pa.ChunkedArray | pa.Array) -> pa.Array:
+        h = pd.util.hash_array(np.asarray(keys.to_pandas(), dtype=object))
+        return pa.array((h % np.uint64(nb)).astype(np.int64))
+
+    empty = pa.table(
+        {
+            "vid": pa.array([], pa.int64()),
+            "partition": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.float64()),
+        }
+    )
+
+    def tag_props(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(batch["repo"], batch["path"], "/")
+        n = batch.num_rows
         return pa.table(
             {
-                "key": pc.binary_join_element_wise(batch["repo"], batch["path"], "/"),
-                "partition": batch["partition"],
-                "weight": batch["weight"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": key.cast(pa.string()),
+                "partition": batch["partition"].cast(pa.int64()),
+                "weight": batch["weight"].cast(pa.float64()),
+                "vid": pa.nulls(n, pa.int64()),
+                "bucket": _bkt(key),
             }
         )
 
-    j = props_ds.map_batches(keyed, batch_format="pyarrow").join(
-        graph.vertices_ds(), "inner", npart, on=("key",)
+    def tag_verts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": batch["key"].cast(pa.string()),
+                "partition": pa.nulls(n, pa.int64()),
+                "weight": pa.nulls(n, pa.float64()),
+                "vid": batch["vid"].cast(pa.int64()),
+                "bucket": _bkt(batch["key"]),
+            }
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        L = g.filter(pa.array(side == 0))
+        R = g.filter(pa.array(side == 1))
+        if L.num_rows == 0 or R.num_rows == 0:
+            return empty
+        lt = pd.DataFrame(
+            {
+                "key": L["key"].to_pandas(),
+                "partition": L["partition"].to_numpy(zero_copy_only=False),
+                "weight": L["weight"].to_numpy(zero_copy_only=False),
+            }
+        )
+        rt = pd.DataFrame({"key": R["key"].to_pandas(), "vid": R["vid"].to_numpy(zero_copy_only=False)})
+        mg = lt.merge(rt, on="key")  # inner: unmatched props drop
+        return pa.table(
+            {
+                "vid": pa.array(mg["vid"].to_numpy(dtype=np.int64), pa.int64()),
+                "partition": pa.array(mg["partition"].to_numpy(dtype=np.int64), pa.int64()),
+                "weight": pa.array(mg["weight"].to_numpy(dtype=np.float64), pa.float64()),
+            }
+        )
+
+    both = props_ds.map_batches(tag_props, batch_format="pyarrow").union(
+        graph.vertices_ds().map_batches(tag_verts, batch_format="pyarrow")
     )
-    return j.select_columns(["vid", "partition", "weight"])
+    return grouped_map(both, "bucket", kernel, num_partitions=npart, batch_format="pyarrow")

@@ -9,8 +9,12 @@ the standard sessionization partition contract.  Within a bucket the kernels
 are fully vectorized: a lexsort + segment reduction for sessions, pandas'
 C ``merge_asof`` for the as-of join.  At 100 TB the per-bucket work is
 bounded by the largest single key's history times the keys-per-bucket ratio;
-``fan`` scales with the cluster (stages/agg.shuffle_fan) and hot keys can be
-pre-split by time range if one key's history outgrows a partition.
+``fan`` scales with the cluster (stages/agg.shuffle_fan), and when one key's
+history outgrows a partition every operator takes ``time_chunk_us`` — the
+HOT-KEY TIME SPLIT that shuffles on (key, time-chunk) instead, restoring
+correct cross-chunk semantics via halo copies (windowed ops), boundary-
+session stitching (sessionize) or a carry-in cascade (as-of join), with
+outputs identical to the unsplit path.
 
 Timestamps are int64 epoch-microseconds end-to-end (``epoch_us`` on the
 DuckDB oracle side) — integer compares, no float time arithmetic.
@@ -31,6 +35,20 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 def _bucket_of(keys: np.ndarray, fan: int) -> np.ndarray:
     h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     return ((h >> np.uint64(33)) % np.uint64(fan)).astype(np.int64)
+
+
+def _bucket_of_kc(keys: np.ndarray, chunks: np.ndarray, fan: int) -> np.ndarray:
+    """Bucket of a (key, time-chunk) pair — the hot-key split's shuffle key.
+    Mixing both coordinates spreads one key's chunks over the whole fan."""
+    h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        chunks.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    )
+    h *= np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(fan)).astype(np.int64)
+
+
+def _chunk_of(t: np.ndarray, chunk_us: int) -> np.ndarray:
+    return np.floor_divide(t, np.int64(chunk_us))
 
 
 def _ts_us(col: pd.Series) -> np.ndarray:
@@ -56,6 +74,7 @@ def sessionize(
     value: str = "value",
     gap_us: int = SESSION_GAP_US,
     fan: int | None = None,
+    time_chunk_us: int | None = None,
 ) -> rd.Dataset:
     """Gap-windowed sessions: {key, session_start_us, n_events, sum_value}.
 
@@ -63,9 +82,27 @@ def sessionize(
     > ``gap_us``.  One shuffle (coarse bucket on the key); the per-bucket
     kernel is one ``np.lexsort`` + boundary flags + ``np.add.reduceat`` —
     per-group Python is bounded by the bucket count, not the session count.
+
+    ``time_chunk_us`` turns on the HOT-KEY TIME SPLIT: rows shuffle on
+    (key, ``t // time_chunk_us``) so one key's history spreads over the whole
+    fan instead of landing in a single straggler task.  Pass 1 sessionizes
+    each (key, chunk) independently and marks each chunk-segment's first and
+    last session as *boundary* sessions (the only ones that can merge across
+    a chunk edge — a middle session's neighbouring events are in its own
+    chunk, already separated by > ``gap_us``); pass 2 stitches only those
+    boundary sessions per key (≤ 2 rows per active (key, chunk) — tiny), so
+    a key continuously active for months still merges into one session.
+    Output is identical to the unchunked path.  Pick ``time_chunk_us`` ≫
+    ``gap_us`` (e.g. a day for a 30-min gap) so few sessions are boundary.
     """
     npart = shuffle_fan()
     fan = int(fan) if fan is not None else 4 * npart
+
+    if time_chunk_us is not None:
+        return _sessionize_chunked(
+            events, key=key, ts=ts, value=value, gap_us=gap_us, fan=fan,
+            npart=npart, chunk_us=int(time_chunk_us),
+        )
 
     def tag(b: pa.Table) -> pa.Table:
         # Arrow-native: five int64/float64 columns built straight from the
@@ -119,6 +156,146 @@ def sessionize(
     )
 
 
+def _sessionize_chunked(
+    events: rd.Dataset,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    gap_us: int,
+    fan: int,
+    npart: int,
+    chunk_us: int,
+) -> rd.Dataset:
+    """Hot-key time-split sessionize (see ``sessionize`` docstring).
+
+    The pass-1 output (one row per partial session — already far smaller
+    than the event input) is materialized once so the interior/boundary
+    split doesn't re-execute the shuffle; pass 2 stitches boundary sessions
+    per key-hash bucket.
+    """
+    import pyarrow.compute as pc
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].cast(pa.int64()).to_numpy()
+        t = _ts_us_arrow(b[ts])
+        c = _chunk_of(t, chunk_us)
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "t": pa.array(t),
+                "v": pa.array(b[value].cast(pa.float64()).to_numpy()),
+                "c": pa.array(c),
+                "__b": pa.array(_bucket_of_kc(k, c, fan)),
+            }
+        )
+
+    part_schema = {
+        key: pa.int64(),
+        "session_start_us": pa.int64(),
+        "n_events": pa.int64(),
+        "sum_value": pa.float64(),
+        "__end_us": pa.int64(),
+        "__bnd": pa.int8(),
+    }
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({n: pa.array([], ty) for n, ty in part_schema.items()})
+        if len(g) == 0 or "k" not in g.columns:
+            return empty
+        k = g["k"].to_numpy()
+        t = g["t"].to_numpy()
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.lexsort((t, c, k))
+        k, t, v, c = k[order], t[order], v[order], c[order]
+        segnew = np.empty(len(k), dtype=bool)
+        segnew[0] = True
+        segnew[1:] = (k[1:] != k[:-1]) | (c[1:] != c[:-1])
+        new = segnew.copy()
+        new[1:] |= (t[1:] - t[:-1]) > gap_us
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k)) - 1
+        # a session is a *boundary* session iff it is the first or last
+        # session of its (key, chunk) segment — the only merge candidates
+        seg_of = (np.cumsum(segnew) - 1)[starts]
+        first = np.empty(len(starts), dtype=bool)
+        first[0] = True
+        first[1:] = seg_of[1:] != seg_of[:-1]
+        last = np.append(first[1:], True)
+        return pa.table(
+            {
+                key: pa.array(k[starts], pa.int64()),
+                "session_start_us": pa.array(t[starts], pa.int64()),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "sum_value": pa.array(np.add.reduceat(v, starts)),
+                "__end_us": pa.array(t[ends], pa.int64()),
+                "__bnd": pa.array((first | last).astype(np.int8)),
+            }
+        )
+
+    sess = grouped_map(
+        events.map_batches(tag, batch_format="pyarrow"),
+        "__b",
+        kernel,
+        num_partitions=npart,
+        small_rows=1_000_000,
+    ).materialize()  # consumed twice below; one partial-session row per session
+
+    final_cols = [key, "session_start_us", "n_events", "sum_value"]
+
+    def interior(tb: pa.Table) -> pa.Table:
+        return tb.filter(pc.equal(tb["__bnd"], 0)).select(final_cols)
+
+    def tag_boundary(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pc.equal(tb["__bnd"], 1))
+        k = tb[key].to_numpy()
+        out = tb.select(final_cols + ["__end_us"])
+        return out.append_column("__sb", pa.array(_bucket_of(k, fan)))
+
+    def stitch(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "session_start_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0 or key not in g.columns:
+            return empty
+        k = g[key].to_numpy()
+        st = g["session_start_us"].to_numpy()
+        n = g["n_events"].to_numpy()
+        sv = g["sum_value"].to_numpy()
+        en = g["__end_us"].to_numpy()
+        order = np.lexsort((st, k))
+        k, st, n, sv, en = k[order], st[order], n[order], sv[order], en[order]
+        # per-key sessions are time-ordered and non-overlapping; merge
+        # adjacent partial sessions whose inter-event gap is <= gap_us
+        new = np.empty(len(k), dtype=bool)
+        new[0] = True
+        new[1:] = (k[1:] != k[:-1]) | ((st[1:] - en[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                key: pa.array(k[starts], pa.int64()),
+                "session_start_us": pa.array(st[starts], pa.int64()),
+                "n_events": pa.array(np.add.reduceat(n, starts).astype(np.int64)),
+                "sum_value": pa.array(np.add.reduceat(sv, starts)),
+            }
+        )
+
+    stitched = grouped_map(
+        sess.map_batches(tag_boundary, batch_format="pyarrow"),
+        "__sb",
+        stitch,
+        num_partitions=npart,
+        small_rows=1_000_000,
+    )
+    return sess.map_batches(interior, batch_format="pyarrow").union(stitched)
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -131,6 +308,7 @@ def asof_join(
     right_cols: "dict[str, tuple[str, str]]",
     right_tiebreak: str,
     fan: int | None = None,
+    time_chunk_us: int | None = None,
 ) -> rd.Dataset:
     """As-of left join: each left row picks the right row with the same key
     and the latest timestamp <= the left timestamp (backward inexact join —
@@ -153,11 +331,27 @@ def asof_join(
     upcasts on misses is still exact); payloads are gathered by position
     afterwards in their own dtype.  One shuffle total, no driver
     materialization.
+
+    ``time_chunk_us`` turns on the HOT-KEY TIME SPLIT: both sides shuffle on
+    (key, ``t // time_chunk_us``) so a hot key's history spreads over the
+    whole fan.  Unlike the windowed ops, a backward as-of match can reach
+    arbitrarily far back, so a halo copy can't bound it; instead a CARRY-IN
+    cascade supplies each chunk's history: a map-side-combined summary pass
+    reduces the right side to its last row per (key, chunk) (by (t,
+    tiebreak)) plus the set of chunks holding left rows — a few rows per
+    active (key, chunk) — and a per-key stitch forwards, for every
+    left-holding chunk, the latest right row of any strictly-earlier chunk
+    as one extra right row in that chunk's bucket.  The per-chunk
+    ``merge_asof`` then sees its own rights plus exactly the history row it
+    may need.  Output is identical to the unchunked path.  Note: the input
+    datasets are consumed twice (tag + summary), so pass materialized or
+    cheaply-recomputable Datasets.
     """
     npart = shuffle_fan()
     fan = int(fan) if fan is not None else 4 * npart
     lpay = [(src, dst, dt) for src, (dst, dt) in left_cols.items()]
     rpay = [(src, dst, dt) for src, (dst, dt) in right_cols.items()]
+    chunk = int(time_chunk_us) if time_chunk_us is not None else None
 
     def _patype(dt: str):
         return pa.int64() if dt == "int64" else pa.float64()
@@ -168,10 +362,11 @@ def asof_join(
         def tag(b: pa.Table) -> pa.Table:
             n = b.num_rows
             k = b[key_col].cast(pa.int64()).to_numpy()
+            t = _ts_us_arrow(b[ts_col])
             cols = {
                 "side": pa.array(np.full(n, side, dtype=np.int8)),
                 "k": pa.array(k),
-                "t": pa.array(_ts_us_arrow(b[ts_col])),
+                "t": pa.array(t),
             }
             # canonical column order (all l_ then all r_) on BOTH sides with
             # identical Arrow types — the other side's payloads are null
@@ -187,7 +382,12 @@ def asof_join(
                 cols[name] = (
                     b[own[name][0]].cast(_patype(dt)) if name in own else pa.nulls(n, _patype(dt))
                 )
-            cols["__b"] = pa.array(_bucket_of(k, fan))
+            if chunk is not None:
+                c = _chunk_of(t, chunk)
+                cols["c"] = pa.array(c)
+                cols["__b"] = pa.array(_bucket_of_kc(k, c, fan))
+            else:
+                cols["__b"] = pa.array(_bucket_of(k, fan))
             return pa.table(cols)
 
         return tag
@@ -195,6 +395,135 @@ def asof_join(
     both = left.map_batches(_tag(0, left_key, left_ts), batch_format="pyarrow").union(
         right.map_batches(_tag(1, right_key, right_ts), batch_format="pyarrow")
     )
+
+    if chunk is not None:
+        # ---- carry-in cascade: one extra right row per left-holding chunk
+        tb_dst = next(dst for _, dst, _ in rpay if dst == right_tiebreak)
+
+        def summarize_left(b: pa.Table) -> pa.Table:
+            # distinct (key, chunk) markers in this batch (map-side combine)
+            k = b[left_key].cast(pa.int64()).to_numpy()
+            c = _chunk_of(_ts_us_arrow(b[left_ts]), chunk)
+            o = np.lexsort((c, k))
+            k, c = k[o], c[o]
+            keep = np.empty(len(k), dtype=bool)
+            if len(k):
+                keep[0] = True
+                keep[1:] = (k[1:] != k[:-1]) | (c[1:] != c[:-1])
+            k, c = k[keep], c[keep]
+            cols = {
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+                "k": pa.array(k),
+                "c": pa.array(c),
+                "t": pa.array(np.zeros(len(k), dtype=np.int64)),
+            }
+            for src, dst, dt in rpay:  # dummies — never read on side 0
+                cols["r_" + dst] = pa.array(
+                    np.zeros(len(k), dtype=np.int64 if dt == "int64" else np.float64)
+                )
+            cols["__sb"] = pa.array(_bucket_of(k, fan))
+            return pa.table(cols)
+
+        def summarize_right(b: pa.Table) -> pa.Table:
+            # last right row per (key, chunk) by (t, tiebreak) in this batch
+            k = b[right_key].cast(pa.int64()).to_numpy()
+            t = _ts_us_arrow(b[right_ts])
+            c = _chunk_of(t, chunk)
+            tbv = b[next(src for src, dst, _ in rpay if dst == right_tiebreak)].to_numpy(
+                zero_copy_only=False
+            )
+            o = np.lexsort((tbv, t, c, k))
+            ks, cs = k[o], c[o]
+            last = np.empty(len(o), dtype=bool)
+            if len(o):
+                last[-1] = True
+                last[:-1] = (ks[1:] != ks[:-1]) | (cs[1:] != cs[:-1])
+            sel = o[last]
+            cols = {
+                "side": pa.array(np.ones(len(sel), dtype=np.int8)),
+                "k": pa.array(k[sel]),
+                "c": pa.array(c[sel]),
+                "t": pa.array(t[sel]),
+            }
+            for src, dst, dt in rpay:
+                arr = b[src].cast(_patype(dt)).to_numpy(zero_copy_only=False)
+                cols["r_" + dst] = pa.array(arr[sel], _patype(dt))
+            cols["__sb"] = pa.array(_bucket_of(k[sel], fan))
+            return pa.table(cols)
+
+        def stitch(g: pa.Table) -> pa.Table:
+            # per key: forward the latest strictly-earlier chunk's last right
+            # row into every chunk that holds left rows
+            carry_cols = (
+                [("side", pa.int8()), ("k", pa.int64()), ("t", pa.int64())]
+                + [("l_" + dst, _patype(dt)) for _, dst, dt in lpay]
+                + [("r_" + dst, _patype(dt)) for _, dst, dt in rpay]
+                + [("c", pa.int64()), ("__b", pa.int64())]
+            )
+            empty = pa.table({n: pa.array([], ty) for n, ty in carry_cols})
+            if g.num_rows == 0 or "side" not in g.column_names:
+                return empty
+            side = g["side"].to_numpy(zero_copy_only=False)
+            R = g.filter(pa.array(side == 1))
+            L = g.filter(pa.array(side == 0))
+            if L.num_rows == 0 or R.num_rows == 0:
+                return empty
+            rk = R["k"].to_numpy(zero_copy_only=False)
+            rc = R["c"].to_numpy(zero_copy_only=False)
+            rt = R["t"].to_numpy(zero_copy_only=False)
+            rtb = R["r_" + tb_dst].to_numpy(zero_copy_only=False)
+            # fold batch-level partial "lasts" to the true last per (k, c)
+            o = np.lexsort((rtb, rt, rc, rk))
+            ks, cs = rk[o], rc[o]
+            last = np.empty(len(o), dtype=bool)
+            last[-1] = True
+            last[:-1] = (ks[1:] != ks[:-1]) | (cs[1:] != cs[:-1])
+            sel = o[last]  # ascending in (k, c)
+            rk2, rc2, rt2 = rk[sel], rc[sel], rt[sel]
+            lk = L["k"].to_numpy(zero_copy_only=False)
+            lc = L["c"].to_numpy(zero_copy_only=False)
+            o2 = np.lexsort((lc, lk))
+            lk, lc = lk[o2], lc[o2]
+            keep = np.empty(len(lk), dtype=bool)
+            keep[0] = True
+            keep[1:] = (lk[1:] != lk[:-1]) | (lc[1:] != lc[:-1])
+            lk, lc = lk[keep], lc[keep]
+            # rank-composite (order-isomorphic, overflow-safe) binary search:
+            # last right (k, c_r) with c_r < c_l
+            uks = np.unique(np.concatenate([rk2, lk]))
+            ucs = np.unique(np.concatenate([rc2, lc]))
+            m = np.int64(len(ucs) + 1)
+            comp_r = np.searchsorted(uks, rk2).astype(np.int64) * m + np.searchsorted(ucs, rc2)
+            target = np.searchsorted(uks, lk).astype(np.int64) * m + np.searchsorted(ucs, lc)
+            pos = np.searchsorted(comp_r, target, side="left") - 1
+            safe = np.maximum(pos, 0)
+            valid = (pos >= 0) & (rk2[safe] == lk)
+            if not valid.any():
+                return empty
+            src_idx = sel[safe[valid]]  # positions back into R
+            k_out = lk[valid]
+            c_out = lc[valid]
+            cols = {
+                "side": pa.array(np.ones(len(k_out), dtype=np.int8)),
+                "k": pa.array(k_out),
+                "t": pa.array(rt[src_idx]),
+            }
+            for _, dst, dt in lpay:
+                cols["l_" + dst] = pa.nulls(len(k_out), _patype(dt))
+            for _, dst, dt in rpay:
+                arr = R["r_" + dst].to_numpy(zero_copy_only=False)
+                cols["r_" + dst] = pa.array(arr[src_idx], _patype(dt))
+            cols["c"] = pa.array(c_out)
+            cols["__b"] = pa.array(_bucket_of_kc(k_out, c_out, fan))
+            return pa.table(cols)
+
+        summaries = left.map_batches(summarize_left, batch_format="pyarrow").union(
+            right.map_batches(summarize_right, batch_format="pyarrow")
+        )
+        carries = grouped_map(
+            summaries, "__sb", stitch, num_partitions=npart, batch_format="pyarrow"
+        )
+        both = both.union(carries)
 
     out_fields = (
         [(left_key, pa.int64()), ("t_us", pa.int64())]
@@ -213,6 +542,7 @@ def asof_join(
         r = g.filter(pa.array(side == 1))
         # per-side slices are fully valid in their own payload columns, so
         # to_numpy() yields the native dtype (int64 stays int64)
+        by = ["k"] if chunk is None else ["k", "c"]
         lt = pd.DataFrame({"k": l["k"].to_numpy(), "t": l["t"].to_numpy()})
         for _, d, _ in lpay:
             lt[f"l_{d}"] = l[f"l_{d}"].to_numpy()
@@ -225,14 +555,19 @@ def asof_join(
                 "_tb": rpayload[right_tiebreak],
             }
         )
+        if chunk is not None:
+            # each (key, chunk) is its own as-of group: a chunk's rights are
+            # its own rows plus the one carried-in history row
+            lt["c"] = l["c"].to_numpy()
+            rt["c"] = r["c"].to_numpy()
         rt = (
-            rt.sort_values(["k", "t", "_tb"], kind="mergesort")
-            .drop_duplicates(["k", "t"], keep="last")
+            rt.sort_values(by + ["t", "_tb"], kind="mergesort")
+            .drop_duplicates(by + ["t"], keep="last")
             .sort_values("t", kind="mergesort")
         )
         lt = lt.sort_values("t", kind="mergesort")
         merged = pd.merge_asof(
-            lt, rt[["k", "t", "pos"]], on="t", by="k", direction="backward"
+            lt, rt[by + ["t", "pos"]], on="t", by=by, direction="backward"
         )
         pos = merged["pos"].to_numpy()  # float64 w/ NaN on miss; positions exact
         miss = np.isnan(pos)
@@ -272,6 +607,7 @@ def sliding_window_agg(
     value: str = "value",
     window_us: int = 3_600_000_000,
     fan: int | None = None,
+    time_chunk_us: int | None = None,
 ) -> rd.Dataset:
     """Per-event sliding-window aggregate over the trailing ``window_us``:
     ``{key, id_col, t_us, n_win, win_sum_u}`` where the window is the SQL
@@ -287,21 +623,62 @@ def sliding_window_agg(
     invalid), and integer prefix sums of micro-unit values
     (``floor(v*1000+0.5)``), so the windowed sum is exact and replayable in
     SQL.  Per-event output rows, no per-group Python.
+
+    ``time_chunk_us`` (must be >= ``window_us``) turns on the HOT-KEY TIME
+    SPLIT: rows shuffle on (key, ``t // time_chunk_us``); every row within
+    ``window_us`` of its chunk's end is ALSO shipped to the next chunk as a
+    context-only *halo* copy (it contributes to windows there but emits no
+    output row), so each (key, chunk) task is self-contained and a single
+    hot key's history spreads over the whole fan.  One halo copy suffices
+    because a trailing window spans at most one chunk edge when
+    ``time_chunk_us >= window_us``.  Output is identical to the unchunked
+    path.
     """
     npart = shuffle_fan()
     fan = int(fan) if fan is not None else 4 * npart
     w = int(window_us)
+    chunk = int(time_chunk_us) if time_chunk_us is not None else None
+    if chunk is not None and chunk < w:
+        raise ValueError(
+            f"time_chunk_us={chunk} must be >= window_us={w}: the halo "
+            "duplicates each row into at most the NEXT chunk, so a window "
+            "must not span more than one chunk edge"
+        )
 
     def tag(b: pa.Table) -> pa.Table:
         k = b[key].cast(pa.int64()).to_numpy()
         v = b[value].cast(pa.float64()).to_numpy()
+        i = b[id_col].cast(pa.int64()).to_numpy()
+        t = _ts_us_arrow(b[ts])
+        vu = np.floor(v * 1000 + 0.5).astype(np.int64)
+        if chunk is None:
+            return pa.table(
+                {
+                    "k": pa.array(k),
+                    "i": pa.array(i),
+                    "t": pa.array(t),
+                    "vu": pa.array(vu),
+                    "__b": pa.array(_bucket_of(k, fan)),
+                }
+            )
+        c = _chunk_of(t, chunk)
+        # halo: rows within window_us of the chunk's end also feed the NEXT
+        # chunk's early windows (context only — no output row there)
+        dup = t >= (c + 1) * np.int64(chunk) - w
+        n0 = len(k)
+        k2 = np.concatenate([k, k[dup]])
+        c2 = np.concatenate([c, c[dup] + 1])
+        halo = np.zeros(len(k2), dtype=np.int8)
+        halo[n0:] = 1
         return pa.table(
             {
-                "k": pa.array(k),
-                "i": pa.array(b[id_col].cast(pa.int64()).to_numpy()),
-                "t": pa.array(_ts_us_arrow(b[ts])),
-                "vu": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64)),
-                "__b": pa.array(_bucket_of(k, fan)),
+                "k": pa.array(k2),
+                "i": pa.array(np.concatenate([i, i[dup]])),
+                "t": pa.array(np.concatenate([t, t[dup]])),
+                "vu": pa.array(np.concatenate([vu, vu[dup]])),
+                "c": pa.array(c2),
+                "halo": pa.array(halo),
+                "__b": pa.array(_bucket_of_kc(k2, c2, fan)),
             }
         )
 
@@ -321,12 +698,25 @@ def sliding_window_agg(
         t = g["t"].to_numpy()
         i = g["i"].to_numpy()
         vu = g["vu"].to_numpy()
-        order = np.lexsort((t, k))
-        k, t, i, vu = k[order], t[order], i[order], vu[order]
+        if chunk is not None:
+            c = g["c"].to_numpy()
+            halo = g["halo"].to_numpy()
+            order = np.lexsort((t, c, k))
+            k, t, i, vu, c, halo = (
+                k[order], t[order], i[order], vu[order], c[order], halo[order]
+            )
+        else:
+            order = np.lexsort((t, k))
+            k, t, i, vu = k[order], t[order], i[order], vu[order]
         t0 = t - t.min()  # normalize so seg offsets can't overflow int64
         new = np.empty(len(k), dtype=bool)
         new[0] = True
         new[1:] = k[1:] != k[:-1]
+        if chunk is not None:
+            # a (key, chunk) pair is its own self-contained segment: its halo
+            # rows carry the previous chunk's window context, and merging
+            # chunks here would double-count rows that also exist as halos
+            new[1:] |= c[1:] != c[:-1]
         seg = np.cumsum(new) - 1
         huge = int(t0.max()) + w + 2
         if int(seg[-1]) * huge + int(t0.max()) < 2**62:
@@ -346,13 +736,18 @@ def sliding_window_agg(
             lb = np.searchsorted(t_adj, lo_adj, side="left")
             ub = np.searchsorted(t_adj, t_adj, side="right")  # includes t-ties
         pre = np.concatenate([[0], np.cumsum(vu)])  # exact int prefix sums
+        n_win = (ub - lb).astype(np.int64)
+        win_sum = pre[ub] - pre[lb]
+        if chunk is not None:
+            own = halo == 0  # halo rows are window context only
+            k, i, t, n_win, win_sum = k[own], i[own], t[own], n_win[own], win_sum[own]
         return pa.table(
             {
                 key: pa.array(k, pa.int64()),
                 id_col: pa.array(i, pa.int64()),
                 "t_us": pa.array(t, pa.int64()),
-                "n_win": pa.array((ub - lb).astype(np.int64)),
-                "win_sum_u": pa.array(pre[ub] - pre[lb], pa.int64()),
+                "n_win": pa.array(n_win),
+                "win_sum_u": pa.array(win_sum, pa.int64()),
             }
         )
 
@@ -379,6 +774,7 @@ def range_join(
     left_out: str | None = None,
     right_out: str | None = None,
     fan: int | None = None,
+    time_chunk_us: int | None = None,
 ) -> rd.Dataset:
     """Range (interval) join: every (left, right) pair with equal keys and
     ``left.ts - lookback_us <= right.ts <= left.ts`` — the inequality-band
@@ -393,23 +789,60 @@ def range_join(
     output cardinality is sum over keys of |L_k| x |matches|; a hot key's
     window fan-out is bounded by lookback_us, and the expansion happens
     inside the bucket task (streaming blocks out), never on the driver.
+
+    ``time_chunk_us`` (must be >= ``lookback_us``) turns on the HOT-KEY TIME
+    SPLIT: both sides shuffle on (key, ``t // time_chunk_us``); right rows
+    within ``lookback_us`` of their chunk's end are ALSO shipped to the next
+    chunk (a left row's match window reaches at most one chunk back when
+    ``time_chunk_us >= lookback_us``).  Left rows are never duplicated, so
+    no match pair can be emitted twice.  Output is identical to the
+    unchunked path.
     """
     npart = shuffle_fan()
     fan = int(fan) if fan is not None else 4 * npart
     # output column names (settable so a self-join's two id columns differ)
     left_out = left_out or left_id
     right_out = right_out or right_id
+    chunk = int(time_chunk_us) if time_chunk_us is not None else None
+    if chunk is not None and chunk < lookback_us:
+        raise ValueError(
+            f"time_chunk_us={chunk} must be >= lookback_us={lookback_us}: "
+            "right rows are duplicated into at most the NEXT chunk, so a "
+            "match window must not reach more than one chunk back"
+        )
 
     def _tag(side: int, key_col: str, ts_col: str, id_col: str):
         def tag(b: pa.Table) -> pa.Table:
             k = b[key_col].cast(pa.int64()).to_numpy()
+            t = _ts_us_arrow(b[ts_col])
+            rid = b[id_col].cast(pa.int64()).to_numpy()
+            if chunk is None:
+                return pa.table(
+                    {
+                        "side": pa.array(np.full(b.num_rows, side, dtype=np.int8)),
+                        "k": pa.array(k),
+                        "t": pa.array(t),
+                        "rid": pa.array(rid),
+                        "__b": pa.array(_bucket_of(k, fan)),
+                    }
+                )
+            c = _chunk_of(t, chunk)
+            if side == 1:
+                # right rows near the chunk end also serve the next chunk's
+                # early left rows
+                dup = t >= (c + 1) * np.int64(chunk) - lookback_us
+                k = np.concatenate([k, k[dup]])
+                t = np.concatenate([t, t[dup]])
+                rid = np.concatenate([rid, rid[dup]])
+                c = np.concatenate([c, c[dup] + 1])
             return pa.table(
                 {
-                    "side": pa.array(np.full(b.num_rows, side, dtype=np.int8)),
+                    "side": pa.array(np.full(len(k), side, dtype=np.int8)),
                     "k": pa.array(k),
-                    "t": pa.array(_ts_us_arrow(b[ts_col])),
-                    "rid": pa.array(b[id_col].cast(pa.int64()).to_numpy()),
-                    "__b": pa.array(_bucket_of(k, fan)),
+                    "t": pa.array(t),
+                    "rid": pa.array(rid),
+                    "c": pa.array(c),
+                    "__b": pa.array(_bucket_of_kc(k, c, fan)),
                 }
             )
 
@@ -435,30 +868,46 @@ def range_join(
         r = g[g["side"] == 1]
         if len(l) == 0 or len(r) == 0:
             return empty
-        # right side sorted by (key, t): each key owns a contiguous slice,
-        # located per left row by searchsorted over the same composite order
         rk = r["k"].to_numpy()
         rt = r["t"].to_numpy()
         rr = r["rid"].to_numpy()
-        ro = np.lexsort((rr, rt, rk))
-        rk, rt, rr = rk[ro], rt[ro], rr[ro]
         lk = l["k"].to_numpy()
         lt = l["t"].to_numpy()
         lr = l["rid"].to_numpy()
-        # drop left rows whose key has no right rows at all (no match)
-        uk = np.unique(rk)
-        pos = np.searchsorted(uk, lk)
-        present = (pos < len(uk)) & (uk[np.minimum(pos, len(uk) - 1)] == lk)
+        if chunk is not None:
+            # hot-key split: the join key is the (key, chunk) PAIR — a left
+            # row only sees its own chunk's right rows plus the duplicated
+            # tail of the previous chunk, and the same key's other chunks
+            # live in other segments, so no pair is matched twice.  Dense-
+            # factorize both coordinates; the composite fits int64 because
+            # each factor is < the bucket's row count.
+            lc = l["c"].to_numpy()
+            rc_ = r["c"].to_numpy()
+            uks = np.unique(np.concatenate([rk, lk]))
+            ucs = np.unique(np.concatenate([rc_, lc]))
+            m = np.int64(len(ucs) + 1)
+            jr = np.searchsorted(uks, rk).astype(np.int64) * m + np.searchsorted(ucs, rc_)
+            jl = np.searchsorted(uks, lk).astype(np.int64) * m + np.searchsorted(ucs, lc)
+        else:
+            jr, jl = rk, lk
+        # right side sorted by (join key, t): each join key owns a contiguous
+        # slice, located per left row by searchsorted over the same order
+        ro = np.lexsort((rr, rt, jr))
+        jr, rt, rr = jr[ro], rt[ro], rr[ro]
+        # drop left rows whose join key has no right rows at all (no match)
+        uk = np.unique(jr)
+        pos = np.searchsorted(uk, jl)
+        present = (pos < len(uk)) & (uk[np.minimum(pos, len(uk) - 1)] == jl)
         lk, lt, lr, kid_l = lk[present], lt[present], lr[present], pos[present]
         if len(lk) == 0:
             return empty
-        # rt is only piecewise-sorted (within each key slice), so a global
-        # searchsorted over it is invalid.  Build a GLOBALLY sorted composite
-        # instead: slice_id * M + rank(t), with ranks taken over the union of
-        # every timestamp involved (rank is an order-isomorphism, so
-        # side='left'/'right' semantics carry over exactly) — overflow-safe
-        # unlike packing raw epoch-us next to a key id.
-        kid_r = np.searchsorted(uk, rk)
+        # rt is only piecewise-sorted (within each join-key slice), so a
+        # global searchsorted over it is invalid.  Build a GLOBALLY sorted
+        # composite instead: slice_id * M + rank(t), with ranks taken over
+        # the union of every timestamp involved (rank is an order-
+        # isomorphism, so side='left'/'right' semantics carry over exactly)
+        # — overflow-safe unlike packing raw epoch-us next to a key id.
+        kid_r = np.searchsorted(uk, jr)
         st = np.unique(np.concatenate([rt, lt, lt - lookback_us]))
         M = np.int64(len(st) + 1)
         rc = kid_r * M + np.searchsorted(st, rt)

@@ -6,7 +6,12 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from neo4j_graph_algorithms_ray.pipelines.temporal import asof_join, sessionize
+from neo4j_graph_algorithms_ray.pipelines.temporal import (
+    asof_join,
+    range_join,
+    sessionize,
+    sliding_window_agg,
+)
 
 US = 1_000_000
 
@@ -356,3 +361,170 @@ def test_temporal_hot_key_skew_bounded(ray_session):
     clb = np.searchsorted(ct, ct - w, side="left")
     cub = np.searchsorted(ct, ct, side="right")
     assert rj.count() == hot_matches + int((cub - clb).sum())
+
+
+# ---------------------------------------------------------------------------
+# hot-key time split (time_chunk_us): chunked output must be IDENTICAL to the
+# unchunked path on every operator — the split is pure parallelism
+
+
+def _chunked_corpus(seed=42, n=6000, n_hot=8000, span_s=20 * 86400):
+    """Mixed corpus: 30 normal keys + one mega-hot key, 20-day span."""
+    rng = np.random.default_rng(seed)
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n),
+            "ts": _ts(rng.integers(0, span_s, n)),
+            "value": rng.normal(size=n).round(3),
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    hot = pd.DataFrame(
+        {
+            "user_id": np.full(n_hot, 999, dtype=np.int64),
+            "ts": _ts(np.sort(rng.integers(0, span_s, n_hot))),
+            "value": np.ones(n_hot),
+            "event_id": np.arange(n, n + n_hot, dtype=np.int64),
+        }
+    )
+    return pd.concat([ev, hot], ignore_index=True)
+
+
+def test_sessionize_time_chunk_matches_unchunked(ray_session):
+    ev = _chunked_corpus()
+    ds = rd.from_pandas(ev)
+    gap = 1800 * US
+    cols = ["user_id", "session_start_us"]
+    a = sessionize(ds, gap_us=gap).to_pandas().sort_values(cols).reset_index(drop=True)
+    b = (
+        sessionize(ds, gap_us=gap, time_chunk_us=6 * 3600 * US)
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+
+
+def test_sessionize_time_chunk_stitches_multi_chunk_session(ray_session):
+    """A key continuously active across many chunk edges must still collapse
+    into ONE session (boundary-session stitch chains across chunks)."""
+    t = np.arange(0, 10 * 3600, 60, dtype=np.int64)  # event every minute, 10h
+    ev = pd.DataFrame({"user_id": np.ones(len(t), dtype=np.int64), "ts": _ts(t), "value": np.ones(len(t))})
+    out = sessionize(
+        rd.from_pandas(ev), gap_us=1800 * US, time_chunk_us=3600 * US
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_events"] == len(t)
+    assert out.iloc[0]["session_start_us"] == 0
+
+
+def test_sliding_window_time_chunk_matches_unchunked(ray_session):
+    ev = _chunked_corpus(seed=7)
+    ds = rd.from_pandas(ev)
+    w = 3600 * US
+    a = (
+        sliding_window_agg(ds, window_us=w)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    b = (
+        sliding_window_agg(ds, window_us=w, time_chunk_us=4 * w)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+
+
+def test_sliding_window_time_chunk_smaller_than_window_raises(ray_session):
+    from neo4j_graph_algorithms_ray.pipelines.temporal import sliding_window_agg as swa
+
+    ev = pd.DataFrame({"user_id": [1], "ts": _ts([0]), "value": [1.0], "event_id": [0]})
+    with pytest.raises(ValueError, match="time_chunk_us"):
+        swa(rd.from_pandas(ev), window_us=10 * US, time_chunk_us=5 * US)
+
+
+def test_range_join_time_chunk_matches_unchunked(ray_session):
+    ev = _chunked_corpus(seed=9, n=4000, n_hot=5000)
+    left = ev.rename(columns={"event_id": "lid"})
+    rng = np.random.default_rng(10)
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, 3000),
+            "ts": _ts(rng.integers(0, 20 * 86400, 3000)),
+            "rid": np.arange(3000, dtype=np.int64),
+        }
+    )
+    kw = dict(
+        left_key="user_id", left_ts="ts", right_key="user_id", right_ts="ts",
+        left_id="lid", right_id="rid", lookback_us=1800 * US,
+        left_out="L", right_out="R",
+    )
+    cols = ["k", "L", "R"]
+    a = (
+        range_join(rd.from_pandas(left), rd.from_pandas(right), **kw)
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    b = (
+        range_join(rd.from_pandas(left), rd.from_pandas(right), **kw, time_chunk_us=3600 * US)
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+    with pytest.raises(ValueError, match="time_chunk_us"):
+        range_join(
+            rd.from_pandas(left), rd.from_pandas(right), **kw, time_chunk_us=60 * US
+        )
+
+
+def test_asof_join_time_chunk_matches_unchunked(ray_session):
+    """Carry-in cascade: sparse right side forces cross-chunk history matches;
+    a key with one early right row and a left row ~60 empty chunks later must
+    still match it (and a left row BEFORE all rights must miss)."""
+    rng = np.random.default_rng(11)
+    nl, nr = 8000, 1200
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(nl, dtype=np.int64),
+            "k": rng.integers(0, 25, nl),
+            "ts": _ts(rng.integers(0, 20 * 86400, nl)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "okey": np.arange(nr, dtype=np.int64),
+            "k": rng.integers(0, 25, nr),
+            "ts": _ts(rng.integers(0, 20 * 86400, nr)),
+            "price": rng.normal(size=nr).round(2),
+        }
+    )
+    dup = right.sample(150, random_state=0).copy()
+    dup["okey"] += 100000  # timestamp ties -> tiebreak must pick max okey
+    right = pd.concat([right, dup], ignore_index=True)
+    early = pd.DataFrame({"okey": [900000], "k": [77], "ts": _ts([5]), "price": [42.0]})
+    latel = pd.DataFrame({"eid": [990000, 990001], "k": [77, 77], "ts": _ts([15 * 86400, 3])})
+    left = pd.concat([left, latel], ignore_index=True)
+    right = pd.concat([right, early], ignore_index=True)
+
+    kw = dict(
+        left_key="k", left_ts="ts", right_key="k", right_ts="ts",
+        left_cols={"eid": ("event_id", "int64")},
+        right_cols={"okey": ("o_orderkey", "int64"), "price": ("o_price", "float64")},
+        right_tiebreak="o_orderkey",
+    )
+    a = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), **kw)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    b = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), **kw, time_chunk_us=6 * 3600 * US)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+    assert b[b.event_id == 990000]["o_orderkey"].iloc[0] == 900000  # carry across ~60 empty chunks
+    assert b[b.event_id == 990001]["o_orderkey"].iloc[0] == -1  # before all rights -> miss
+
+
+def test_time_chunk_spreads_hot_key_over_buckets():
+    """The point of the split: one key's chunks must land in MANY buckets
+    (the unchunked bucket function pins a key to exactly one)."""
+    from neo4j_graph_algorithms_ray.pipelines.temporal import _bucket_of, _bucket_of_kc
+
+    k = np.zeros(1000, dtype=np.int64)
+    c = np.arange(1000, dtype=np.int64)
+    assert len(np.unique(_bucket_of(k, 64))) == 1
+    assert len(np.unique(_bucket_of_kc(k, c, 64))) > 32

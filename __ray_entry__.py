@@ -113,7 +113,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
             _os.path.join(sf, "events.parquet"), columns=["user_id", "ts", "value"]
         )
-        return _intize(Tm.sessionize(ev).to_pandas(), ["sum_value"], 1000)
+        # base path UNION hot-key time split (time_chunk_us) — identical
+        # outputs by contract, both oracle-verified via the variant tag
+        import pandas as _pd
+
+        a = Tm.sessionize(ev).to_pandas()
+        a["variant"] = "base"
+        b = Tm.sessionize(ev, time_chunk_us=86_400_000_000).to_pandas()
+        b["variant"] = "chunked"
+        return _intize(_pd.concat([a, b], ignore_index=True), ["sum_value"], 1000)
 
     def events_asof_orders(sf):
         import os as _os
@@ -129,9 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _os.path.join(sf, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
         )
-        df = Tm.asof_join(
-            ev,
-            orders,
+        import pandas as _pd
+
+        kw = dict(
             left_key="user_id",
             left_ts="ts",
             right_key="o_custkey",
@@ -142,8 +150,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "o_totalprice": ("o_totalprice", "float64"),
             },
             right_tiebreak="o_orderkey",
-        ).to_pandas()
-        return _intize(df, ["o_totalprice"], 1000)
+        )
+        a = Tm.asof_join(ev, orders, **kw).to_pandas()
+        a["variant"] = "base"
+        # 30-day chunks: the carry-in cascade supplies cross-chunk history
+        b = Tm.asof_join(ev, orders, **kw, time_chunk_us=30 * 86_400_000_000).to_pandas()
+        b["variant"] = "chunked"
+        return _intize(_pd.concat([a, b], ignore_index=True), ["o_totalprice"], 1000)
 
     def events_sliding(sf):
         import os as _os
@@ -155,7 +168,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _rd.read_parquet(
             _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts", "value"]
         )
-        return Tm.sliding_window_agg(ev, window_us=3_600_000_000)
+        import pandas as _pd
+
+        a = Tm.sliding_window_agg(ev, window_us=3_600_000_000).to_pandas()
+        a["variant"] = "base"
+        b = Tm.sliding_window_agg(
+            ev, window_us=3_600_000_000, time_chunk_us=86_400_000_000
+        ).to_pandas()
+        b["variant"] = "chunked"
+        return _pd.concat([a, b], ignore_index=True)
 
     def top_events_per_user(sf):
         import os as _os
@@ -180,9 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _rd.read_parquet(
             _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts"]
         )
-        return Tm.range_join(
-            ev,
-            ev,
+        import pandas as _pd
+
+        kw = dict(
             left_key="user_id",
             left_ts="ts",
             right_key="user_id",
@@ -192,7 +213,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_out="eid_a",
             right_out="eid_b",
             lookback_us=3_600_000_000,  # same-user events in the prior hour
-        ).to_pandas()
+        )
+        a = Tm.range_join(ev, ev, **kw).to_pandas()
+        a["variant"] = "base"
+        b = Tm.range_join(ev, ev, **kw, time_chunk_us=86_400_000_000).to_pandas()
+        b["variant"] = "chunked"
+        return _pd.concat([a, b], ignore_index=True)
 
     def knn_merged(sf):
         """Brute-force and IVF top-k as one method-tagged table (both return
@@ -634,16 +660,20 @@ s AS (SELECT user_id, t, value,
       FROM e),
 g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
       FROM s)
-SELECT user_id, min(t) AS session_start_us, count(*) AS n_events,
-       CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS sum_value
-FROM g GROUP BY user_id, sid""",
+SELECT q.*, v.variant
+FROM (SELECT user_id, min(t) AS session_start_us, count(*) AS n_events,
+             CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS sum_value
+      FROM g GROUP BY user_id, sid) q
+CROSS JOIN (VALUES ('base'), ('chunked')) v(variant)""",
         "events_sliding": """
-SELECT user_id, event_id, epoch_us(ts) AS t_us,
-       count(*) OVER win AS n_win,
-       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER win AS BIGINT) AS win_sum_u
-FROM events
-WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+SELECT q.*, v.variant
+FROM (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             count(*) OVER win AS n_win,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER win AS BIGINT) AS win_sum_u
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) q
+CROSS JOIN (VALUES ('base'), ('chunked')) v(variant)""",
         "events_asof_orders": """
 WITH r AS (
   SELECT o_custkey AS k, epoch_us(o_orderdate) AS t2, o_orderkey, o_totalprice,
@@ -651,10 +681,12 @@ WITH r AS (
   FROM orders),
 r2 AS (SELECT k, t2, o_orderkey, o_totalprice FROM r WHERE rn = 1),
 e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
-SELECT e.user_id, e.t AS t_us, e.event_id,
-       coalesce(r2.o_orderkey, -1) AS o_orderkey,
-       CAST(floor(coalesce(r2.o_totalprice, 0.0) * 1000 + 0.5) AS BIGINT) AS o_totalprice
-FROM e ASOF LEFT JOIN r2 ON e.user_id = r2.k AND e.t >= r2.t2""",
+SELECT q.*, v.variant
+FROM (SELECT e.user_id, e.t AS t_us, e.event_id,
+             coalesce(r2.o_orderkey, -1) AS o_orderkey,
+             CAST(floor(coalesce(r2.o_totalprice, 0.0) * 1000 + 0.5) AS BIGINT) AS o_totalprice
+      FROM e ASOF LEFT JOIN r2 ON e.user_id = r2.k AND e.t >= r2.t2) q
+CROSS JOIN (VALUES ('base'), ('chunked')) v(variant)""",
         "top_events_per_user": """
 WITH r AS (
   SELECT user_id, event_id, value,
@@ -663,11 +695,13 @@ WITH r AS (
 SELECT user_id, event_id, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value, rank
 FROM r WHERE rank <= 3""",
         "events_range_selfjoin": """
-SELECT a.user_id AS k, a.event_id AS eid_a, b.event_id AS eid_b,
-       epoch_us(a.ts) AS t_us, epoch_us(b.ts) AS rt_us
-FROM events a JOIN events b
-ON a.user_id = b.user_id
-AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000 AND epoch_us(a.ts)""",
+SELECT q.*, v.variant
+FROM (SELECT a.user_id AS k, a.event_id AS eid_a, b.event_id AS eid_b,
+             epoch_us(a.ts) AS t_us, epoch_us(b.ts) AS rt_us
+      FROM events a JOIN events b
+      ON a.user_id = b.user_id
+      AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000 AND epoch_us(a.ts)) q
+CROSS JOIN (VALUES ('base'), ('chunked')) v(variant)""",
         "supplier_nations": """
 SELECT r_name, count(*) AS n_suppliers
 FROM supplier

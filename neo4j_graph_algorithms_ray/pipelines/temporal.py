@@ -55,6 +55,21 @@ def _ts_us(col: pd.Series) -> np.ndarray:
     return col.astype("datetime64[us]").astype("int64").to_numpy()
 
 
+def _no_nulls(col, name: str, op: str):
+    """Loud guard: a null key/timestamp/id would silently upcast int64 ->
+    float64 NaN in ``to_numpy`` (garbage bucket, NaN comparisons in the
+    kernels) — the same silent-corruption class as the old 2^53 float
+    transport.  O(1) on Arrow metadata."""
+    nc = col.null_count
+    if nc:
+        raise ValueError(
+            f"{op}: column {name!r} has {nc} null(s); temporal operators "
+            "require non-null keys/timestamps/ids — filter or fill them "
+            "upstream (ds.filter / pyarrow.compute.fill_null)"
+        )
+    return col
+
+
 def _ts_us_arrow(col: "pa.ChunkedArray") -> np.ndarray:
     """Arrow column (timestamp of any unit, date, or integral epoch-us) ->
     int64 epoch-microseconds, without a pandas round-trip."""
@@ -107,7 +122,8 @@ def sessionize(
     def tag(b: pa.Table) -> pa.Table:
         # Arrow-native: five int64/float64 columns built straight from the
         # Arrow buffers (no pandas block materialization in the hot path)
-        k = b[key].cast(pa.int64()).to_numpy()
+        k = _no_nulls(b[key], key, "sessionize").cast(pa.int64()).to_numpy()
+        _no_nulls(b[ts], ts, "sessionize")
         return pa.table(
             {
                 "k": pa.array(k),
@@ -177,8 +193,8 @@ def _sessionize_chunked(
     import pyarrow.compute as pc
 
     def tag(b: pa.Table) -> pa.Table:
-        k = b[key].cast(pa.int64()).to_numpy()
-        t = _ts_us_arrow(b[ts])
+        k = _no_nulls(b[key], key, "sessionize").cast(pa.int64()).to_numpy()
+        t = _ts_us_arrow(_no_nulls(b[ts], ts, "sessionize"))
         c = _chunk_of(t, chunk_us)
         return pa.table(
             {
@@ -361,8 +377,8 @@ def asof_join(
 
         def tag(b: pa.Table) -> pa.Table:
             n = b.num_rows
-            k = b[key_col].cast(pa.int64()).to_numpy()
-            t = _ts_us_arrow(b[ts_col])
+            k = _no_nulls(b[key_col], key_col, "asof_join").cast(pa.int64()).to_numpy()
+            t = _ts_us_arrow(_no_nulls(b[ts_col], ts_col, "asof_join"))
             cols = {
                 "side": pa.array(np.full(n, side, dtype=np.int8)),
                 "k": pa.array(k),
@@ -402,8 +418,8 @@ def asof_join(
 
         def summarize_left(b: pa.Table) -> pa.Table:
             # distinct (key, chunk) markers in this batch (map-side combine)
-            k = b[left_key].cast(pa.int64()).to_numpy()
-            c = _chunk_of(_ts_us_arrow(b[left_ts]), chunk)
+            k = _no_nulls(b[left_key], left_key, "asof_join").cast(pa.int64()).to_numpy()
+            c = _chunk_of(_ts_us_arrow(_no_nulls(b[left_ts], left_ts, "asof_join")), chunk)
             o = np.lexsort((c, k))
             k, c = k[o], c[o]
             keep = np.empty(len(k), dtype=bool)
@@ -426,8 +442,8 @@ def asof_join(
 
         def summarize_right(b: pa.Table) -> pa.Table:
             # last right row per (key, chunk) by (t, tiebreak) in this batch
-            k = b[right_key].cast(pa.int64()).to_numpy()
-            t = _ts_us_arrow(b[right_ts])
+            k = _no_nulls(b[right_key], right_key, "asof_join").cast(pa.int64()).to_numpy()
+            t = _ts_us_arrow(_no_nulls(b[right_ts], right_ts, "asof_join"))
             c = _chunk_of(t, chunk)
             tbv = b[next(src for src, dst, _ in rpay if dst == right_tiebreak)].to_numpy(
                 zero_copy_only=False
@@ -646,10 +662,10 @@ def sliding_window_agg(
         )
 
     def tag(b: pa.Table) -> pa.Table:
-        k = b[key].cast(pa.int64()).to_numpy()
+        k = _no_nulls(b[key], key, "sliding_window_agg").cast(pa.int64()).to_numpy()
         v = b[value].cast(pa.float64()).to_numpy()
-        i = b[id_col].cast(pa.int64()).to_numpy()
-        t = _ts_us_arrow(b[ts])
+        i = _no_nulls(b[id_col], id_col, "sliding_window_agg").cast(pa.int64()).to_numpy()
+        t = _ts_us_arrow(_no_nulls(b[ts], ts, "sliding_window_agg"))
         vu = np.floor(v * 1000 + 0.5).astype(np.int64)
         if chunk is None:
             return pa.table(
@@ -813,9 +829,9 @@ def range_join(
 
     def _tag(side: int, key_col: str, ts_col: str, id_col: str):
         def tag(b: pa.Table) -> pa.Table:
-            k = b[key_col].cast(pa.int64()).to_numpy()
-            t = _ts_us_arrow(b[ts_col])
-            rid = b[id_col].cast(pa.int64()).to_numpy()
+            k = _no_nulls(b[key_col], key_col, "range_join").cast(pa.int64()).to_numpy()
+            t = _ts_us_arrow(_no_nulls(b[ts_col], ts_col, "range_join"))
+            rid = _no_nulls(b[id_col], id_col, "range_join").cast(pa.int64()).to_numpy()
             if chunk is None:
                 return pa.table(
                     {

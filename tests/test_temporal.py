@@ -528,3 +528,20 @@ def test_time_chunk_spreads_hot_key_over_buckets():
     c = np.arange(1000, dtype=np.int64)
     assert len(np.unique(_bucket_of(k, 64))) == 1
     assert len(np.unique(_bucket_of_kc(k, c, 64))) > 32
+
+
+def test_temporal_null_keys_raise_loudly(ray_session):
+    """A null key/ts would silently become float64 NaN in to_numpy (garbage
+    bucket, NaN kernel compares) — the tags must refuse instead."""
+    ev = pd.DataFrame(
+        {
+            "user_id": pd.array([1, None], dtype="Int64"),
+            "ts": _ts([0, 10]),
+            "value": [1.0, 2.0],
+            "event_id": np.arange(2, dtype=np.int64),
+        }
+    )
+    with pytest.raises(Exception, match="null"):
+        sessionize(rd.from_pandas(ev)).to_pandas()
+    with pytest.raises(Exception, match="null"):
+        sliding_window_agg(rd.from_pandas(ev)).to_pandas()

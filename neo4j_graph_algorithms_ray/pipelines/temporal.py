@@ -51,10 +51,6 @@ def _chunk_of(t: np.ndarray, chunk_us: int) -> np.ndarray:
     return np.floor_divide(t, np.int64(chunk_us))
 
 
-def _ts_us(col: pd.Series) -> np.ndarray:
-    return col.astype("datetime64[us]").astype("int64").to_numpy()
-
-
 def _no_nulls(col, name: str, op: str):
     """Loud guard: a null key/timestamp/id would silently upcast int64 ->
     float64 NaN in ``to_numpy`` (garbage bucket, NaN comparisons in the

@@ -240,6 +240,8 @@ def topk_per_group(
     fan: int | None = None,
     num_partitions: int | None = None,
     types: "dict[str, pa.DataType] | None" = None,
+    tree_fold: bool = False,
+    salt_fan: int = 32,
 ) -> rd.Dataset:
     """Top-``k`` rows per key by ``score`` -> {key, id_col, score, rank}.
 
@@ -249,6 +251,14 @@ def topk_per_group(
     engine-stable: (score desc|asc, id asc) with rank 1..k, so a SQL
     ``row_number() OVER (PARTITION BY key ORDER BY ...)`` oracle reproduces
     it exactly (callers quantize float scores).
+
+    The final fold receives up to k x (blocks that saw the key) rows for one
+    key — at 10^6-block scale a hot key becomes a single-task straggler.
+    ``tree_fold=True`` inserts an intermediate fold keyed by (key,
+    hash(id) % ``salt_fan``): each salt bucket pre-folds to k rows, so the
+    final per-key fold sees at most ``salt_fan`` x k rows regardless of
+    block count.  One extra shuffle of already-pruned partials; output
+    identical (the prune is idempotent and order-stable).
     """
     k = int(k)
 
@@ -298,8 +308,37 @@ def topk_per_group(
         out = _prune(g, with_rank=True)
         return pa.table({c: pa.array(out[c].to_numpy()).cast(t) for c, t in cols})
 
+    pruned = ds.map_batches(partial, batch_format="pandas")
+
+    if tree_fold:
+        part_cols = [(key, ty[key]), (id_col, ty[id_col]), (score, ty[score]), ("__b", pa.int64())]
+
+        def salt(b: pd.DataFrame) -> pa.Table:
+            if len(b) == 0:
+                return pa.table(
+                    {c: pa.array([], t) for c, t in part_cols + [("__s", pa.int64())]}
+                )
+            b = b.copy()
+            b["__s"] = _bucket_ids(b, [key, id_col], salt_fan * fan)
+            return pa.table(
+                {c: pa.array(b[c].to_numpy()).cast(t) for c, t in part_cols + [("__s", pa.int64())]}
+            )
+
+        def mid_fold(g: pd.DataFrame) -> pa.Table:
+            if len(g) == 0 or key not in g.columns:
+                return pa.table({c: pa.array([], t) for c, t in part_cols})
+            out = _prune(g, with_rank=False)
+            out["__b"] = _bucket_ids(out, [key], fan)
+            return pa.table({c: pa.array(out[c].to_numpy()).cast(t) for c, t in part_cols})
+
+        pruned = (
+            pruned.map_batches(salt, batch_format="pandas")
+            .groupby("__s", num_partitions=npart)
+            .map_groups(mid_fold, batch_format="pandas")
+        )
+
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        pruned
         .groupby("__b", num_partitions=npart)
         .map_groups(fold, batch_format="pandas")
     )

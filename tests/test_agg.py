@@ -289,3 +289,38 @@ def test_lookup_join_fallback_matches_broadcast(ray_session):
     bcast, shuf = run(10**9), run(0)
     pd.testing.assert_frame_equal(bcast, shuf)
     assert bcast["val"].tolist() == [1, 20, 3, 420]
+
+
+def test_topk_tree_fold_matches_flat(ray_session):
+    """tree_fold inserts a (key, salt) pre-fold so a hot key's final fold is
+    bounded by salt_fan x k instead of blocks x k — output must be identical
+    (the prune is idempotent and order-stable)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.stages.agg import topk_per_group
+
+    rng = np.random.default_rng(17)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "user_id": np.concatenate(
+                [rng.integers(0, 50, n // 2), np.zeros(n // 2, dtype=np.int64)]  # hot key 0
+            ),
+            "value": rng.normal(size=n).round(6),
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    cols = ["user_id", "rank"]
+    a = (
+        topk_per_group(ds, "user_id", "value", 5, id_col="event_id")
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    b = (
+        topk_per_group(ds, "user_id", "value", 5, id_col="event_id", tree_fold=True, salt_fan=8)
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+    assert (a[a["user_id"] == 0]["rank"].to_numpy() == np.arange(1, 6)).all()

@@ -240,6 +240,7 @@ def coshuffle_lookup(
     fan: int,
     how: str = "inner",
     default=None,
+    salt_fan: int = 1,
 ) -> rd.Dataset:
     """Attach ``small[value]`` to ``big`` rows by ``big[key] == small[small_key]``
     via a side-tagged co-shuffle — the crash-proof alternative to
@@ -259,6 +260,14 @@ def coshuffle_lookup(
     (``'key'`` = the row's own key value, lookup_vids semantics).  One
     shuffle total; small-input runs fold in one task via ``grouped_map``'s
     short-circuit.
+
+    ``salt_fan > 1`` is the HOT-KEY armor: big-side rows of one key normally
+    co-locate in one bucket task, so a key owning most of the big side is a
+    single-task straggler.  Salting spreads each big row over
+    ``salt_fan`` sub-buckets (round-robin — any assignment works, a big row
+    matches the same small rows regardless) and replicates the small side
+    into every salt, so per-task work is bounded at the cost of shipping the
+    small side ``salt_fan`` times.  Output identical to ``salt_fan=1``.
     """
     from .agg import grouped_map
 
@@ -272,9 +281,10 @@ def coshuffle_lookup(
     out_schema = pa.schema(list(zip(big_cols, big_types)) + [(out, vtype)])
     empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
     nb = 4 * int(fan)
+    salt_fan = max(1, int(salt_fan))
 
-    def _bkt(k: np.ndarray) -> pa.Array:
-        return pa.array((k.astype(np.uint64) % np.uint64(nb)).astype(np.int64))
+    def _base(k: np.ndarray) -> np.ndarray:
+        return (k.astype(np.uint64) % np.uint64(nb)).astype(np.int64)
 
     def tag_big(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -282,7 +292,10 @@ def coshuffle_lookup(
         for c, ty in zip(big_cols, big_types):
             cols[c] = t[c].cast(ty)
         cols["__val"] = pa.nulls(n, vtype)
-        cols["bucket"] = _bkt(t[key].cast(pa.int64()).to_numpy())
+        base = _base(t[key].cast(pa.int64()).to_numpy())
+        if salt_fan > 1:
+            base = base * salt_fan + np.arange(n, dtype=np.int64) % salt_fan
+        cols["bucket"] = pa.array(base)
         return pa.table(cols)
 
     def tag_small(t: pa.Table) -> pa.Table:
@@ -292,8 +305,16 @@ def coshuffle_lookup(
         for c, ty in zip(big_cols, big_types):
             cols[c] = pa.array(k) if c == key else pa.nulls(n, ty)
         cols["__val"] = t[value].cast(vtype)
-        cols["bucket"] = _bkt(k)
-        return pa.table(cols)
+        base = _base(k)
+        one = pa.table({**cols, "bucket": pa.array(base * salt_fan)})
+        if salt_fan == 1:
+            return one
+        # replicate the small side into every salt sub-bucket
+        bi = one.schema.get_field_index("bucket")
+        return pa.concat_tables(
+            one.set_column(bi, "bucket", pa.array(base * salt_fan + s))
+            for s in range(salt_fan)
+        )
 
     def kernel(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "side" not in g.column_names:

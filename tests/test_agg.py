@@ -324,3 +324,35 @@ def test_topk_tree_fold_matches_flat(ray_session):
     )
     pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
     assert (a[a["user_id"] == 0]["rank"].to_numpy() == np.arange(1, 6)).all()
+
+
+def test_coshuffle_lookup_salted_matches_unsalted(ray_session):
+    """salt_fan spreads a hot big-side key over sub-buckets (small side
+    replicated per salt) — output must be identical for both join modes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.stages.joins import coshuffle_lookup
+
+    rng = np.random.default_rng(5)
+    n = 30000
+    big = pd.DataFrame(
+        {
+            "k": np.concatenate([rng.integers(0, 100, n // 3), np.full(2 * n // 3, 7, np.int64)]),
+            "x": np.arange(n, dtype=np.int64),
+        }
+    )
+    small = pd.DataFrame({"sk": np.arange(0, 90, dtype=np.int64), "val": np.arange(0, 90, dtype=np.int64) * 10})
+    bds, sds = rd.from_pandas(big).repartition(8), rd.from_pandas(small)
+    for how, default in (("inner", None), ("left", -1)):
+        a = (
+            coshuffle_lookup(bds, sds, "k", "sk", "val", "v", fan=8, how=how, default=default)
+            .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        )
+        b = (
+            coshuffle_lookup(bds, sds, "k", "sk", "val", "v", fan=8, how=how, default=default, salt_fan=4)
+            .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+    assert (a.loc[a["k"] == 7, "v"] == 70).all()

@@ -135,3 +135,71 @@ def test_asof_join_matches_bruteforce(ray_session, lrows, rrows):
     assert len(got) == len(want)
     for c in want.columns:
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(rows=_events, chunk_s=st.integers(20, 400))
+def test_sessionize_chunked_matches_bruteforce(ray_session, rows, chunk_s):
+    """Hot-key time split vs brute force at DRAWN chunk sizes — including
+    chunks smaller than the gap (every session boundary-heavy) and chunks
+    larger than the whole span (single chunk, stitch is a no-op)."""
+    ev = pd.DataFrame(
+        {
+            "user_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+            "ts": _ts([r[1] for r in rows]),
+            "value": pd.Series([float(r[2]) for r in rows], dtype=np.float64),
+        }
+    )
+    got = sessionize(
+        rd.from_pandas(ev), gap_us=GAP_S * US, time_chunk_us=chunk_s * US
+    ).to_pandas()
+    want = _ref_sessionize(rows, GAP_S)
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    got = got.sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in want.columns:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(lrows=_left_rows, rrows=_right_rows, chunk_s=st.integers(30, 600))
+def test_asof_join_chunked_matches_bruteforce(ray_session, lrows, rrows, chunk_s):
+    """Carry-in cascade vs brute force at drawn chunk sizes (sparse rights,
+    duplicate timestamps, all-miss keys)."""
+    left = pd.DataFrame(
+        {
+            "user_id": pd.Series([r[0] for r in lrows], dtype=np.int64),
+            "ts": _ts([r[1] for r in lrows]),
+            "event_id": pd.Series([r[2] for r in lrows], dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": pd.Series([r[0] for r in rrows], dtype=np.int64),
+            "ts": _ts([r[1] for r in rrows]),
+            "okey": pd.Series([r[2] for r in rrows], dtype=np.int64),
+            "price": pd.Series([float(r[3]) for r in rrows], dtype=np.float64),
+        }
+    )
+    got = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        left_key="user_id",
+        left_ts="ts",
+        right_key="k",
+        right_ts="ts",
+        left_cols={"event_id": ("event_id", "int64")},
+        right_cols={"okey": ("okey", "int64"), "price": ("price", "float64")},
+        right_tiebreak="okey",
+        time_chunk_us=chunk_s * US,
+    ).to_pandas()
+    want = _ref_asof(lrows, rrows)
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    got = got.sort_values(["user_id", "t_us", "event_id", "okey", "price"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in want.columns:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)

@@ -77,6 +77,82 @@ def _ts_us_arrow(col: "pa.ChunkedArray") -> np.ndarray:
     return col.cast(pa.int64()).to_numpy()
 
 
+def suggest_time_chunk(
+    events: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    sample_mod: int = 100,
+    hot_share: float = 0.05,
+    target_tasks: int | None = None,
+) -> int | None:
+    """Decide whether a keyed temporal operator needs the hot-key time split,
+    and size the chunk: sample ~1/``sample_mod`` of rows (deterministic hash
+    of (key, ts) — no RNG, replayable), estimate the largest key's share of
+    the input and its time span, and return a ``time_chunk_us`` that spreads
+    that key over ~``target_tasks`` tasks.  Returns ``None`` when no key
+    holds more than ``hot_share`` of the rows (the plain key shuffle is
+    already balanced) or when the hot key's events share one timestamp
+    (chunking cannot split them).
+
+    One sampled pre-pass (a map + one small aggregate); the per-key
+    aggregate is map-side combined, so the shuffle moves one row per
+    (key, block), never the sample itself.
+    """
+    from ..stages.agg import bucketed_agg
+    from ..stages.agg import shuffle_fan as _sf
+
+    tt = int(target_tasks) if target_tasks else 4 * _sf()
+    mod = max(1, int(sample_mod))
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = _no_nulls(b[key], key, "suggest_time_chunk").cast(pa.int64()).to_numpy()
+        t = _ts_us_arrow(_no_nulls(b[ts], ts, "suggest_time_chunk"))
+        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            t.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        h *= np.uint64(0x9E3779B97F4A7C15)
+        keep = ((h >> np.uint64(33)) % np.uint64(mod)) == 0
+        return pa.table({"k": pa.array(k[keep]), "t": pa.array(t[keep])})
+
+    per_key = bucketed_agg(
+        events.map_batches(tag, batch_format="pyarrow"),
+        "k",
+        {"n": ("k", "count"), "tmin": ("t", "min"), "tmax": ("t", "max")},
+    )
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {c: pa.array([], pa.int64()) for c in ("tot", "top_n", "tmin", "tmax")}
+        )
+        if b.num_rows == 0 or "n" not in b.column_names:
+            return empty
+        n = b["n"].to_numpy()
+        i = int(np.argmax(n))
+        return pa.table(
+            {
+                "tot": pa.array([int(n.sum())], pa.int64()),
+                "top_n": pa.array([int(n[i])], pa.int64()),
+                "tmin": pa.array([int(b["tmin"][i].as_py())], pa.int64()),
+                "tmax": pa.array([int(b["tmax"][i].as_py())], pa.int64()),
+            }
+        )
+
+    rows = per_key.map_batches(block_summary, batch_format="pyarrow").take_all()
+    if not rows:
+        return None
+    tot = sum(r["tot"] for r in rows)
+    if tot == 0:
+        return None
+    top = max(rows, key=lambda r: r["top_n"])
+    if top["top_n"] / tot < hot_share:
+        return None
+    span = top["tmax"] - top["tmin"]
+    if span <= 0:
+        return None  # all events at one timestamp — chunking cannot split
+    return max(1, -(-span // tt))  # ceil(span / target_tasks)
+
+
 def sessionize(
     events: rd.Dataset,
     *,

@@ -545,3 +545,37 @@ def test_temporal_null_keys_raise_loudly(ray_session):
         sessionize(rd.from_pandas(ev)).to_pandas()
     with pytest.raises(Exception, match="null"):
         sliding_window_agg(rd.from_pandas(ev)).to_pandas()
+
+
+def test_suggest_time_chunk(ray_session):
+    from neo4j_graph_algorithms_ray.pipelines.temporal import suggest_time_chunk
+
+    rng = np.random.default_rng(2)
+    n = 40000
+    # balanced corpus: no recommendation
+    bal = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 1000, n),
+            "ts": _ts(rng.integers(0, 10 * 86400, n)),
+            "value": np.ones(n),
+        }
+    )
+    assert suggest_time_chunk(rd.from_pandas(bal), sample_mod=10) is None
+
+    # hot corpus: one key owns half the rows over ~10 days
+    hot = bal.copy()
+    hot.loc[: n // 2, "user_id"] = 999
+    chunk = suggest_time_chunk(rd.from_pandas(hot), sample_mod=10, target_tasks=64)
+    assert chunk is not None
+    span = 10 * 86400 * US
+    assert 0 < chunk <= span  # spreads the hot key over many chunks
+    # and the recommendation actually splits: use it end-to-end
+    out = sessionize(rd.from_pandas(hot), time_chunk_us=max(chunk, 2 * 1800 * US)).to_pandas()
+    ref = sessionize(rd.from_pandas(hot)).to_pandas()
+    assert len(out) == len(ref)
+
+    # hot key with a single timestamp: chunking can't help
+    onet = bal.copy()
+    onet.loc[: n // 2, "user_id"] = 999
+    onet.loc[: n // 2, "ts"] = _ts([5])[0]
+    assert suggest_time_chunk(rd.from_pandas(onet), sample_mod=10) is None

@@ -579,3 +579,37 @@ def test_suggest_time_chunk(ray_session):
     onet.loc[: n // 2, "user_id"] = 999
     onet.loc[: n // 2, "ts"] = _ts([5])[0]
     assert suggest_time_chunk(rd.from_pandas(onet), sample_mod=10) is None
+
+
+def test_time_chunk_negative_timestamps(ray_session):
+    """Pre-1970 epochs: floor-division chunk ids go negative; halo and stitch
+    arithmetic must still line up exactly."""
+    rng = np.random.default_rng(8)
+    n = 3000
+    secs = rng.integers(-5 * 86400, 5 * 86400, n)  # straddles zero
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 10, n),
+            "ts": _ts(secs),
+            "value": np.ones(n),
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(ev)
+    w = 3600 * US
+    a = (
+        sliding_window_agg(ds, window_us=w)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    b = (
+        sliding_window_agg(ds, window_us=w, time_chunk_us=6 * w)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+    cols = ["user_id", "session_start_us"]
+    sa = sessionize(ds).to_pandas().sort_values(cols).reset_index(drop=True)
+    sb = (
+        sessionize(ds, time_chunk_us=4 * 3600 * US)
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sa, sb[sa.columns], check_like=True)

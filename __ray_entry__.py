@@ -23,6 +23,11 @@ import sys
 from collections.abc import Callable
 from typing import Any
 
+from neo4j_graph_algorithms_ray.sources.readers import (  # noqa: E402
+    from_pandas_clean as _fpc,
+    read_parquet_clean as _rpc,
+)
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -78,10 +83,9 @@ def _dedup_clusters_memo(sf):
 
 
 def _dedup_keepers(sf):
-    import ray.data as _rd
 
     df = _dedup_clusters_memo(sf)
-    return _rd.from_pandas(df.loc[df["keep"] == 1, ["doc_id"]].reset_index(drop=True))
+    return _fpc(df.loc[df["keep"] == 1, ["doc_id"]].reset_index(drop=True))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -110,7 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
 
-        ev = __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+        ev = _rpc(
             _os.path.join(sf, "events.parquet"), columns=["user_id", "ts", "value"]
         )
         # base path UNION hot-key time split (time_chunk_us) — identical
@@ -126,14 +130,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_asof_orders(sf):
         import os as _os
 
-        import ray.data as _rd
 
         from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
 
-        ev = _rd.read_parquet(
+        ev = _rpc(
             _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts"]
         )
-        orders = _rd.read_parquet(
+        orders = _rpc(
             _os.path.join(sf, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
         )
@@ -161,11 +164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_sliding(sf):
         import os as _os
 
-        import ray.data as _rd
 
         from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
 
-        ev = _rd.read_parquet(
+        ev = _rpc(
             _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts", "value"]
         )
         import pandas as _pd
@@ -181,11 +183,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def top_events_per_user(sf):
         import os as _os
 
-        import ray.data as _rd
 
         from neo4j_graph_algorithms_ray.stages.agg import topk_per_group
 
-        ev = _rd.read_parquet(
+        ev = _rpc(
             _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "value"]
         )
         df = topk_per_group(ev, "user_id", "value", 3, id_col="event_id").to_pandas()
@@ -194,11 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_range_selfjoin(sf):
         import os as _os
 
-        import ray.data as _rd
 
         from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
 
-        ev = _rd.read_parquet(
+        ev = _rpc(
             _os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts"]
         )
         import pandas as _pd

@@ -25,8 +25,11 @@ import ray.data as rd
 from ..functions import text as T
 
 
+from ..sources.readers import from_pandas_clean, read_parquet_clean
+
+
 def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -484,8 +487,8 @@ def minhash_dedup_pairs(
                 )
                 return verify(b)
 
-            return rd.from_pandas(pdf).map_batches(attach_and_verify, batch_format="pandas")
-        cands = rd.from_pandas(pdf)  # fall through to the distributed joins
+            return from_pandas_clean(pdf).map_batches(attach_and_verify, batch_format="pandas")
+        cands = from_pandas_clean(pdf)  # fall through to the distributed joins
 
     # large-candidate path: distributed joins; join fan sized to the session
     # (each join spawns npart shuffle-aggregator actors reserving CPU

@@ -32,6 +32,7 @@ from ..stages.agg import bucketed_agg
 from ..stages.extract import extract_edges
 from ..stages.ids import vertex_table_from_corpus
 from ..stages.joins import lookup_vids
+from ..sources.readers import read_parquet_clean
 
 
 @dataclass
@@ -69,7 +70,7 @@ class BuiltGraph:
                 ),
                 batch_format="pyarrow",
             )
-        return rd.read_parquet(self.vertices_dir)
+        return read_parquet_clean(self.vertices_dir)
 
     @property
     def edges_rev_dir(self) -> str:
@@ -94,7 +95,7 @@ class BuiltGraph:
         # default: hide the Hive partition column (string-typed on read-back)
         if columns is None:
             columns = ["src", "dst", "weight"]
-        return rd.read_parquet(self.edges_dir, columns=columns)
+        return read_parquet_clean(self.edges_dir, columns=columns)
 
     def shard_of(self, vids: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.bounds, vids, side="right") - 1
@@ -198,7 +199,7 @@ def build_graph(
             pa.table({"key": pa.array([], pa.string()), "vid": pa.array([], pa.int64())}),
             os.path.join(vdir, "empty.parquet"),
         )
-    vertices = rd.read_parquet(vdir)
+    vertices = read_parquet_clean(vdir)
 
     edges_str = extract_edges(corpus_ds, default_weight=default_weight)
     edges = lookup_vids(edges_str, vertices, n_vertices)

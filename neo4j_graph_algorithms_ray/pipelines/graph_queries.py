@@ -16,6 +16,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..sources.corpus import corpus_path_for
+from ..sources.readers import read_parquet_clean
 from .graph_build import BuiltGraph, build_graph
 
 GRAPH_CACHE_ROOT = "/tmp/graft_graphs"
@@ -38,7 +39,7 @@ def graph_for_sf(sf_dir: str, P: int = _DEFAULT_P) -> BuiltGraph:
     marker = os.path.join(workdir, "_DONE")
     if os.path.exists(marker):
         return BuiltGraph.load(workdir)
-    corpus = rd.read_parquet(corpus_path_for(sf_dir))
+    corpus = read_parquet_clean(corpus_path_for(sf_dir))
     g = build_graph(corpus, workdir, P=P)
     with open(marker, "w") as f:
         f.write("ok")
@@ -86,7 +87,7 @@ def weighted_graph_for_sf(sf_dir: str, P: int = _DEFAULT_P) -> BuiltGraph:
 def q_edge_extract(sf_dir: str):
     from ..stages.extract import extract_edges
 
-    corpus = rd.read_parquet(corpus_path_for(sf_dir))
+    corpus = read_parquet_clean(corpus_path_for(sf_dir))
     return extract_edges(corpus).select_columns(["src_key", "dst_key"])
 
 
@@ -449,7 +450,7 @@ def q_sha256_invariance(sf_dir: str):
 
     import pyarrow as pa
 
-    corpus = rd.read_parquet(corpus_path_for(sf_dir))
+    corpus = read_parquet_clean(corpus_path_for(sf_dir))
 
     def sha(t: pa.Table) -> pa.Table:
         hs = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in t["content"].to_pylist()]

@@ -20,7 +20,9 @@ from ..stages.agg import bucketed_agg
 
 
 def read_table(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:

@@ -32,7 +32,9 @@ from ..stages.agg import grouped_map
 
 
 def read_embeddings(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _batch_matrix(b: pd.DataFrame) -> np.ndarray:

@@ -46,6 +46,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .sources.readers import from_pandas_clean as _from_pandas_clean
+from .sources.readers import read_parquet_clean as _read_parquet_clean
+
 from .pipelines.graph_build import BuiltGraph, build_graph_from_edges
 
 # ---------------------------------------------------------------------------
@@ -117,9 +120,9 @@ def _as_graph(graph, cfg) -> tuple[BuiltGraph, int]:
     if isinstance(graph, str):
         if os.path.exists(os.path.join(graph, "graph.json")):
             return BuiltGraph.load(graph), _millis(t0)
-        graph = rd.read_parquet(graph)
+        graph = _read_parquet_clean(graph)
     if isinstance(graph, pd.DataFrame):
-        graph = rd.from_pandas(graph)
+        graph = _from_pandas_clean(graph)
     elif isinstance(graph, pa.Table):
         graph = rd.from_arrow(graph)
     if not isinstance(graph, rd.Dataset):
@@ -686,7 +689,7 @@ def shortestPath(graph, startNode, endNode=None, config=None, **kw) -> pd.DataFr
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        rd.from_pandas(r.path).write_parquet(path)
+        _from_pandas_clean(r.path).write_parquet(path)
         w_ms = _millis(t0)
     return _stats(
         loadMillis=load_ms,
@@ -711,7 +714,7 @@ def shortestPath_stream(graph, startNode, endNode=None, config=None, **kw) -> rd
         weighted=g.weighted or bool(cfg.get("weighted", False)),
     )
     df = r.path.rename(columns={"vid": "nodeId", "cost_u": "cost"})[["nodeId", "cost"]]
-    return rd.from_pandas(df)
+    return _from_pandas_clean(df)
 
 
 def _sssp_run(graph, startNode, cfg, delta=None):

@@ -23,6 +23,63 @@ import ray.data as rd
 
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
+
+def _first_parquet_file(path: str) -> str | None:
+    if os.path.isfile(path):
+        return path
+    if not os.path.isdir(path):
+        return None  # glob/remote URI: let ray.data resolve it
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return None
+
+
+def read_parquet_clean(path, *, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
+    """``ray.data.read_parquet`` with the file's schema *metadata stripped*.
+
+    Parquet written through pandas (incl. DuckDB COPY and pandas.to_parquet)
+    embeds ``b'pandas'`` schema metadata in every file.  A ``pyarrow.Schema``
+    carrying metadata is UNHASHABLE (``hash(schema)`` raises ``unhashable
+    type: 'dict'``), which silently defeats Ray Data's block-schema
+    deduplication fast path (`transform_pyarrow.unify_schemas` hashes the
+    schema set before unifying) on EVERY downstream block merge — each
+    shuffle-aggregator output pays a full N-way schema unification and logs
+    ``Failed to hash the schemas (for deduplication)``.  Stripping costs one
+    footer read on the driver and nothing per block.
+
+    Falls back to a plain ``read_parquet`` when the first file's schema is
+    already metadata-free (our own sinks) or can't be inspected (globs).
+    """
+    if "schema" in kwargs:
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    try:
+        import pyarrow.parquet as pq
+
+        f = _first_parquet_file(path)
+        sch = pq.read_schema(f) if f is not None else None
+    except Exception:
+        sch = None
+    if sch is None or not sch.metadata:
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    sch = sch.remove_metadata()
+    if columns is not None:
+        # hive-partitioned dirs: partition columns live in the path, not the
+        # footer — only subset when every requested column is in the footer
+        if not all(sch.get_field_index(c) >= 0 for c in columns):
+            return rd.read_parquet(path, columns=columns, **kwargs)
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch, **kwargs)
+
+
+def from_pandas_clean(df) -> rd.Dataset:
+    """``ray.data.from_pandas`` that lands as an Arrow block with no pandas
+    schema metadata (see ``read_parquet_clean`` for why metadata is toxic)."""
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    return rd.from_arrow(t.replace_schema_metadata(None))
+
 _EXT_FORMAT = {
     ".parquet": "parquet",
     ".csv": "csv",
@@ -71,7 +128,7 @@ def read_corpus(path: str, *, format: str | None = None, columns: list[str] | No
     fmt = format or _infer_format(path)
     cols = columns or CORPUS_COLUMNS
     if fmt == "parquet":
-        return rd.read_parquet(path, columns=cols)
+        return read_parquet_clean(path, columns=cols)
     if fmt == "csv":
         ds = rd.read_csv(path)
     elif fmt == "jsonl":

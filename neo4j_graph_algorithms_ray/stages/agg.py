@@ -111,7 +111,9 @@ def bucketed_agg(
             return _empty_arrow(with_bucket=True)
         g = b.groupby(keys, as_index=False, sort=False, dropna=False).agg(**partial_kwargs)
         g["__b"] = _bucket_ids(g, keys, fan)
-        t = pa.Table.from_pandas(g, preserve_index=False)
+        # metadata-free schema: a schema with b'pandas' metadata is unhashable
+        # and defeats Ray's block-schema dedup on every downstream merge
+        t = pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
         if types is not None:
             t = t.cast(
                 pa.schema(
@@ -127,7 +129,9 @@ def bucketed_agg(
         if len(g) == 0 or keys[0] not in g.columns:
             return _empty_arrow()
         out = g.groupby(keys, as_index=False, sort=False, dropna=False).agg(**fold_kwargs)
-        t = pa.Table.from_pandas(out[out_cols], preserve_index=False)
+        t = pa.Table.from_pandas(out[out_cols], preserve_index=False).replace_schema_metadata(
+            None
+        )
         if types is not None:
             t = t.cast(
                 pa.schema(

@@ -92,7 +92,11 @@ class ImportExtractor:
         if not outs:
             return EDGE_SCHEMA.empty_table()
         out = pd.concat(outs, ignore_index=True)
-        return pa.Table.from_pandas(out, schema=EDGE_SCHEMA, preserve_index=False)
+        # strip the b'pandas' metadata from_pandas attaches even with schema=
+        # (an unhashable schema defeats Ray's block-schema dedup downstream)
+        return pa.Table.from_pandas(
+            out, schema=EDGE_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
 
 
 def extract_edges(corpus_ds, *, default_weight: float = 1.0, concurrency=(1, 8)):

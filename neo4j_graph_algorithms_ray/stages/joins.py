@@ -33,6 +33,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..sources.readers import from_pandas_clean as _from_pandas_clean
+
 BROADCAST_MAX_ROWS = 5_000_000
 
 
@@ -151,7 +153,7 @@ def lookup_join(
             batch_size=131072,
         )
     if small_df is not None:
-        small = rd.from_pandas(small_df)
+        small = _from_pandas_clean(small_df)
     # co-shuffle, not Dataset.join: Ray's hash join crashes on partitions
     # that receive zero left rows (sparse/skewed key sets)
     return coshuffle_lookup(

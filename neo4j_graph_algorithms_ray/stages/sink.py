@@ -21,6 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..sources.readers import read_parquet_clean
+
 _MARKER = "_DONE"
 
 
@@ -73,7 +75,7 @@ def resumable_write(
 def read_partitioned(path: str, **kwargs) -> rd.Dataset:
     """Read back a ``resumable_write`` layout (markers are not parquet files,
     so point the reader at the parquet files only)."""
-    return rd.read_parquet(path, file_extensions=["parquet"], **kwargs)
+    return read_parquet_clean(path, file_extensions=["parquet"], **kwargs)
 
 
 def write_relationships(edges: rd.Dataset, path: str, bounds) -> list:

@@ -68,7 +68,9 @@ def _bench_graph(ncpu: int):
     gdir = f"/tmp/graft_bench/graph_f{BENCH_FILES}_a{int(BENCH_AVG_OUT)}_P{ncpu}"
     if os.path.exists(os.path.join(gdir, "_DONE")):
         return BuiltGraph.load(gdir)
-    g = build_graph(rd.read_parquet(cdir), gdir, P=ncpu)
+    from neo4j_graph_algorithms_ray.sources.readers import read_parquet_clean as _rpc
+
+    g = build_graph(_rpc(cdir), gdir, P=ncpu)
     open(os.path.join(gdir, "_DONE"), "w").write("ok")
     return g
 
@@ -143,10 +145,12 @@ def plain_bench() -> dict:
     # the per-query numbers should reflect — see BENCH/OPTLOG.md)
     import pandas as _pd
 
+    from neo4j_graph_algorithms_ray.sources.readers import from_pandas_clean as _fpc
+    from neo4j_graph_algorithms_ray.sources.readers import read_parquet_clean as _rpc
     from neo4j_graph_algorithms_ray.stages.agg import bucketed_agg as _ba
 
     _ba(
-        rd.from_pandas(_pd.DataFrame({"k": range(1000), "v": [1.0] * 1000})),
+        _fpc(_pd.DataFrame({"k": range(1000), "v": [1.0] * 1000})),
         "k",
         {"s": ("v", "sum")},
     ).materialize()
@@ -195,14 +199,14 @@ def plain_bench() -> dict:
 
     from neo4j_graph_algorithms_ray.pipelines import temporal as Tm
 
-    ev = rd.read_parquet(_os.path.join(SF_DIR, "events.parquet"), columns=["user_id", "ts", "value"])
+    ev = _rpc(_os.path.join(SF_DIR, "events.parquet"), columns=["user_id", "ts", "value"])
     timed("sessionize", lambda: Tm.sessionize(ev).materialize())
 
     def asof():
-        ev2 = rd.read_parquet(
+        ev2 = _rpc(
             _os.path.join(SF_DIR, "events.parquet"), columns=["event_id", "user_id", "ts"]
         )
-        orders = rd.read_parquet(
+        orders = _rpc(
             _os.path.join(SF_DIR, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
         )

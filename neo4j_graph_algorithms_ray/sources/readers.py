@@ -37,6 +37,23 @@ def _first_parquet_file(path: str) -> str | None:
     return None
 
 
+_SCHEMA_CACHE: dict = {}
+
+
+def _footer_schema(path: str):
+    """Driver-side footer schema, cached by (file, mtime) — repeated reads of
+    the same tier tables (every query re-reads its inputs) skip the footer IO."""
+    f = _first_parquet_file(path)
+    if f is None:
+        return None
+    key = (f, os.path.getmtime(f))
+    if key not in _SCHEMA_CACHE:
+        import pyarrow.parquet as pq
+
+        _SCHEMA_CACHE[key] = pq.read_schema(f)
+    return _SCHEMA_CACHE[key]
+
+
 def read_parquet_clean(path, *, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
     """``ray.data.read_parquet`` with the file's schema *metadata stripped*.
 
@@ -56,10 +73,7 @@ def read_parquet_clean(path, *, columns: list[str] | None = None, **kwargs) -> r
     if "schema" in kwargs:
         return rd.read_parquet(path, columns=columns, **kwargs)
     try:
-        import pyarrow.parquet as pq
-
-        f = _first_parquet_file(path)
-        sch = pq.read_schema(f) if f is not None else None
+        sch = _footer_schema(path)
     except Exception:
         sch = None
     if sch is None or not sch.metadata:

@@ -23,14 +23,14 @@ import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from neo4j_graph_algorithms_ray.sources.readers import (  # noqa: E402
     from_pandas_clean as _fpc,
     read_parquet_clean as _rpc,
 )
-
-_REPO = os.path.dirname(os.path.abspath(__file__))
-if _REPO not in sys.path:
-    sys.path.insert(0, _REPO)
 
 # Ray workers resolve this package through the driver's cwd; when the driver
 # runs from elsewhere, fall back to shipping the code by value.

@@ -502,6 +502,7 @@ def minhash_dedup_pairs(
     cands = cands.materialize()
     big_ids = bool(cands.count()) and (
         max(cands.max("id_a"), cands.max("id_b")) >= 2**31
+        or min(cands.min("id_a"), cands.min("id_b")) < 0
     )
     if big_ids:
         cands = bucketed_agg(
@@ -713,11 +714,13 @@ def ngram_jaccard_pairs(
         gh = g["gh"].to_numpy()
         did = g[did_t].to_numpy()
         wm = g["m"].to_numpy()
-        if did.max() >= 2**31:
+        if did.max() >= 2**31 or did.min() < 0:
             # the global intersection counts ride a packed (id_a<<32|id_b)
-            # key; wider ids would silently collide — fail loudly (dense-rank
-            # ids first, e.g. stages/ids.assign_dense_ids)
-            raise ValueError("ngram_jaccard_pairs requires doc_id < 2^31 (packed pair keys)")
+            # key; wider/negative ids would silently collide (a negative id_b
+            # sets every high bit, and a negative rep collides with the
+            # -rep-1 pruned-gram encoding) — fail loudly (dense-rank ids
+            # first, e.g. stages/ids.assign_dense_ids)
+            raise ValueError("ngram_jaccard_pairs requires 0 <= doc_id < 2^31 (packed pair keys)")
         order = np.lexsort((did, gh))
         gh, did, wm = gh[order], did[order], wm[order]
         gnew = np.empty(len(gh), dtype=bool)

@@ -222,7 +222,10 @@ def embedding_near_dup_pairs(
     # silently collide (same contract as minhash_dedup_pairs)
     from ..stages.agg import bucketed_agg
 
-    if bool(pairs.count()) and max(pairs.max("id_a"), pairs.max("id_b")) >= 2**31:
+    if bool(pairs.count()) and (
+        max(pairs.max("id_a"), pairs.max("id_b")) >= 2**31
+        or min(pairs.min("id_a"), pairs.min("id_b")) < 0
+    ):
         return bucketed_agg(pairs, ["id_a", "id_b"], {"cos_u": ("cos_u", "min")})
     return bucketed_agg(
         pairs.map_batches(

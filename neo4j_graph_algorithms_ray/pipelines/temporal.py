@@ -60,8 +60,9 @@ def _no_nulls(col, name: str, op: str):
     if nc:
         raise ValueError(
             f"{op}: column {name!r} has {nc} null(s); temporal operators "
-            "require non-null keys/timestamps/ids — filter or fill them "
-            "upstream (ds.filter / pyarrow.compute.fill_null)"
+            "require non-null keys/timestamps/ids/payloads (the numpy "
+            "transport would silently NaN-corrupt or crash on them) — "
+            "filter or fill them upstream (ds.filter / pyarrow.compute.fill_null)"
         )
     return col
 
@@ -200,7 +201,7 @@ def sessionize(
             {
                 "k": pa.array(k),
                 "t": pa.array(_ts_us_arrow(b[ts])),
-                "v": pa.array(b[value].cast(pa.float64()).to_numpy()),
+                "v": pa.array(_no_nulls(b[value], value, "sessionize").cast(pa.float64()).to_numpy()),
                 "__b": pa.array(_bucket_of(k, fan)),
             }
         )
@@ -272,7 +273,7 @@ def _sessionize_chunked(
             {
                 "k": pa.array(k),
                 "t": pa.array(t),
-                "v": pa.array(b[value].cast(pa.float64()).to_numpy()),
+                "v": pa.array(_no_nulls(b[value], value, "sessionize").cast(pa.float64()).to_numpy()),
                 "c": pa.array(c),
                 "__b": pa.array(_bucket_of_kc(k, c, fan)),
             }
@@ -463,12 +464,16 @@ def asof_join(
             for _, dst, dt in lpay:
                 name = "l_" + dst
                 cols[name] = (
-                    b[own[name][0]].cast(_patype(dt)) if name in own else pa.nulls(n, _patype(dt))
+                    _no_nulls(b[own[name][0]], own[name][0], "asof_join").cast(_patype(dt))
+                    if name in own
+                    else pa.nulls(n, _patype(dt))
                 )
             for _, dst, dt in rpay:
                 name = "r_" + dst
                 cols[name] = (
-                    b[own[name][0]].cast(_patype(dt)) if name in own else pa.nulls(n, _patype(dt))
+                    _no_nulls(b[own[name][0]], own[name][0], "asof_join").cast(_patype(dt))
+                    if name in own
+                    else pa.nulls(n, _patype(dt))
                 )
             if chunk is not None:
                 c = _chunk_of(t, chunk)
@@ -735,7 +740,7 @@ def sliding_window_agg(
 
     def tag(b: pa.Table) -> pa.Table:
         k = _no_nulls(b[key], key, "sliding_window_agg").cast(pa.int64()).to_numpy()
-        v = b[value].cast(pa.float64()).to_numpy()
+        v = _no_nulls(b[value], value, "sliding_window_agg").cast(pa.float64()).to_numpy()
         i = _no_nulls(b[id_col], id_col, "sliding_window_agg").cast(pa.int64()).to_numpy()
         t = _ts_us_arrow(_no_nulls(b[ts], ts, "sliding_window_agg"))
         vu = np.floor(v * 1000 + 0.5).astype(np.int64)

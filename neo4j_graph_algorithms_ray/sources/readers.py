@@ -41,17 +41,26 @@ _SCHEMA_CACHE: dict = {}
 
 
 def _footer_schema(path: str):
-    """Driver-side footer schema, cached by (file, mtime) — repeated reads of
-    the same tier tables (every query re-reads its inputs) skip the footer IO."""
+    """Driver-side footer schema + hive-layout flag, cached per file with the
+    mtime as the staleness check (a rewrite evicts the old entry instead of
+    shadowing it forever) — repeated reads of the same tier tables (every
+    query re-reads its inputs) skip the footer IO.
+
+    The second return value is True when the file sits under a ``col=value``
+    directory (hive partitioning): the dataset schema then carries partition
+    columns the footer does not, so the caller must NOT pin the read to the
+    footer schema."""
     f = _first_parquet_file(path)
     if f is None:
-        return None
-    key = (f, os.path.getmtime(f))
-    if key not in _SCHEMA_CACHE:
+        return None, False
+    hive = "=" in os.path.dirname(os.path.relpath(f, path if os.path.isdir(path) else os.path.dirname(path)))
+    mtime = os.path.getmtime(f)
+    hit = _SCHEMA_CACHE.get(f)
+    if hit is None or hit[0] != mtime:
         import pyarrow.parquet as pq
 
-        _SCHEMA_CACHE[key] = pq.read_schema(f)
-    return _SCHEMA_CACHE[key]
+        _SCHEMA_CACHE[f] = hit = (mtime, pq.read_schema(f))
+    return hit[1], hive
 
 
 def read_parquet_clean(path, *, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
@@ -73,15 +82,16 @@ def read_parquet_clean(path, *, columns: list[str] | None = None, **kwargs) -> r
     if "schema" in kwargs:
         return rd.read_parquet(path, columns=columns, **kwargs)
     try:
-        sch = _footer_schema(path)
+        sch, hive = _footer_schema(path)
     except Exception:
-        sch = None
-    if sch is None or not sch.metadata:
+        sch, hive = None, False
+    if sch is None or not sch.metadata or hive:
+        # hive layouts: partition columns live in the path, not the footer —
+        # pinning the footer schema would silently drop them from the
+        # Dataset's declared schema (blocks still carry them)
         return rd.read_parquet(path, columns=columns, **kwargs)
     sch = sch.remove_metadata()
     if columns is not None:
-        # hive-partitioned dirs: partition columns live in the path, not the
-        # footer — only subset when every requested column is in the footer
         if not all(sch.get_field_index(c) >= 0 for c in columns):
             return rd.read_parquet(path, columns=columns, **kwargs)
         sch = pa.schema([sch.field(c) for c in columns])

@@ -187,17 +187,21 @@ def grouped_map(
 
     ``fn`` must not depend on intra-group row order (every call site here
     sorts internally) and must accept/return what ``batch_format`` implies
-    (pandas DataFrame or pyarrow Table).  Counting requires a materialize —
-    the groupby is an all-to-all barrier anyway, so this changes when the
-    upstream runs, not the pipeline's memory shape.
+    (pandas DataFrame or pyarrow Table).  The size check is a
+    ``limit(small_rows+1).count()`` probe: the streaming executor early-stops
+    the upstream once the limit is hit, so a 100-TB input pays a bounded
+    partial scan — NOT a full materialize pinning the whole tagged input in
+    the object store alongside the shuffle buffers (the probe's partial
+    upstream work is re-done by whichever path runs; tag stages are cheap
+    relative to the shuffle they feed).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     npart = num_partitions if num_partitions is not None else shuffle_fan()
 
     if small_rows:
-        ds = ds.materialize()
-        n = ds.count()
+        n = ds.limit(int(small_rows) + 1).count()
         if 0 < n <= small_rows:
+            ds = ds.materialize()  # bounded: at most small_rows rows
             if batch_format == "pandas":
 
                 def apply_block(b: pd.DataFrame):

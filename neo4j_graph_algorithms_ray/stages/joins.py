@@ -278,6 +278,15 @@ def coshuffle_lookup(
     big_types = [_pa_type(t) for t in bsch.types]
     if key not in big_cols:
         raise ValueError(f"coshuffle_lookup: key {key!r} not in big columns {big_cols}")
+    reserved = {"__side", "__val", "__bucket"}
+    clash = (set(big_cols) | {out}) & reserved
+    if clash:
+        raise ValueError(
+            f"coshuffle_lookup: column names {sorted(clash)} are reserved for the "
+            "internal co-shuffle transport; rename them before the lookup"
+        )
+    if out in big_cols:
+        raise ValueError(f"coshuffle_lookup: out column {out!r} already exists in big")
     ssch = small.schema()
     vtype = _pa_type(dict(zip(ssch.names, ssch.types))[value])
     out_schema = pa.schema(list(zip(big_cols, big_types)) + [(out, vtype)])
@@ -290,38 +299,38 @@ def coshuffle_lookup(
 
     def tag_big(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        cols = {"side": pa.array(np.zeros(n, dtype=np.int8))}
+        cols = {"__side": pa.array(np.zeros(n, dtype=np.int8))}
         for c, ty in zip(big_cols, big_types):
             cols[c] = t[c].cast(ty)
         cols["__val"] = pa.nulls(n, vtype)
         base = _base(t[key].cast(pa.int64()).to_numpy())
         if salt_fan > 1:
             base = base * salt_fan + np.arange(n, dtype=np.int64) % salt_fan
-        cols["bucket"] = pa.array(base)
+        cols["__bucket"] = pa.array(base)
         return pa.table(cols)
 
     def tag_small(t: pa.Table) -> pa.Table:
         n = t.num_rows
         k = t[small_key].cast(pa.int64()).to_numpy()
-        cols = {"side": pa.array(np.ones(n, dtype=np.int8))}
+        cols = {"__side": pa.array(np.ones(n, dtype=np.int8))}
         for c, ty in zip(big_cols, big_types):
             cols[c] = pa.array(k) if c == key else pa.nulls(n, ty)
         cols["__val"] = t[value].cast(vtype)
         base = _base(k)
-        one = pa.table({**cols, "bucket": pa.array(base * salt_fan)})
+        one = pa.table({**cols, "__bucket": pa.array(base * salt_fan)})
         if salt_fan == 1:
             return one
         # replicate the small side into every salt sub-bucket
-        bi = one.schema.get_field_index("bucket")
+        bi = one.schema.get_field_index("__bucket")
         return pa.concat_tables(
-            one.set_column(bi, "bucket", pa.array(base * salt_fan + s))
+            one.set_column(bi, "__bucket", pa.array(base * salt_fan + s))
             for s in range(salt_fan)
         )
 
     def kernel(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or "side" not in g.column_names:
+        if g.num_rows == 0 or "__side" not in g.column_names:
             return empty
-        side = g["side"].to_numpy(zero_copy_only=False)
+        side = g["__side"].to_numpy(zero_copy_only=False)
         L = g.filter(pa.array(side == 0))
         if L.num_rows == 0:
             return empty
@@ -373,4 +382,4 @@ def coshuffle_lookup(
     both = big.map_batches(tag_big, batch_format="pyarrow").union(
         small.map_batches(tag_small, batch_format="pyarrow")
     )
-    return grouped_map(both, "bucket", kernel, num_partitions=int(fan), batch_format="pyarrow")
+    return grouped_map(both, "__bucket", kernel, num_partitions=int(fan), batch_format="pyarrow")

@@ -187,21 +187,22 @@ def grouped_map(
 
     ``fn`` must not depend on intra-group row order (every call site here
     sorts internally) and must accept/return what ``batch_format`` implies
-    (pandas DataFrame or pyarrow Table).  The size check is a
-    ``limit(small_rows+1).count()`` probe: the streaming executor early-stops
-    the upstream once the limit is hit, so a 100-TB input pays a bounded
-    partial scan — NOT a full materialize pinning the whole tagged input in
-    the object store alongside the shuffle buffers (the probe's partial
-    upstream work is re-done by whichever path runs; tag stages are cheap
-    relative to the shuffle they feed).
+    (pandas DataFrame or pyarrow Table).  The size check materializes
+    ``limit(small_rows+1)`` — BOUNDED at small_rows+1 rows, never the full
+    input (the old full materialize pinned a 100-TB tagged input in the
+    object store alongside the shuffle buffers).  When the input fits, the
+    limited materialization IS the whole input and feeds the small path with
+    no re-execution; above the cap only the probe's early-stopped partial
+    work is discarded and the input streams into the real shuffle.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     npart = num_partitions if num_partitions is not None else shuffle_fan()
 
     if small_rows:
-        n = ds.limit(int(small_rows) + 1).count()
+        lim = ds.limit(int(small_rows) + 1).materialize()
+        n = lim.count()
         if 0 < n <= small_rows:
-            ds = ds.materialize()  # bounded: at most small_rows rows
+            ds = lim  # the limit was not hit: this is the full input
             if batch_format == "pandas":
 
                 def apply_block(b: pd.DataFrame):

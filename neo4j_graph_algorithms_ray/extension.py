@@ -116,4 +116,7 @@ def register_procedure(
     setattr(target, parts[-1], entry)
     mod = getattr(write or stream, "__module__", "?")
     fn_name = getattr(write or stream, "__qualname__", str(write or stream))
-    register_operator(f"algo.{name}", "extension", reference, f"{mod}.{fn_name}")
+    # catalog rows use bare names ('pagerank', 'louvain', ...) — register
+    # extensions the same way so algo.list() has ONE naming convention and
+    # unregister_operator takes the same string register_procedure did
+    register_operator(name, "extension", reference, f"{mod}.{fn_name}")

@@ -24,7 +24,9 @@ def is_finite(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def is_infinite(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    return pc.is_inf(arr)
+    """isInfinite(x): infinite and not null (IsFiniteFunc.java:39-46 returns
+    false for null; bare ``pc.is_inf`` would propagate null instead)."""
+    return pc.and_kleene(pc.is_inf(arr), pc.is_valid(arr))
 
 
 def coerce_to_double(arr: pa.ChunkedArray | pa.Array, default: float = 0.0) -> pa.Array:

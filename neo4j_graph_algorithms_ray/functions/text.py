@@ -36,7 +36,10 @@ LANG_RES = [(lang, re.compile(r"\b(?:" + "|".join(ws) + r")\b")) for lang, ws in
 
 
 def count_matches(texts: pd.Series, pattern: re.Pattern) -> np.ndarray:
-    return texts.str.count(pattern).to_numpy(dtype=np.int64)
+    # null text counts as 0 matches: .str.count yields NaN there, and
+    # NaN.astype(int64) wraps silently to INT64_MIN (garbage token/quality
+    # numbers downstream) instead of raising
+    return texts.str.count(pattern).fillna(0).to_numpy(dtype=np.int64)
 
 
 def normalize_ws(texts: pd.Series) -> pd.Series:
@@ -248,12 +251,14 @@ def batch_simhash64(texts) -> np.ndarray:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    # one-pass popcount via unpackbits (same pattern as state/bfs_shards):
+    # the previous 64-iteration shift/mask loop did 128 full-array passes
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    return (
+        np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
 
 
 def jaccard_word_ngrams(t1: str, t2: str, k: int = 3) -> float:

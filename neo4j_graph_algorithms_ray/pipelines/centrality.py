@@ -145,11 +145,18 @@ def _msbfs_pass(
     *,
     direction: str,
     sources: np.ndarray,
-    max_depth: int = 64,
+    max_depth: int = 10_000,
     collect_asp: bool = False,
     termination=None,
 ):
     """Run MS-BFS from ``sources`` in batches of 64; stats stay in-actor.
+
+    ``max_depth`` is a SAFETY cap, not a truncation knob: the fused rounds
+    stop as soon as a batch's frontier empties, so the default must exceed
+    any real diameter (the old default of 64 conflated the 64-source batch
+    width with a depth cap and silently truncated closeness / harmonic /
+    allShortestPaths on graphs with diameter > 64; the shard's int16 depth
+    lanes support up to 2^15).
 
     Returns (actors, asp_refs): per-vertex stats are fetched by the caller
     via ``stats_table``; when ``collect_asp`` the per-batch
@@ -206,7 +213,7 @@ def _centrality(
     *,
     direction: str,
     sample_sources: int | None = None,
-    max_depth: int = 64,
+    max_depth: int = 10_000,
     termination=None,
 ) -> CentralityResult:
     n = graph.n_vertices
@@ -266,7 +273,7 @@ def all_shortest_paths(
     *,
     direction: str = "OUTGOING",
     n_sources: int | None = None,
-    max_depth: int = 64,
+    max_depth: int = 10_000,
 ) -> rd.Dataset:
     """{source, target, distance} rows for every reachable pair (d=0 self rows
     included, matching ``MSBFSAllShortestPaths``'s stream which emits the

@@ -1272,7 +1272,7 @@ def quality_scores(docs: rd.Dataset) -> rd.Dataset:
         stop = T.count_matches(b["text"].str.lower(), T.STOPWORD_RE)
         punct = T.count_matches(b["text"], T.PUNCT_RE)
         upper = T.count_matches(b["text"], T.UPPER_RE)
-        nchars = b["text"].str.len().to_numpy(dtype=np.int64)
+        nchars = b["text"].str.len().fillna(0).to_numpy(dtype=np.int64)  # null text -> 0, not INT64_MIN
         stop_ratio = stop / np.maximum(words, 1)
         quality = (
             (nchars >= 100).astype(np.int64)
@@ -1319,7 +1319,7 @@ def text_stats(docs: rd.Dataset) -> rd.Dataset:
         stop = T.count_matches(b["text"].str.lower(), T.STOPWORD_RE)
         punct = T.count_matches(b["text"], T.PUNCT_RE)
         upper = T.count_matches(b["text"], T.UPPER_RE)
-        nchars = b["text"].str.len().to_numpy(dtype=np.int64)
+        nchars = b["text"].str.len().fillna(0).to_numpy(dtype=np.int64)  # null text -> 0, not INT64_MIN
         stop_ratio = stop / np.maximum(words, 1)
         quality = (
             (nchars >= 100).astype(np.int64)

@@ -779,7 +779,7 @@ def allShortestPaths_stream(graph, config=None, **kw) -> rd.Dataset:
         g,
         direction=str(cfg.get("direction", "OUTGOING")).upper(),
         n_sources=cfg.get("sourceCount"),
-        max_depth=int(cfg.get("maxDepth", 64)),
+        max_depth=int(cfg.get("maxDepth", 10_000)),
     )
     return _rename(
         asp, {"source": "sourceNodeId", "target": "targetNodeId", "distance": "distance"}

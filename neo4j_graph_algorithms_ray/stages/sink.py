@@ -92,6 +92,14 @@ def write_relationships(edges: rd.Dataset, path: str, bounds) -> list:
 
     def tag(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy()
+        # a u outside the graph's vid range would land in a partition id not
+        # in the write list and be SILENTLY dropped by resumable_write's
+        # filter — refuse loudly instead (edge table from a different graph)
+        if len(u) and (u.min() < b[0] or u.max() >= b[-1]):
+            raise ValueError(
+                f"write_relationships: u endpoints outside graph bounds "
+                f"[{b[0]}, {b[-1]}) — edge table does not match this graph"
+            )
         part = (np.searchsorted(b, u, side="right") - 1).astype(np.int64)
         return t.append_column("part", pa.array(part))
 

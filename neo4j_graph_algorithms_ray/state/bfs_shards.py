@@ -31,8 +31,13 @@ class MsBfsShard(EdgeShardBase):
     """One vertex range of an (up to) 64-source concurrent BFS."""
 
     def __init__(self, part, bounds, edges_dir, rev_edges_dir=None, direction="OUTGOING"):
-        # build the traversal edge list according to direction (like LP)
-        super().__init__(part, bounds, edges_dir, weighted=False)
+        # build the traversal edge list according to direction (like LP);
+        # INCOMING replaces the layout wholesale, so skip the forward
+        # read+sort the base would throw away
+        super().__init__(
+            part, bounds, edges_dir, weighted=False,
+            build_layout=(direction != "INCOMING"),
+        )
         if direction in ("INCOMING", "BOTH"):
             assert rev_edges_dir is not None
             t = _read_partition(rev_edges_dir, part, ["src", "dst"])

@@ -59,13 +59,31 @@ class EdgeShardBase:
     for map-side combining.
     """
 
-    def __init__(self, part: int, bounds, edges_dir: str, weighted: bool = False):
+    def __init__(
+        self, part: int, bounds, edges_dir: str, weighted: bool = False,
+        build_layout: bool = True,
+    ):
         self.part = int(part)
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
         self.lo = int(self.bounds[part])
         self.hi = int(self.bounds[part + 1])
         self.n_local = self.hi - self.lo
+
+        if not build_layout:
+            # subclass replaces the whole traversal layout (e.g. MS-BFS with
+            # direction=INCOMING reads only the reverse partition) — skip the
+            # forward read + O(E log E) sort that would be thrown away.
+            # outdeg is None, not zeros: a consumer that needs it should fail
+            # loudly rather than read silently-wrong degrees.
+            self.n_edges = 0
+            self.outdeg = None
+            self.esrc_by_dst = np.array([], dtype=np.int32)
+            self.w_by_dst = None
+            self.uniq_dst = np.array([], dtype=np.int64)
+            self.seg_starts = np.array([], dtype=np.int64)
+            self.dst_split = np.searchsorted(self.uniq_dst, self.bounds[1:-1])
+            return
 
         cols = ["src", "dst"] + (["weight"] if weighted else [])
         t = _read_partition(edges_dir, part, cols)

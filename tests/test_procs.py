@@ -347,12 +347,12 @@ def test_register_custom_procedure(pr_graph):
     assert stats.iloc[0]["writeProperty"] == "deg"
 
     cat = algo.list()
-    assert "algo.degree" in set(cat["name"])
+    assert "degree" in set(cat["name"])
 
     from neo4j_graph_algorithms_ray.catalog import unregister_operator
 
-    unregister_operator("algo.degree")
-    assert "algo.degree" not in set(algo.list()["name"])
+    unregister_operator("degree")
+    assert "degree" not in set(algo.list()["name"])
 
 
 def test_unionfind_from_raw_edge_table():

@@ -216,3 +216,91 @@ def test_grouped_map_probe_both_paths(ray_session):
             from_pandas_clean(df), "g", fold, num_partitions=2, small_rows=small_rows
         ).to_pandas()
         assert dict(zip(out["g"].astype(int), out["s"].astype(int))) == expect
+
+
+def test_is_infinite_null_is_false():
+    from neo4j_graph_algorithms_ray.functions.scalars import is_finite, is_infinite
+
+    arr = pa.chunked_array([[1.0, None, float("inf"), float("-inf"), float("nan")]])
+    assert is_infinite(arr).to_pylist() == [False, False, True, True, False]
+    assert is_finite(arr).to_pylist() == [True, False, False, False, False]
+
+
+def test_count_matches_null_text_is_zero():
+    from neo4j_graph_algorithms_ray.functions import text as T
+
+    s = pd.Series(["a b c", None, ""])
+    out = T.count_matches(s, T.WORD_RE)
+    assert list(out) == [3, 0, 0]  # NaN used to wrap to INT64_MIN
+
+
+def test_hamming64_matches_bin_popcount():
+    from neo4j_graph_algorithms_ray.functions.text import hamming64
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2**63, size=257, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 2**63, size=257, dtype=np.int64).astype(np.uint64)
+    got = hamming64(a, b)
+    want = [bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b)]
+    assert list(got) == want
+    assert list(hamming64(np.array([], np.uint64), np.array([], np.uint64))) == []
+
+
+def test_msbfs_depth_beyond_64(ray_session, tmp_path):
+    """A 100-vertex directed chain has diameter 99 — the old default
+    max_depth=64 silently truncated closeness/harmonic past depth 64."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.centrality import (
+        closeness_centrality,
+        harmonic_centrality,
+    )
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph_from_edges
+
+    n = 100
+    edges = from_pandas_clean(
+        pd.DataFrame(
+            {
+                "src": np.arange(n - 1, dtype=np.int64),
+                "dst": np.arange(1, n, dtype=np.int64),
+                "weight": np.ones(n - 1),
+            }
+        )
+    )
+    g = build_graph_from_edges(edges, n, str(tmp_path / "chain"), P=2)
+    c = (
+        closeness_centrality(g, direction="OUTGOING")
+        .scores.to_pandas()
+        .sort_values("vid")["centrality"]
+        .to_numpy()
+    )
+    # MS-BFS accumulates farness AT the visited vertex (sum of distances
+    # from all sources that reach it — MSClosenessCentrality semantics):
+    # with OUTGOING edges the chain's LAST vertex collects 1+2+...+99 = 4950
+    # (only if BFS runs past depth 64; the old cap stopped at 64)
+    assert c[n - 1] == pytest.approx((n - 1) / 4950)
+    # INCOMING exercises the reverse-only layout (build_layout=False path):
+    # now the FIRST vertex collects all 99 distances
+    ci = (
+        closeness_centrality(g, direction="INCOMING")
+        .scores.to_pandas()
+        .sort_values("vid")["centrality"]
+        .to_numpy()
+    )
+    assert ci[0] == pytest.approx((n - 1) / 4950)
+    h = (
+        harmonic_centrality(g, direction="OUTGOING")
+        .scores.to_pandas()
+        .sort_values("vid")["centrality"]
+        .to_numpy()
+    )
+    want_h = sum(1.0 / d for d in range(1, n)) / (n - 1)
+    assert h[n - 1] == pytest.approx(want_h)
+
+
+def test_write_relationships_out_of_bounds_raises(ray_session, tmp_path):
+    from neo4j_graph_algorithms_ray.stages.sink import write_relationships
+
+    edges = from_pandas_clean(pd.DataFrame({"u": [1, 50], "v": [2, 3]}))
+    with pytest.raises(Exception, match="bounds"):
+        write_relationships(edges, str(tmp_path / "rels"), [0, 5, 10])

@@ -62,9 +62,19 @@ def _run_batch(actors, batch, max_depth: int) -> int:
                 break
             deepest = lag
     # drain the in-flight tail (≤2 rounds) to pin down the exact max depth
+    tail_alive = False
     for j in sorted(counts):
         if sum(ray.get(counts[j])) > 0:
             deepest = j
+            tail_alive = j == max(counts)
+    if r >= max_depth and tail_alive:
+        # the frontier was still alive when the cap bound — truncating the
+        # forward pass silently skews every dependency score (the cap is a
+        # runaway safety, same contract as centrality._msbfs_pass)
+        raise RuntimeError(
+            f"betweenness forward BFS still progressing at max_depth="
+            f"{max_depth}; raise max_depth (graph diameter exceeds the cap)"
+        )
 
     if deepest > 0:
         ray.get([a.bwd_init.remote(deepest) for a in actors])

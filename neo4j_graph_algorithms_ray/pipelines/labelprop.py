@@ -163,7 +163,7 @@ def label_propagation(
     load_s = time.perf_counter() - t0
 
     t1 = time.perf_counter()
-    ran = start_iter
+    ran = 0  # iterations run THIS session (pagerank's resume contract)
     converged = False
     try:
         if ckpt is None and start_iter == 0:
@@ -187,7 +187,7 @@ def label_propagation(
                         ]
                     )
                     total_changed += sum(changed)
-                ran = it + 1
+                ran = it - start_iter + 1
                 if ckpt is not None:
                     files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
                     ckpt.commit_iteration(

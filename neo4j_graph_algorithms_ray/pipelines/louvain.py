@@ -14,7 +14,6 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
-import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -120,7 +119,7 @@ def louvain(
         return [a.step.remote(parity) for a in actors]
 
     t1 = time.perf_counter()
-    ran = start_iter
+    ran = 0  # iterations run THIS session (pagerank's resume contract)
     try:
         if ckpt is None and start_iter == 0:
             # run-ahead loop: submit iterations back-to-back, read changed
@@ -156,7 +155,7 @@ def louvain(
                     ray.get(acks)
                     acks.clear()
                     total_changed += sum(ray.get(refs))
-                ran = it + 1
+                ran = it - start_iter + 1
                 if ckpt is not None:
                     files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
                     ckpt.commit_iteration(
@@ -178,13 +177,18 @@ def louvain(
         raise
     compute_s = time.perf_counter() - t1
 
-    tabs = ray.get([a.comm_table.remote() for a in actors])
+    # result Dataset straight from shard refs (pagerank/labelprop/scc
+    # protocol) — the O(V) community table never lands on the driver; the
+    # global community count folds per-shard DISTINCT sets (O(#communities
+    # x P), not O(V))
+    comm_refs = [a.comm_table.remote() for a in actors]
+    distinct = ray.get([a.comm_distinct.remote() for a in actors])
+    ray.wait(comm_refs, num_returns=len(comm_refs), fetch_local=False)
     for a in actors:
         ray.kill(a, no_restart=True)
-    t = pa.concat_tables(tabs)
-    n_comm = len(np.unique(t["community"].to_numpy()))
+    n_comm = len(np.unique(np.concatenate(distinct))) if distinct else 0
     return LouvainResult(
-        communities=rd.from_arrow(t),
+        communities=rd.from_arrow_refs(comm_refs),
         iterations=ran,
         community_count=n_comm,
         nodes=graph.n_vertices,

@@ -82,7 +82,7 @@ def _contract(sel: rd.Dataset, fanin: int = 8) -> rd.Dataset:
 
 # vertex count above which Borůvka switches from the actor-exchange fast
 # path (component labels broadcast per round) to the all-Dataset rounds
-BROADCAST_MAX_V = 5_000_000
+from ..stages.joins import BROADCAST_MAX_V  # one engine-wide broadcast ceiling
 
 
 class _MstShard:

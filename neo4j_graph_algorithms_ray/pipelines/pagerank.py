@@ -155,7 +155,9 @@ def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ever
             if max_delta < tol:
                 converged = True
                 break
-    if max_delta == float("inf"):
+    if not converged and ran:
+        # a non-converged exit would otherwise report the LAGGED delta (up
+        # to check_every+2 rounds stale) against the final applied scores
         max_delta = max(_ray.get(md_history[ran - 1]))
     return ran, converged, max_delta
 
@@ -241,7 +243,12 @@ def pagerank(
     ran = 0
     t1 = time.perf_counter()
     try:
-        if exchange == "mailbox" and start_iter == 0:
+        if n_iter <= 0:
+            # 0 applies: return the initialization scores. The fused loop
+            # would KeyError on its empty delta history and the mailbox
+            # block loop (block=0) would never advance.
+            ran, converged, max_delta = 0, False, float("inf")
+        elif exchange == "mailbox" and start_iter == 0:
             ran, converged, max_delta = _run_mailbox(
                 actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every,
                 termination,

@@ -44,45 +44,56 @@ def shortest_path(
     driver contract a deterministic single-pair query."""
     from .centrality import run_fused_rounds
 
+    n = graph.n_vertices
+    if not (0 <= int(source) < n) or (target is not None and not (0 <= int(target) < n)):
+        raise ValueError(
+            f"shortest_path: source/target must be vids in [0, {n}); "
+            f"got source={source} target={target}"
+        )
     actors = make_shard_actors(SsspShard, graph, actor_kwargs={"weighted": weighted})
-    ray.get([a.ready.remote() for a in actors])
-    ray.get([a.start.remote(int(source)) for a in actors])
-    rounds = run_fused_rounds(actors, "step", max_rounds)
+    try:
+        ray.get([a.ready.remote() for a in actors])
+        ray.get([a.start.remote(int(source)) for a in actors])
+        rounds = run_fused_rounds(actors, "step", max_rounds)
 
-    bounds = graph.bounds
+        bounds = graph.bounds
 
-    def owner(vid: int) -> int:
-        return int(np.searchsorted(bounds, vid, side="right") - 1)
+        def owner(vid: int) -> int:
+            return int(np.searchsorted(bounds, vid, side="right") - 1)
 
-    if target is None:
-        # farthest reachable: max distance then max vid (deterministic)
-        import pyarrow as pa
+        if target is None:
+            # farthest reachable: max distance then max vid (deterministic)
+            import pyarrow as pa
 
-        tabs = ray.get([a.dist_table.remote() for a in actors])
-        t = pa.concat_tables(tabs)
-        d = t["distance"].to_numpy()
-        v = t["vid"].to_numpy()
-        finite = np.isfinite(d)
-        dv, vv = d[finite], v[finite]
-        order = np.lexsort((-vv, -dv))
-        target = int(vv[order[0]])
+            tabs = ray.get([a.dist_table.remote() for a in actors])
+            t = pa.concat_tables(tabs)
+            d = t["distance"].to_numpy()
+            v = t["vid"].to_numpy()
+            finite = np.isfinite(d)
+            dv, vv = d[finite], v[finite]
+            order = np.lexsort((-vv, -dv))
+            target = int(vv[order[0]])
 
-    # walk back through predecessors (per-hop shard lookups)
-    hops = []
-    cur = int(target)
-    dist_t, _ = ray.get(actors[owner(cur)].path_info.remote(cur))
-    total = dist_t
-    while True:
-        dcur, pred = ray.get(actors[owner(cur)].path_info.remote(cur))
-        if not np.isfinite(dcur):
-            hops = []  # unreachable target
-            break
-        hops.append((cur, dcur))
-        if cur == int(source) or pred < 0:
-            break
-        cur = int(pred)
-    for a in actors:
-        ray.kill(a, no_restart=True)
+        # walk back through predecessors (per-hop shard lookups)
+        hops = []
+        cur = int(target)
+        total = float("inf")
+        while True:
+            dcur, pred = ray.get(actors[owner(cur)].path_info.remote(cur))
+            if cur == int(target):
+                total = dcur  # first hop IS the target — no separate fetch
+            if not np.isfinite(dcur):
+                hops = []  # unreachable target
+                break
+            hops.append((cur, dcur))
+            if cur == int(source) or pred < 0:
+                break
+            cur = int(pred)
+    finally:
+        # any failure (shard error, cancel) must not leak the pool — the
+        # sibling pipelines all kill their actors on the error path too
+        for a in actors:
+            ray.kill(a, no_restart=True)
     hops.reverse()
     path = pd.DataFrame(
         {

@@ -51,12 +51,23 @@ def _phase_to_fixpoint(actors, begin: str, step: str, begin_args=(), max_rounds=
         return
     msgs = [getattr(a, step).options(num_returns=2).remote() for a in actors]
     prev = [m[1] for m in msgs]
+    converged = False
     for _ in range(max_rounds):
         packed = [m[0] for m in msgs]
         msgs = [getattr(a, step).options(num_returns=2).remote(*packed) for a in actors]
         if sum(ray.get(prev)) == 0:
+            converged = True
             break
         prev = [m[1] for m in msgs]
+    if not converged:
+        # a silently-truncated color/backward flood fragments SCCs into wrong
+        # labels (e.g. a >max_rounds-cycle splinters into singletons) — the
+        # cap is a runaway safety, not a truncation knob
+        raise RuntimeError(
+            f"SCC phase {step!r} did not converge within max_bsp_rounds="
+            f"{max_rounds}; raise max_bsp_rounds (graph has BFS distances "
+            "beyond the cap inside one phase)"
+        )
     # drain: the in-flight round must finish before the next phase's begin
     # reads shard state (actor task ordering guarantees it per-actor; the
     # counts are fetched so errors surface here, not in the next phase)

@@ -45,7 +45,7 @@ import os
 
 # vertex count above which degree orientation switches from a broadcast
 # array to Dataset hash joins (tests lower it to exercise the join path)
-BROADCAST_MAX_V = 5_000_000
+from ..stages.joins import BROADCAST_MAX_V  # one engine-wide broadcast ceiling
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +235,28 @@ class TriangleResult:
     metrics: dict = field(default_factory=dict)
 
 
+def _canon_kernel(t: pa.Table, bounds) -> pa.Table:
+    """Canonical undirected edges: drop self-loops, (min,max) order, batch-level
+    np.unique combine, owner-of-min partition tag.  Shared by the actor-mode
+    edge feed and the dataset-mode raw write (one kernel — the two paths must
+    canonicalize identically or their triangle counts diverge)."""
+    s = t["src"].to_numpy()
+    d = t["dst"].to_numpy()
+    keep = s != d
+    s, d = s[keep], d[keep]
+    u = np.minimum(s, d)
+    v = np.maximum(s, d)
+    packed = (
+        np.unique(np.stack([u, v], axis=1), axis=0)  # map-side combine
+        if len(u)
+        else np.empty((0, 2), np.int64)
+    )
+    part = np.searchsorted(bounds, packed[:, 0], side="right") - 1
+    return pa.table(
+        {"u": pa.array(packed[:, 0]), "v": pa.array(packed[:, 1]), "part": pa.array(part)}
+    )
+
+
 def _canonical_edges(graph: BuiltGraph) -> rd.Dataset:
     """Undirected dedup: {u,v} with u<v, distinct (asUndirected+sort load).
 
@@ -245,17 +267,7 @@ def _canonical_edges(graph: BuiltGraph) -> rd.Dataset:
     bounds = graph.bounds
 
     def canon(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy()
-        d = t["dst"].to_numpy()
-        keep = s != d
-        s, d = s[keep], d[keep]
-        u = np.minimum(s, d)
-        v = np.maximum(s, d)
-        packed = np.unique(np.stack([u, v], axis=1), axis=0)  # map-side combine
-        part = np.searchsorted(bounds, packed[:, 0], side="right") - 1
-        return pa.table(
-            {"u": pa.array(packed[:, 0]), "v": pa.array(packed[:, 1]), "part": pa.array(part)}
-        )
+        return _canon_kernel(t, bounds)
 
     def dedup_bucket(g: pa.Table) -> pa.Table:
         m = np.stack([g["u"].to_numpy(), g["v"].to_numpy()], axis=1)
@@ -375,21 +387,7 @@ def _write_canonical_raw(graph: BuiltGraph, raw_dir: str):
     bounds = graph.bounds
 
     def canon(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy()
-        d = t["dst"].to_numpy()
-        keep = s != d
-        s, d = s[keep], d[keep]
-        u = np.minimum(s, d)
-        v = np.maximum(s, d)
-        packed = (
-            np.unique(np.stack([u, v], axis=1), axis=0)
-            if len(u)
-            else np.empty((0, 2), np.int64)
-        )
-        part = np.searchsorted(bounds, packed[:, 0], side="right") - 1
-        return pa.table(
-            {"u": pa.array(packed[:, 0]), "v": pa.array(packed[:, 1]), "part": pa.array(part)}
-        )
+        return _canon_kernel(t, bounds)
 
     os.makedirs(raw_dir, exist_ok=True)
     graph.edges_ds(columns=["src", "dst"]).map_batches(

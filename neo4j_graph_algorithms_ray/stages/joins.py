@@ -36,6 +36,10 @@ import ray.data as rd
 from ..sources.readers import from_pandas_clean as _from_pandas_clean
 
 BROADCAST_MAX_ROWS = 5_000_000
+# single-node O(V) mode ceiling shared by the algorithms that switch between
+# an actor/broadcast implementation and a distributed dataset one (mst,
+# triangles import this — one knob, not per-file copies)
+BROADCAST_MAX_V = BROADCAST_MAX_ROWS
 
 
 class _BroadcastVidMapper:

@@ -227,6 +227,11 @@ class LouvainShard:
             }
         )
 
+    def comm_distinct(self) -> np.ndarray:
+        """Local distinct community ids — O(#communities) per shard, so the
+        driver can count globals without pulling the O(V) table."""
+        return np.unique(self.comm)
+
     def save_state(self, ckpt_dir: str, iteration: int) -> str:
         """Atomic per-partition community checkpoint (PageRank protocol)."""
         import os

@@ -304,3 +304,75 @@ def test_write_relationships_out_of_bounds_raises(ray_session, tmp_path):
     edges = from_pandas_clean(pd.DataFrame({"u": [1, 50], "v": [2, 3]}))
     with pytest.raises(Exception, match="bounds"):
         write_relationships(edges, str(tmp_path / "rels"), [0, 5, 10])
+
+
+@pytest.fixture(scope="module")
+def chain_graph(ray_session, tmp_path_factory):
+    """10-vertex directed chain used by the truncation/degenerate-arg tests."""
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph_from_edges
+
+    n = 10
+    edges = from_pandas_clean(
+        pd.DataFrame(
+            {
+                "src": np.arange(n - 1, dtype=np.int64),
+                "dst": np.arange(1, n, dtype=np.int64),
+                "weight": np.ones(n - 1),
+            }
+        )
+    )
+    return build_graph_from_edges(
+        edges, n, str(tmp_path_factory.mktemp("chain10")), P=2
+    )
+
+
+def test_pagerank_zero_iterations(chain_graph):
+    """iterations=0 used to KeyError (fused) / hang forever (mailbox)."""
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import pagerank
+
+    for exchange in ("fused", "mailbox"):
+        res = pagerank(chain_graph, iterations=0, exchange=exchange)
+        assert res.ran_iterations == 0
+        df = res.scores.to_pandas()
+        assert len(df) == chain_graph.n_vertices
+
+
+def test_scc_raises_on_bsp_round_cap(ray_session, tmp_path):
+    """A directed cycle needs ~n color rounds; a binding cap must raise, not
+    silently fragment the SCC into singletons."""
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph_from_edges
+    from neo4j_graph_algorithms_ray.pipelines.scc import strongly_connected_components
+
+    n = 12
+    edges = from_pandas_clean(
+        pd.DataFrame(
+            {
+                "src": np.arange(n, dtype=np.int64),
+                "dst": (np.arange(n, dtype=np.int64) + 1) % n,
+                "weight": np.ones(n),
+            }
+        )
+    )
+    g = build_graph_from_edges(edges, n, str(tmp_path / "cycle"), P=2)
+    with pytest.raises(RuntimeError, match="max_bsp_rounds"):
+        strongly_connected_components(g, max_bsp_rounds=3)
+    res = strongly_connected_components(g)  # default cap: one SCC
+    assert res.labels.to_pandas()["label"].nunique() == 1
+
+
+def test_betweenness_raises_when_depth_cap_binds(chain_graph):
+    from neo4j_graph_algorithms_ray.pipelines.betweenness import betweenness_centrality
+
+    with pytest.raises(RuntimeError, match="max_depth"):
+        betweenness_centrality(chain_graph, max_depth=3)
+
+
+def test_shortest_path_out_of_range_raises(chain_graph):
+    from neo4j_graph_algorithms_ray.pipelines.paths import shortest_path
+
+    with pytest.raises(ValueError, match="vids"):
+        shortest_path(chain_graph, source=0, target=chain_graph.n_vertices + 5)
+    with pytest.raises(ValueError, match="vids"):
+        shortest_path(chain_graph, source=-1)
+    res = shortest_path(chain_graph, 0, chain_graph.n_vertices - 1)
+    assert res.node_count == chain_graph.n_vertices  # path covers the chain

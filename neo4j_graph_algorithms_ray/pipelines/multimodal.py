@@ -61,15 +61,17 @@ def attach_binary_payload(docs: rd.Dataset) -> rd.Dataset:
         rel = np.arange(nbody, dtype=np.int64) - np.repeat(csum, lens)
         out[rel + np.repeat(starts + 8, lens)] = data[rel + np.repeat(off[:-1], lens)]
         new_off = np.concatenate([[0], np.cumsum(out_lens)])
+        # py_buffer wraps the ndarrays via the buffer protocol (and keeps
+        # them alive) — .tobytes() here would copy the whole payload twice
         if new_off[-1] <= np.iinfo(np.int32).max:
             payload = pa.BinaryArray.from_buffers(
                 pa.binary(), n,
-                [None, pa.py_buffer(new_off.astype(np.int32).tobytes()), pa.py_buffer(out.tobytes())],
+                [None, pa.py_buffer(new_off.astype(np.int32)), pa.py_buffer(out)],
             )
         else:
             payload = pa.LargeBinaryArray.from_buffers(
                 pa.large_binary(), n,
-                [None, pa.py_buffer(new_off.tobytes()), pa.py_buffer(out.tobytes())],
+                [None, pa.py_buffer(new_off), pa.py_buffer(out)],
             )
         return pa.table(
             {
@@ -187,14 +189,33 @@ class DecodeStage:
         )
 
 
-def decode_metadata(binary_ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 256) -> rd.Dataset:
-    """Binary column -> typed metadata via the actor-pool decode stage."""
+def decode_metadata(
+    binary_ds: rd.Dataset, *, real: bool = False, feature_dim: int = 8,
+    concurrency=(1, 4), batch_size: int = 256,
+) -> rd.Dataset:
+    """Binary column -> typed metadata via the actor-pool decode stage.
+    ``real=True`` forwards to DecodeStage's Pillow path (loaded once per
+    actor) — previously unreachable through this public wrapper."""
     return binary_ds.map_batches(
         DecodeStage,
-        fn_constructor_kwargs={"real": False},
+        fn_constructor_kwargs={"real": real, "feature_dim": feature_dim},
         batch_format="pyarrow",
         batch_size=batch_size,  # small: rows are wide binary
         concurrency=concurrency,
+    )
+
+
+def compute_resize(w: np.ndarray, h: np.ndarray, max_w: int, max_h: int):
+    """Aspect-preserving fit + the engine's quantization, shared by
+    ResizeStage and meta_with_resize (one kernel — the oracle pins this
+    exact rounding).  Returns (r_width, r_height, scale_u)."""
+    w = np.asarray(w, dtype=np.float64)
+    h = np.asarray(h, dtype=np.float64)
+    scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+    return (
+        np.floor(w * scale + 0.5).astype(np.int64),
+        np.floor(h * scale + 0.5).astype(np.int64),
+        np.floor(scale * 1e6 + 0.5).astype(np.int64),
     )
 
 
@@ -214,15 +235,15 @@ class ResizeStage:
         self.max_h = int(max_h)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        w = t["width"].to_numpy().astype(np.float64)
-        h = t["height"].to_numpy().astype(np.float64)
-        scale = np.minimum(1.0, np.minimum(self.max_w / w, self.max_h / h))
+        rw, rh, su = compute_resize(
+            t["width"].to_numpy(), t["height"].to_numpy(), self.max_w, self.max_h
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "width": pa.array(np.floor(w * scale + 0.5).astype(np.int64)),
-                "height": pa.array(np.floor(h * scale + 0.5).astype(np.int64)),
-                "scale_u": pa.array(np.floor(scale * 1e6 + 0.5).astype(np.int64)),
+                "width": pa.array(rw),
+                "height": pa.array(rh),
+                "scale_u": pa.array(su),
             }
         )
 
@@ -246,9 +267,9 @@ def meta_with_resize(decoded: rd.Dataset, *, max_w: int = 32, max_h: int = 32) -
     merged query for the meta/resized pair)."""
 
     def stage(t: pa.Table) -> pa.Table:
-        w = t["width"].to_numpy().astype(np.float64)
-        h = t["height"].to_numpy().astype(np.float64)
-        scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+        rw, rh, su = compute_resize(
+            t["width"].to_numpy(), t["height"].to_numpy(), max_w, max_h
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -256,9 +277,9 @@ def meta_with_resize(decoded: rd.Dataset, *, max_w: int = 32, max_h: int = 32) -
                 "width": t["width"],
                 "height": t["height"],
                 "n_frames": t["n_frames"],
-                "r_width": pa.array(np.floor(w * scale + 0.5).astype(np.int64)),
-                "r_height": pa.array(np.floor(h * scale + 0.5).astype(np.int64)),
-                "scale_u": pa.array(np.floor(scale * 1e6 + 0.5).astype(np.int64)),
+                "r_width": pa.array(rw),
+                "r_height": pa.array(rh),
+                "scale_u": pa.array(su),
             }
         )
 

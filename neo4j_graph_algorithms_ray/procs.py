@@ -144,10 +144,32 @@ def _as_graph(graph, cfg) -> tuple[BuiltGraph, int]:
 
         mx = graph.aggregate(Max("src"), Max("dst"))
         n_vertices = int(max(mx["max(src)"], mx["max(dst)"])) + 1
-    workdir = cfg.get("workdir") or tempfile.mkdtemp(prefix="algo_graph_", dir="/tmp")
+    workdir = cfg.get("workdir")
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="algo_graph_", dir="/tmp")
+        _TEMP_GRAPH_DIRS.append(workdir)  # reaped at interpreter exit
     P = int(cfg.get("concurrency", 8))
     g = build_graph_from_edges(graph, n_vertices, workdir, P=P, default_weight=default_w)
     return g, _millis(t0)
+
+
+_TEMP_GRAPH_DIRS: list[str] = []
+
+
+def _reap_temp_graph_dirs() -> None:
+    """Remove the per-call graph tempdirs _as_graph materialized (each holds
+    vertices + all edge layouts; a long proc loop would otherwise leak
+    unbounded /tmp disk past process exit).  Also exposed as
+    ``algo.cleanup()`` for long-lived sessions."""
+    import shutil
+
+    while _TEMP_GRAPH_DIRS:
+        shutil.rmtree(_TEMP_GRAPH_DIRS.pop(), ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_reap_temp_graph_dirs)
 
 
 def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
@@ -157,14 +179,21 @@ def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _write_back(ds: rd.Dataset, graph: BuiltGraph, cfg, default_prop: str) -> tuple[int, str, bool]:
+def _write_back(
+    ds: rd.Dataset, graph: BuiltGraph, cfg, default_prop: str, *, prop_key: str = "writeProperty"
+) -> tuple[int, str, bool]:
     """Parquet write-back sink (Exporter.java:49-117 analogue).
 
     Returns (writeMillis, writeProperty, write).  ``writeMillis`` is -1 when
     ``write: False`` — same sentinel the reference stats rows carry.
+    ``prop_key`` is the proc's OPERATIVE property key: partition-writing
+    procs (unionFind/scc/labelPropagation/mscoloring) pass
+    ``partitionProperty`` so an explicit partition property is not silently
+    overridden by ``writeProperty`` (the reference reads the partition key
+    for those procs); ``writeProperty`` remains the fallback.
     """
     write = bool(cfg.get("write", True))
-    prop = cfg.get("writeProperty", default_prop)
+    prop = cfg.get(prop_key, cfg.get("writeProperty", default_prop))
     if not write:
         return -1, prop, False
     t0 = _now()
@@ -213,7 +242,17 @@ def _pagerank_run(graph, cfg):
 
     iters = int(cfg.get("iterations", 20))
     damping = float(cfg.get("dampingFactor", 0.85))
-    r = pagerank(g, damping=damping, iterations=iters, tol=None)
+    if "tol" in cfg:
+        # tol is a VALIDATED key — silently pinning tol=None would drop it;
+        # convergence mode runs to the tolerance, capped at `iterations`
+        # applies when given (else the library default cap)
+        r = pagerank(
+            g, damping=damping, iterations=None, tol=float(cfg["tol"]),
+            max_iterations=iters if "iterations" in cfg else 200,
+        )
+        iters = r.ran_iterations
+    else:
+        r = pagerank(g, damping=damping, iterations=iters, tol=None)
     return g, load_ms, r, iters, damping
 
 
@@ -266,7 +305,7 @@ def unionFind(graph, config=None, **kw) -> pd.DataFrame:
     set_count = r.set_count()
     post_ms = _millis(t0)
     out = _rename(r.labels, {"vid": "nodeId", "label": "setId"})
-    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("partitionProperty", "partition"))
+    w_ms, prop, write = _write_back(out, g, cfg, "partition", prop_key="partitionProperty")
     return _stats(
         loadMillis=load_ms,
         computeMillis=comp_ms,
@@ -297,7 +336,7 @@ def mscoloring_proc(graph, config=None, **kw) -> pd.DataFrame:
     comp_ms = _millis(t0)
     out = _rename(colors, {"vid": "nodeId", "color": "setId"})
     set_count = len(colors.unique("color"))
-    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("partitionProperty", "partition"))
+    w_ms, prop, write = _write_back(out, g, cfg, "partition", prop_key="partitionProperty")
     return _stats(
         loadMillis=load_ms,
         computeMillis=comp_ms,
@@ -340,7 +379,7 @@ def labelPropagation(graph, config=None, **kw) -> pd.DataFrame:
     r = label_propagation(g, seeds=cfg.get("seeds"), direction=direction, max_iterations=iters)
     comp_ms = _millis(t0)
     out = _rename(r.labels, {"vid": "nodeId", "label": "label"})
-    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("partitionProperty", "partition"))
+    w_ms, prop, write = _write_back(out, g, cfg, "partition", prop_key="partitionProperty")
     return _stats(
         nodes=r.nodes,
         iterations=r.ran_iterations,
@@ -614,7 +653,7 @@ def scc_proc(graph, config=None, **kw) -> pd.DataFrame:
     agg = sizes.aggregate(Min("size"), Max("size"))
     set_count = sizes.count()
     out = _rename(r.labels, {"vid": "nodeId", "label": "partition"})
-    w_ms, prop, write = _write_back(out, g, cfg, cfg.get("partitionProperty", "partition"))
+    w_ms, prop, write = _write_back(out, g, cfg, "partition", prop_key="partitionProperty")
     return _stats(
         loadMillis=load_ms,
         computeMillis=comp_ms,
@@ -713,7 +752,10 @@ def shortestPath_stream(graph, startNode, endNode=None, config=None, **kw) -> rd
         None if endNode is None else _resolve_node(g, endNode),
         weighted=g.weighted or bool(cfg.get("weighted", False)),
     )
-    df = r.path.rename(columns={"vid": "nodeId", "cost_u": "cost"})[["nodeId", "cost"]]
+    df = r.path.rename(columns={"vid": "nodeId"})[["nodeId"]].copy()
+    # stream the REAL double cost (ShortestPathProc streams doubles) — the
+    # pipeline's cost_u is the 1e3-quantized transport, not the cost
+    df["cost"] = r.path["cost_u"].to_numpy() / 1000.0
     return _from_pandas_clean(df)
 
 
@@ -754,7 +796,7 @@ def deltaStepping(graph, startNode, delta=1.0, config=None, **kw) -> pd.DataFram
     """``CALL algo.shortestPath.deltaStepping(start, delta, ...)`` — stats row
     (DeltaSteppingProcResult)."""
     cfg = _cfg(config, kw)
-    g, load_ms, r, eval_ms = _sssp_run(graph, startNode, cfg, delta=delta)
+    g, load_ms, r, eval_ms = _sssp_run(graph, startNode, cfg, delta=float(cfg.get("delta", delta)))
     out = _rename(r.distances, {"vid": "nodeId", "distance": "distance"})
     w_ms, prop, write = _write_back(out, g, cfg, cfg.get("writeProperty", "sssp"))
     return _stats(
@@ -764,7 +806,7 @@ def deltaStepping(graph, startNode, delta=1.0, config=None, **kw) -> pd.DataFram
 
 def deltaStepping_stream(graph, startNode, delta=1.0, config=None, **kw) -> rd.Dataset:
     cfg = _cfg(config, kw)
-    _, _, r, _ = _sssp_run(graph, startNode, cfg, delta=delta)
+    _, _, r, _ = _sssp_run(graph, startNode, cfg, delta=float(cfg.get("delta", delta)))
     return _rename(r.distances, {"vid": "nodeId", "distance": "distance"})
 
 
@@ -911,6 +953,7 @@ algo = Namespace(
     allShortestPaths=Namespace(stream=allShortestPaths_stream),
     mst=Proc(mst),
     list=Proc(list_procs),
+    cleanup=_reap_temp_graph_dirs,  # reap _as_graph tempdirs mid-session
     isFinite=is_finite,
     isInfinite=is_infinite,
     Infinity=infinity,

@@ -342,8 +342,28 @@ def corpus_path_for(sf_dir: str) -> str:
     out = os.path.join(CORPUS_CACHE_ROOT, base)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
-        write_powerlaw_corpus(out, n_files, n_repos, avg_out, _CORPUS_SEED)
-        with open(marker, "w") as f:
-            f.write("ok")
+        # build into a fresh temp dir and rename atomically: write_parquet
+        # APPENDS uniquely-named files, so rebuilding into a half-written
+        # dir (crash before the marker, or an engine/oracle race) would
+        # silently duplicate every (repo, path) row
+        import shutil
+        import tempfile
+
+        os.makedirs(CORPUS_CACHE_ROOT, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f".{base}_build_", dir=CORPUS_CACHE_ROOT)
+        try:
+            write_powerlaw_corpus(tmp, n_files, n_repos, avg_out, _CORPUS_SEED)
+            with open(os.path.join(tmp, "_DONE"), "w") as f:
+                f.write("ok")
+            if os.path.isdir(out) and not os.path.exists(marker):
+                shutil.rmtree(out)  # stale half-write from an old crash
+            try:
+                os.rename(tmp, out)  # atomic publish; loser of a race cleans up
+            except OSError:
+                if not os.path.exists(marker):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return out

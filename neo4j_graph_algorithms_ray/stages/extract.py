@@ -32,14 +32,16 @@ EDGE_SCHEMA = pa.schema(
 )
 
 # per-lang: (pattern with groups (module, weight?), module->relpath resolver)
+# line anchors accept an optional trailing \r: with (?m) `$` matches before
+# \n only, so CRLF content would otherwise yield ZERO edges silently
 _WEIGHT_SFX = r"(?:  # w=([0-9.]+))?"
 _LANG_RULES: dict[str, tuple[str, str]] = {
     # group 1 = module, group 2 = optional weight
-    "py": (r"(?m)^(?:import|from) ([A-Za-z_][A-Za-z0-9_.]*)(?: import [A-Za-z_*][A-Za-z0-9_]*)?" + _WEIGHT_SFX + r"$", "dotted_py"),
-    "js": (r"(?m)^import .* from '\./([A-Za-z0-9_/.-]+)'" + _WEIGHT_SFX + r"$", "rel_js"),
-    "java": (r"(?m)^import ([A-Za-z_][A-Za-z0-9_.]*);" + _WEIGHT_SFX + r"$", "dotted_java"),
-    "c": (r'(?m)^#include "([A-Za-z0-9_/.-]+)"' + _WEIGHT_SFX + r"$", "verbatim"),
-    "go": (r'(?m)^import "([A-Za-z0-9_/.-]+)"' + _WEIGHT_SFX + r"$", "suffix_go"),
+    "py": (r"(?m)^(?:import|from) ([A-Za-z_][A-Za-z0-9_.]*)(?: import [A-Za-z_*][A-Za-z0-9_]*)?" + _WEIGHT_SFX + r"\r?$", "dotted_py"),
+    "js": (r"(?m)^import .* from '\./([A-Za-z0-9_/.-]+)'" + _WEIGHT_SFX + r"\r?$", "rel_js"),
+    "java": (r"(?m)^import ([A-Za-z_][A-Za-z0-9_.]*);" + _WEIGHT_SFX + r"\r?$", "dotted_java"),
+    "c": (r'(?m)^#include "([A-Za-z0-9_/.-]+)"' + _WEIGHT_SFX + r"\r?$", "verbatim"),
+    "go": (r'(?m)^import "([A-Za-z0-9_/.-]+)"' + _WEIGHT_SFX + r"\r?$", "suffix_go"),
 }
 
 

@@ -107,8 +107,16 @@ def _int_lookup_batch(t: pa.Table, ref, key, value, default) -> pa.Table:
     df = ray.get(ref)
     keys = df[key].to_numpy() if key in df.columns else np.array([], dtype=np.int64)
     vals = df[value].to_numpy() if value in df.columns else np.array([], dtype=np.int64)
+    # the output rides the VALUE column's dtype — a blanket int64 cast used
+    # to floor-truncate float payloads (clustering coefficients came back
+    # as 0/1)
+    out_dtype = vals.dtype if vals.dtype.kind in "fiu" else np.dtype(np.int64)
     k = t[key].to_numpy()
-    fill = k if default == "key" else np.full(len(k), default, dtype=np.int64)
+    fill = (
+        k.astype(out_dtype, copy=False)
+        if default == "key"
+        else np.full(len(k), default, dtype=out_dtype)
+    )
     if len(keys):
         pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
         hit = keys[pos] == k
@@ -116,7 +124,7 @@ def _int_lookup_batch(t: pa.Table, ref, key, value, default) -> pa.Table:
     else:
         out = fill
     cols = {c: t[c] for c in t.column_names if c != value}
-    cols[value] = pa.array(out.astype(np.int64))
+    cols[value] = pa.array(out.astype(out_dtype, copy=False))
     return pa.table(cols)
 
 

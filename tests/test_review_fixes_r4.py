@@ -376,3 +376,81 @@ def test_shortest_path_out_of_range_raises(chain_graph):
         shortest_path(chain_graph, source=-1)
     res = shortest_path(chain_graph, 0, chain_graph.n_vertices - 1)
     assert res.node_count == chain_graph.n_vertices  # path covers the chain
+
+
+def test_triangle_stream_fractional_coefficients(ray_session, tmp_path):
+    """lookup_join used to floor coefficients to int64 (0/1)."""
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph_from_edges
+    from neo4j_graph_algorithms_ray.procs import algo
+
+    # triangle 0-1-2 plus a pendant 2-3: node 2 has coefficient 1/3
+    e = pd.DataFrame(
+        {"src": [0, 1, 0, 2], "dst": [1, 2, 2, 3], "weight": [1.0] * 4}
+    )
+    g = build_graph_from_edges(
+        from_pandas_clean(e), 4, str(tmp_path / "tri"), P=2
+    )
+    out = algo.triangleCount.stream(g).to_pandas().sort_values("nodeId")
+    coef = dict(zip(out["nodeId"].astype(int), out["coefficient"]))
+    assert coef[2] == pytest.approx(1 / 3)
+    assert coef[0] == pytest.approx(1.0)
+
+
+def test_shortest_path_stream_real_cost(chain_graph):
+    """The stream proc used to emit the 1e3-quantized cost_u as 'cost'."""
+    from neo4j_graph_algorithms_ray.procs import algo
+
+    out = algo.shortestPath.stream(chain_graph, 0, 3).to_pandas()
+    assert list(out["cost"]) == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_pagerank_proc_honors_tol(chain_graph):
+    from neo4j_graph_algorithms_ray.procs import algo
+
+    stats = algo.pageRank(chain_graph, {"tol": 1e-3, "write": False})
+    # tol mode: ran-to-convergence count, not the fixed default of 20
+    assert int(stats["iterations"].iloc[0]) != 20
+    fixed = algo.pageRank(chain_graph, {"write": False})
+    assert int(fixed["iterations"].iloc[0]) == 20
+
+
+def test_partition_property_precedence(chain_graph, tmp_path):
+    from neo4j_graph_algorithms_ray.procs import algo
+
+    stats = algo.unionFind(
+        chain_graph,
+        {"partitionProperty": "community", "writeProperty": "x",
+         "writePath": str(tmp_path / "wb")},
+    )
+    assert stats["partitionProperty"].iloc[0] == "community"
+
+
+def test_extract_edges_crlf_content(ray_session):
+    from neo4j_graph_algorithms_ray.stages.extract import ImportExtractor
+
+    t = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["a.py", "b.py"],
+            "commit": ["c", "c"],
+            "lang": ["py", "py"],
+            "content": ["import b\n", "import a\r\nprint(1)\r\n"],  # CRLF file
+        }
+    )
+    out = ImportExtractor()(t)
+    assert out.num_rows == 2  # the CRLF import used to match nothing
+
+
+def test_corpus_rebuild_cleans_stale_dir(tmp_path, monkeypatch):
+    from neo4j_graph_algorithms_ray.sources import corpus as C
+
+    monkeypatch.setattr(C, "CORPUS_CACHE_ROOT", str(tmp_path))
+    monkeypatch.setattr(C, "_SF_PARAMS", {"sfx": (50, 5, 3.0), "sf0.01": (50, 5, 3.0)})
+    p1 = C.corpus_path_for("/data/sfx")
+    import pyarrow.parquet as pq
+
+    n1 = pq.read_table(p1).num_rows
+    # simulate a crash before the marker: stale files, no _DONE
+    os.remove(os.path.join(p1, "_DONE"))
+    p2 = C.corpus_path_for("/data/sfx")
+    assert pq.read_table(p2).num_rows == n1  # rebuilt clean, no duplicated rows

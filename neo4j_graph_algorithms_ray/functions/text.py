@@ -157,7 +157,9 @@ def batch_shingle_hashes(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     grams: list[str] = []
     counts = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        toks = WS_TOKEN_RE.findall(t)
+        # null text participates as an empty doc (0 shingles) — matching the
+        # null-tolerant exact-dedup/quality stages instead of a TypeError
+        toks = WS_TOKEN_RE.findall(t) if isinstance(t, str) else []
         if len(toks) >= k:
             n = len(toks) - k + 1
             grams.extend(" ".join(toks[j : j + k]) for j in range(n))
@@ -231,7 +233,7 @@ def batch_simhash64(texts) -> np.ndarray:
     toks_all: list[str] = []
     counts = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        toks = WS_TOKEN_RE.findall(t.lower())
+        toks = WS_TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
         toks_all.extend(toks)
         counts[i] = len(toks)
     out = np.zeros(len(counts), dtype=np.uint64)

@@ -1448,7 +1448,17 @@ def tfidf(
     mdf = int(max_doc_freq)
 
     def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.lower().str.findall(_WORD_RE)
+        # null text tokenizes to [] (findall yields NaN there, and
+        # np.repeat(ids, NaN) / np.concatenate([]) both raise)
+        toks = b["text"].fillna("").str.lower().str.findall(_WORD_RE)
+        if len(b) == 0 or int(toks.str.len().sum()) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "term": pd.Series(dtype=object),
+                    "tf": pd.Series(dtype=np.int64),
+                }
+            )
         out = pd.DataFrame(
             {"doc_id": np.repeat(b["doc_id"].to_numpy(), toks.str.len()), "term": np.concatenate([np.array(t, dtype=object) if t else np.array([], dtype=object) for t in toks])}
         )
@@ -1770,7 +1780,27 @@ def prepared_corpus(
         )
     cleaned = clean_text(docs)
     k = _shuffle_fan()
-    out = cleaned.join(q_ids, "inner", k, on=("doc_id",)).join(keep_ids, "inner", k, on=("doc_id",))
+
+    # id-set filters via lookup_join, NOT Dataset.join: the left side after
+    # the quality gate can be sparse, and Ray 2.49's hash join raises
+    # ArrowInvalid on partitions that receive zero left rows (the exact bug
+    # stages/joins.coshuffle_lookup exists to avoid).  lookup_join
+    # broadcasts small id sets and auto-falls-back above the cap.
+    from ..stages.joins import lookup_join
+
+    def _filter_by_ids(ds: rd.Dataset, ids: rd.Dataset) -> rd.Dataset:
+        flag = ids.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": b["doc_id"], "__f": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        tagged = lookup_join(ds, flag, "doc_id", "__f", default=0, num_partitions=k)
+        return tagged.map_batches(
+            lambda b: b.loc[b["__f"] == 1].drop(columns="__f"), batch_format="pandas"
+        )
+
+    out = _filter_by_ids(_filter_by_ids(cleaned, q_ids), keep_ids)
 
     def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
         n = b["clean"].str.count(" ").fillna(0).astype(np.int64) + 1

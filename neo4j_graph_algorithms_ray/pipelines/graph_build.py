@@ -251,7 +251,14 @@ def _partition_and_manifest(edges, n_vertices, workdir, P, default_weight, sampl
         frac = min(1.0, sample_cap / n_edges)
         samp = edges.select_columns(["src", "weight"]).random_sample(frac, seed=7).to_pandas()
         src_sample = samp["src"].to_numpy()
-        weighted = bool((samp["weight"].to_numpy() != default_weight).any())
+        # weighted is decided EXACTLY (min/max aggregates), not from the
+        # sample: a 10^8-edge graph with a handful of non-default weights
+        # would otherwise be classified unweighted with high probability and
+        # silently run its algorithms on weight=1.0.  (The sample still
+        # drives the degree-balance bounds — a heuristic, where sampling is
+        # fine.)
+        wmin, wmax = edges.min("weight"), edges.max("weight")
+        weighted = not (wmin == wmax == default_weight)
     else:
         src_sample = np.array([], dtype=np.int64)
     bounds = degree_balanced_bounds(src_sample, n_vertices, P)

@@ -37,8 +37,13 @@ def read_embeddings(sf_dir: str) -> rd.Dataset:
     return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _batch_matrix(b: pd.DataFrame) -> np.ndarray:
-    return np.stack(b["embedding"].to_numpy()).astype(np.float64)
+def _batch_matrix(b: pd.DataFrame, dim: int | None = None) -> np.ndarray:
+    e = b["embedding"].to_numpy()
+    if len(e) == 0:
+        # np.stack raises on empty input; empty blocks occur (empty parquet
+        # files, filters that drain a block) — return a typed (0, dim) matrix
+        return np.empty((0, int(dim or 0)), dtype=np.float64)
+    return np.stack(e).astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -120,6 +125,10 @@ class _ScoreStage:
         self.k = k
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:  # empty block: typed empty partial (np.stack raises)
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("query_id", "vec_id", "cos_u")}
+            )
         M = _normalize(_batch_matrix(b))  # (n, d)
         cos_u = np.floor((M @ self.Q.T) * 1e6 + 0.5).astype(np.int64)  # (n, nq)
         vids = b["vec_id"].to_numpy()
@@ -181,6 +190,10 @@ def embedding_near_dup_pairs(
             self.C = ray.get(cref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # np.stack raises on empty blocks
+                return t.select(["vec_id", "embedding"]).append_column(
+                    "bucket", pa.array([], pa.int64())
+                )
             M = _normalize(np.stack(t["embedding"].to_pandas().to_numpy()))
             sim_u = np.floor((M @ self.C.T) * 1e6 + 0.5).astype(np.int64)  # (n, C)
             # per row: sim desc, cid asc on ties (stable argsort of -sim)
@@ -292,6 +305,8 @@ def knn_ivf(
             self.probe_buckets = np.array(sorted({c for s in probed.values() for c in s}))
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # np.stack raises on empty blocks
+                return t.append_column("bucket", pa.array([], pa.int64()))
             M = _normalize(np.stack(t["embedding"].to_pandas().to_numpy()))
             sim_u = np.floor((M @ self.C.T) * 1e6 + 0.5).astype(np.int64)
             bucket = np.argmax(sim_u, axis=1)  # first max = lowest cid on ties
@@ -309,6 +324,10 @@ def knn_ivf(
             self.qprobe = _probe_sets(self.qids, self.Q, self.C)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=np.int64) for c in ("query_id", "vec_id", "cos_u")}
+                )
             M = _normalize(_batch_matrix(b))
             cos_u = np.floor((M @ self.Q.T) * 1e6 + 0.5).astype(np.int64)
             outs = []

@@ -454,3 +454,57 @@ def test_corpus_rebuild_cleans_stale_dir(tmp_path, monkeypatch):
     os.remove(os.path.join(p1, "_DONE"))
     p2 = C.corpus_path_for("/data/sfx")
     assert pq.read_table(p2).num_rows == n1  # rebuilt clean, no duplicated rows
+
+
+def test_sketch_ops_tolerate_null_text(ray_session):
+    from neo4j_graph_algorithms_ray.pipelines.docs import (
+        minhash_dedup_pairs,
+        simhash_signatures,
+        tfidf,
+    )
+
+    texts = _texts() + [None]
+    d = from_pandas_clean(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": pd.array(texts, dtype="string")})
+    )
+    pairs = minhash_dedup_pairs(d, threshold=0.5).to_pandas()  # used to TypeError
+    assert len(pairs) > 0 and 5 not in set(pairs["id_a"]) | set(pairs["id_b"])
+    sh = simhash_signatures(d).to_pandas()
+    assert len(sh) == len(texts)  # null doc participates as empty
+    tf = tfidf(d).to_pandas()
+    assert 5 not in set(tf["doc_id"])  # no terms from the null doc
+
+
+def test_prepared_corpus_sparse_survivors(ray_session):
+    """A harsh quality gate leaves few rows on the join's left side — the
+    old Dataset.join crashed on zero-left-row partitions (Ray 2.49)."""
+    from neo4j_graph_algorithms_ray.pipelines.docs import prepared_corpus
+
+    texts = _texts()
+    d = from_pandas_clean(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = prepared_corpus(d, min_quality=0).to_pandas()
+    assert len(out) > 0
+    assert sorted(out.columns) == ["clean", "doc_id", "n_tokens"]
+
+
+def test_weighted_flag_exact_not_sampled(ray_session, tmp_path):
+    """One non-default weight among many must flip weighted=True even when
+    the bounds sample would almost surely miss it."""
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph_from_edges
+
+    n = 5000
+    w = np.ones(n)
+    w[4321] = 2.5
+    edges = from_pandas_clean(
+        pd.DataFrame(
+            {
+                "src": np.arange(n, dtype=np.int64) % 100,
+                "dst": (np.arange(n, dtype=np.int64) + 1) % 100,
+                "weight": w,
+            }
+        )
+    )
+    g = build_graph_from_edges(
+        edges, 100, str(tmp_path / "wg"), P=2, sample_cap=10
+    )
+    assert g.weighted is True

@@ -40,6 +40,12 @@ import ray.data as rd
 
 from .pipelines.graph_build import BuiltGraph
 
+# names installed onto the algo namespace by register_procedure — the set
+# distinguishes "attribute exists because a builtin lives there" (collision)
+# from "attribute exists because an earlier extension registered it"
+# (latest-wins re-registration, allowed)
+_EXTENSION_NAMES: set[str] = set()
+
 
 @dataclass
 class GraphContext:
@@ -96,15 +102,41 @@ def register_procedure(
     ``algo.<name>.stream``.  ``write``/``stream`` take a ``GraphContext`` and
     return a stats ``pandas.DataFrame`` / a ``ray.data.Dataset``.  Dotted
     names nest namespaces (``'similarity.cosine'`` -> ``algo.similarity.cosine``).
-    Re-registering a name replaces it (latest wins).
+    Re-registering an *extension* name replaces it (latest wins); a name that
+    collides with a builtin operator raises instead of silently shadowing the
+    builtin's catalog row (ADVICE r04).
     """
     if write is None and stream is None:
         raise ValueError("register_procedure needs at least one of write=/stream=")
     from . import procs
-    from .catalog import register_operator
+    from .catalog import list_operators, register_operator
+
+    # catalog rows are lowercase ('pagerank') while algo attributes are
+    # camelCase ('algo.pageRank') — guard against shadowing via EITHER path
+    cat = list_operators()
+    hit = cat[cat["name"].str.lower() == name.lower()]
+    if len(hit) and hit["kind"].iloc[0] != "extension":
+        raise ValueError(
+            f"register_procedure({name!r}) collides with the builtin "
+            f"{hit['kind'].iloc[0]} operator of the same name — pick another "
+            f"name (builtins are listed by algo.list())"
+        )
 
     target = procs.algo
     parts = name.split(".")
+    probe = target
+    for p in parts:
+        probe = getattr(probe, p, None)
+        if probe is None:
+            break
+    if probe is not None and name not in _EXTENSION_NAMES:
+        # an algo.<name> attribute exists and WE didn't install it: it's a
+        # builtin proc (e.g. 'pageRank', 'unionFind.forkJoin')
+        raise ValueError(
+            f"register_procedure({name!r}) would shadow the builtin "
+            f"algo.{name} procedure — pick another name"
+        )
+    _EXTENSION_NAMES.add(name)
     for p in parts[:-1]:
         nxt = getattr(target, p, None)
         if nxt is None:

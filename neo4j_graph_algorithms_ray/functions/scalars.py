@@ -24,9 +24,9 @@ def is_finite(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def is_infinite(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """isInfinite(x): infinite and not null (IsFiniteFunc.java:39-46 returns
-    false for null; bare ``pc.is_inf`` would propagate null instead)."""
-    return pc.and_kleene(pc.is_inf(arr), pc.is_valid(arr))
+    """isInfinite(x): NOT finite, i.e. true for ±Infinity, NaN, AND null
+    (IsFiniteFunc.java:36-38: ``value == null || !Double.isFinite(...)``)."""
+    return pc.or_kleene(pc.invert(pc.is_finite(arr)), pc.is_null(arr))
 
 
 def coerce_to_double(arr: pa.ChunkedArray | pa.Array, default: float = 0.0) -> pa.Array:

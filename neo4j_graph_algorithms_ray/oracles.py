@@ -137,7 +137,7 @@ def sssp_sql(pre: str, source: int = 0, cap: int = _DEPTH_CAP) -> str:
 
 
 def shortest_path_sql(pre: str, source: int = 0, cap: int = _DEPTH_CAP) -> str:
-    """Single-pair shortest path rows {step, vid, cost_u} from ``source`` to
+    """Single-pair shortest path rows {step, vid, cost_u, cost} from ``source`` to
     the farthest reachable vertex (max finite distance, tie -> max vid) with
     deterministic min-vid predecessor choice — mirrors
     pipelines/paths.py::shortest_path's pinned tie-breaks."""
@@ -160,7 +160,7 @@ walk AS (
     FROM w WHERE w.d > 0
   ) SELECT v, d FROM w
 )
-SELECT d AS step, v AS vid, d * 1000 AS cost_u FROM walk"""
+SELECT d AS step, v AS vid, d * 1000 AS cost_u, CAST(d AS DOUBLE) AS cost FROM walk"""
     )
 
 

@@ -40,14 +40,19 @@ from ..state.shards import make_shard_actors
 from .graph_build import BuiltGraph
 
 
-def run_fused_rounds(actors, step_method: str, max_rounds: int) -> int:
+def run_fused_rounds(actors, step_method: str, max_rounds: int, *, on_cap: str | None = None) -> int:
     """Drive a fused push-exchange to fixpoint (shared by MS-BFS and SSSP).
 
     Round r's packed messages are round r+1's args (an ObjectRef chain the
     driver never fetches); the per-round progress counters are read with a
     two-round lag, so fixpoint costs two overshoot rounds (which push empty
     messages) instead of a per-round driver sync.  Returns the last round
-    that made progress; all in-flight calls are drained before returning."""
+    that made progress; all in-flight calls are drained before returning.
+
+    ``max_rounds`` is a runaway safety, not a truncation knob: when
+    ``on_cap`` is set and the exchange is still making progress at the cap,
+    raise instead of silently returning partial results (same contract as
+    ``betweenness._run_batch``)."""
     msgs = [getattr(a, step_method).options(num_returns=2).remote() for a in actors]
     counts: dict[int, list] = {}
     last_progress = 0
@@ -62,15 +67,23 @@ def run_fused_rounds(actors, step_method: str, max_rounds: int) -> int:
             if sum(ray.get(counts.pop(lag))) == 0:
                 break
             last_progress = lag
+    tail_alive = False
     for j in sorted(counts):  # drain the ≤2 in-flight tail rounds
         if sum(ray.get(counts[j])) > 0:
             last_progress = j
+            tail_alive = j == max(counts)
+    if on_cap is not None and r >= max_rounds and tail_alive:
+        raise RuntimeError(
+            f"{on_cap} still progressing at max_depth={max_rounds}; raise "
+            f"maxDepth (graph diameter exceeds the cap) — truncating here "
+            f"would silently skew the results"
+        )
     return last_progress
 
 
 def _run_batch(actors, P, sources: np.ndarray, max_depth: int):
     ray.get([a.start.remote(sources) for a in actors])
-    run_fused_rounds(actors, "step", max_depth)
+    run_fused_rounds(actors, "step", max_depth, on_cap="MS-BFS frontier")
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -162,6 +175,12 @@ def _msbfs_pass(
     via ``stats_table``; when ``collect_asp`` the per-batch
     (source,target,distance) tables are returned as object refs.
     """
+    if max_depth > 2**15 - 1:
+        # the shard's per-source depth lanes are int16 (state/bfs_shards.py)
+        raise ValueError(
+            f"maxDepth={max_depth} exceeds the MS-BFS int16 depth-lane limit "
+            f"of {2**15 - 1}; any real-world graph diameter fits well below it"
+        )
     rev = graph.ensure_reverse_layout() if direction in ("INCOMING", "BOTH") else None
 
     def _pool():
@@ -304,7 +323,7 @@ def shortest_paths(
     actors = make_shard_actors(SsspShard, graph, actor_kwargs={"weighted": weighted})
     ray.get([a.ready.remote() for a in actors])
     ray.get([a.start.remote(int(source)) for a in actors])
-    rounds = run_fused_rounds(actors, "step", max_rounds)
+    rounds = run_fused_rounds(actors, "step", max_rounds, on_cap="SSSP relaxation")
     dists = rd.from_arrow(pa.concat_tables(ray.get([a.dist_table.remote() for a in actors])))
     for a in actors:
         ray.kill(a, no_restart=True)
@@ -335,7 +354,7 @@ def shortest_paths_delta_stepping(
             break
         b = min(bs)
         ray.get([a.light_begin.remote(b) for a in actors])
-        run_fused_rounds(actors, "light_step", max_rounds)
+        run_fused_rounds(actors, "light_step", max_rounds, on_cap="delta-stepping light-edge fixpoint")
         pushes = [a.heavy_push.remote() for a in actors]
         ray.get([a.heavy_apply.remote(*pushes) for a in actors])
         last_b = b

@@ -257,7 +257,10 @@ def _partition_and_manifest(edges, n_vertices, workdir, P, default_weight, sampl
         # silently run its algorithms on weight=1.0.  (The sample still
         # drives the degree-balance bounds — a heuristic, where sampling is
         # fine.)
-        wmin, wmax = edges.min("weight"), edges.max("weight")
+        from ray.data.aggregate import Max, Min
+
+        ext = edges.aggregate(Min("weight"), Max("weight"))  # one pass, not two
+        wmin, wmax = ext["min(weight)"], ext["max(weight)"]
         weighted = not (wmin == wmax == default_weight)
     else:
         src_sample = np.array([], dtype=np.int64)

@@ -25,7 +25,7 @@ from .graph_build import BuiltGraph
 
 @dataclass
 class ShortestPathResult:
-    path: pd.DataFrame  # {step, vid, cost_u}
+    path: pd.DataFrame  # {step, vid, cost_u, cost} — cost is the exact double
     total_cost: float
     node_count: int
     metrics: dict = field(default_factory=dict)
@@ -95,11 +95,16 @@ def shortest_path(
         for a in actors:
             ray.kill(a, no_restart=True)
     hops.reverse()
+    costs = np.array([h[1] for h in hops], dtype=np.float64)
     path = pd.DataFrame(
         {
             "step": np.arange(len(hops), dtype=np.int64),
             "vid": np.array([h[0] for h in hops], dtype=np.int64),
-            "cost_u": np.floor(np.array([h[1] for h in hops]) * 1000 + 0.5).astype(np.int64),
+            # cost_u is the 1e3-quantized transport the SQL oracle replays;
+            # cost is the exact double the stream proc emits
+            # (ShortestPathProc.java streams unrounded doubles)
+            "cost_u": np.floor(costs * 1000 + 0.5).astype(np.int64),
+            "cost": costs,
         }
     )
     return ShortestPathResult(

@@ -753,9 +753,10 @@ def shortestPath_stream(graph, startNode, endNode=None, config=None, **kw) -> rd
         weighted=g.weighted or bool(cfg.get("weighted", False)),
     )
     df = r.path.rename(columns={"vid": "nodeId"})[["nodeId"]].copy()
-    # stream the REAL double cost (ShortestPathProc streams doubles) — the
-    # pipeline's cost_u is the 1e3-quantized transport, not the cost
-    df["cost"] = r.path["cost_u"].to_numpy() / 1000.0
+    # stream the REAL double cost (ShortestPathProc streams doubles); the
+    # pipeline carries it unquantized in the 'cost' column (cost_u is only
+    # the 1e3-quantized transport the SQL oracle replays)
+    df["cost"] = r.path["cost"].to_numpy()
     return _from_pandas_clean(df)
 
 

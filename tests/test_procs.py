@@ -355,6 +355,28 @@ def test_register_custom_procedure(pr_graph):
     assert "degree" not in set(algo.list()["name"])
 
 
+def test_register_procedure_builtin_collision_raises():
+    """A user extension must not silently shadow a builtin catalog row or an
+    algo.* procedure attribute (ADVICE r04) — catalog names are lowercase
+    while proc attrs are camelCase, so both paths are guarded."""
+    import pytest
+
+    from neo4j_graph_algorithms_ray.catalog import unregister_operator
+    from neo4j_graph_algorithms_ray.extension import register_procedure
+
+    for bad in ("pageRank", "pagerank", "unionFind.forkJoin", "scc"):
+        with pytest.raises(ValueError, match="collides|shadow"):
+            register_procedure(bad, stream=lambda ctx: None)
+
+    # extension lifecycle stays latest-wins: register, re-register, and
+    # re-register after unregister are all allowed for OUR names
+    register_procedure("collisionProbe", stream=lambda ctx: None)
+    register_procedure("collisionProbe", stream=lambda ctx: None)
+    unregister_operator("collisionProbe")
+    register_procedure("collisionProbe", stream=lambda ctx: None)
+    unregister_operator("collisionProbe")
+
+
 def test_unionfind_from_raw_edge_table():
     """Edge-table projections carry no vertex key table; result assembly must
     synthesize dense ids instead of failing (regression: FileNotFoundError

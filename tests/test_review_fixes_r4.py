@@ -218,11 +218,13 @@ def test_grouped_map_probe_both_paths(ray_session):
         assert dict(zip(out["g"].astype(int), out["s"].astype(int))) == expect
 
 
-def test_is_infinite_null_is_false():
+def test_is_infinite_not_finite_or_null():
+    # IsFiniteFunc.java:36-38: isInfinite(x) == (x == null || !Double.isFinite(x)),
+    # so null, NaN and ±Inf are ALL true.
     from neo4j_graph_algorithms_ray.functions.scalars import is_finite, is_infinite
 
     arr = pa.chunked_array([[1.0, None, float("inf"), float("-inf"), float("nan")]])
-    assert is_infinite(arr).to_pylist() == [False, False, True, True, False]
+    assert is_infinite(arr).to_pylist() == [False, True, True, True, True]
     assert is_finite(arr).to_pylist() == [True, False, False, False, False]
 
 

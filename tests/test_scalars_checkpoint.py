@@ -21,8 +21,8 @@ def test_is_finite_is_infinite():
     fin = S.is_finite(arr).to_pylist()
     assert fin == [True, False, False, False, False]
     inf = S.is_infinite(arr).to_pylist()
-    assert inf[:3] == [False, True, True]
-    assert inf[3] is False or inf[3] is None or inf[3] is not True  # NaN not inf
+    # Reference semantics: true for ±Inf, NaN AND null (IsFiniteFunc.java:36-38).
+    assert inf == [False, True, True, True, True]
 
 
 def test_coerce_to_double_rawvalues_semantics():

@@ -9,7 +9,7 @@ CTE chains (PageRank power iteration, synchronous label propagation) —
 feasible because the correctness tier is small; the Ray side runs the same
 fixed iteration counts.
 
-Float contract (see graft-env-gotchas): every float column is quantized
+Float contract: every float column is quantized
 ``floor(x * scale + 0.5)::BIGINT`` on BOTH engines; divisions of exact
 integers are IEEE-identical, and summation-order noise (~1e-13) sits far
 below the 1e-6 grids used here.

@@ -134,13 +134,27 @@ class _ScoreStage:
         vids = b["vec_id"].to_numpy()
         n, nq = cos_u.shape
         k = min(self.k, n)
-        rows = {"query_id": [], "vec_id": [], "cos_u": []}
-        for qi in range(nq):
-            order = np.lexsort((vids, -cos_u[:, qi]))[:k]  # cos_u desc, vid asc
-            rows["query_id"].append(np.full(k, self.qids[qi]))
-            rows["vec_id"].append(vids[order])
-            rows["cos_u"].append(cos_u[order, qi])
-        return pd.DataFrame({c: np.concatenate(v) for c, v in rows.items()})
+        # one vectorized argpartition over the whole (n, nq) matrix instead
+        # of a per-query lexsort loop.  The composite key makes (cos_u desc,
+        # vid asc) a TOTAL order so rank-k boundary ties pick the same rows
+        # the final fold's sort would: cos_u is micro-quantized (|cos_u| <=
+        # 1e6) so cos_u * n never overflows int64 at any batch size.
+        vid_rank = np.empty(n, dtype=np.int64)
+        vid_rank[np.argsort(vids, kind="stable")] = np.arange(n)
+        comp = cos_u * np.int64(n) - vid_rank[:, None]
+        if k < n:
+            idx = np.argpartition(-comp, k - 1, axis=0)[:k]  # (k, nq), unordered
+        else:
+            idx = np.broadcast_to(np.arange(n)[:, None], (n, nq))
+        order = np.argsort(-np.take_along_axis(comp, idx, axis=0), axis=0, kind="stable")
+        idx = np.take_along_axis(idx, order, axis=0)  # (k, nq) ranked per query
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(np.asarray(self.qids), k),
+                "vec_id": vids[idx].ravel(order="F"),
+                "cos_u": np.take_along_axis(cos_u, idx, axis=0).ravel(order="F"),
+            }
+        )
 
 
 def _final_topk(k: int):

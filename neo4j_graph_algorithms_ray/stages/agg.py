@@ -79,9 +79,9 @@ def bucketed_agg(
     pass ``types`` whenever any key/output column is not int64.
     ``small_fold_rows``: when the map-side combine leaves at most this many
     rows, the hash shuffle is skipped and the fold runs in one coalesced
-    partition (the partial stage is materialized to count — the groupby is a
-    barrier anyway, so this changes WHEN the pipeline runs, not its memory
-    shape).  Pass ``None`` to force the shuffle path.
+    partition (a ``limit(small_fold_rows+1)`` probe — bounded, never a full
+    materialize of the partial stage).  Pass ``None`` to force the shuffle
+    path.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     fan = int(fan) if fan is not None else max(64, 4 * shuffle_fan())
@@ -150,12 +150,17 @@ def bucketed_agg(
         # session floor (aggregator-actor spin-up) that dominates when the
         # map-side combine already collapsed the input to a handful of rows
         # (tfidf's ds.stats audit: 3.8s shuffling 310 pre-aggregated rows).
-        # Count the partials (metadata on the materialized stage) and fold
-        # tiny inputs in ONE coalesced partition instead — identical
-        # semantics (fold groups by the real keys, not the bucket).
-        mp = mp.materialize()
-        if mp.count() <= small_fold_rows:
-            return mp.repartition(1).map_batches(
+        # The probe is BOUNDED at small_fold_rows+1 partial rows (same trick
+        # as grouped_map below) — never the full partial stage: on a
+        # near-unique key (sha256 digests) partials are O(corpus) and a full
+        # materialize would pin the whole table in the object store.  When
+        # the limit is NOT hit the probe IS the entire partial stage, so the
+        # small path folds it with zero re-execution; above the cap only the
+        # probe's early-stopped work is discarded and the partials stream
+        # into the real shuffle.
+        lim = mp.limit(int(small_fold_rows) + 1).materialize()
+        if lim.count() <= small_fold_rows:
+            return lim.repartition(1).map_batches(
                 fold, batch_format="pandas", batch_size=None
             )
     return (

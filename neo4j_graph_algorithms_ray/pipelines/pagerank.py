@@ -105,7 +105,10 @@ def _exchange_groupby(actors, P, bounds):
     return ray.get([a.finish_iteration.remote() for a in actors])
 
 
-def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every, termination=None):
+def _run_fused(
+    actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every,
+    termination=None, baseline=None, chaos_hook=None,
+):
     """Single-wave pipelined loop: call k applies round k-1 and pushes round k.
 
     Convergence is checked with a **two-round lag**: at a check point the
@@ -129,6 +132,8 @@ def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ever
     for it in range(n_iter):
         if termination is not None:  # cooperative cancel between BSP rounds
             termination.assert_running("pagerank fused loop")
+        if chaos_hook is not None:  # fault-injection point (tests)
+            chaos_hook(it, actors)
         msg_refs = [m[0] for m in msgs]
         # spread-ref submission (scheduler resolves the P deps per task); the
         # driver runs ahead without a barrier, so round latency is the
@@ -140,6 +145,13 @@ def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ever
         if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
             files = _ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
             max_delta = max(_ray.get(md_history[it]))
+            if baseline is not None:
+                # gate the commit: a silently-restarted shard (idle-window
+                # kill raises nothing) must not get its fresh-state file
+                # committed — raises ShardRestartDetected -> pool rollback
+                from ..state.failover import verify_incarnations
+
+                verify_incarnations(actors, baseline)
             ckpt.commit_iteration(
                 it,
                 files,
@@ -162,7 +174,10 @@ def _run_fused(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ever
     return ran, converged, max_delta
 
 
-def _run_mailbox(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every, termination=None):
+def _run_mailbox(
+    actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every,
+    termination=None, baseline=None, chaos_hook=None,
+):
     """Block-wise driver for the mailbox exchange: k rounds per actor call.
 
     Total pushes = applies + 1 (round r applies r-1), so ``n_iter`` applies
@@ -178,6 +193,8 @@ def _run_mailbox(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ev
     while done < total_rounds:
         if termination is not None:  # cooperative cancel between blocks
             termination.assert_running("pagerank mailbox loop")
+        if chaos_hook is not None:  # fault-injection point (tests)
+            chaos_hook(done, actors)
         k = min(block, total_rounds - done)
         mds = ray.get([a.run_rounds.remote(done, k) for a in actors])
         done += k
@@ -185,6 +202,10 @@ def _run_mailbox(actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_ev
         applies = done - 1
         if ckpt is not None and applies > 0:
             files = ray.get([a.save_state.remote(ckpt.state_dir(), applies - 1) for a in actors])
+            if baseline is not None:
+                from ..state.failover import verify_incarnations
+
+                verify_incarnations(actors, baseline)
             ckpt.commit_iteration(
                 applies - 1,
                 files,
@@ -209,19 +230,40 @@ def pagerank(
     checkpoint_every: int = 1,
     resume: bool = False,
     termination: "TerminationFlag | None" = None,
+    max_failovers: int = 2,
+    chaos_hook=None,
 ) -> PageRankResult:
+    """``max_failovers``: with a ``checkpoint_dir``, shard actors run with
+    ``max_restarts`` and a mid-run worker death triggers up to this many
+    pool rollbacks to the last committed manifest (state/failover.py) before
+    the error propagates.  ``chaos_hook(iteration, actors)`` is a
+    fault-injection point called at the top of every driver round (tests)."""
     t0 = time.perf_counter()
+    from ..state.failover import (
+        FAILOVER_ERRORS,
+        ShardRestartDetected,
+        pool_incarnations,
+        rollback_pool,
+        verify_incarnations,
+    )
     from ..state.shards import MailboxPageRankShard
 
     if resume and exchange == "mailbox":
         exchange = "fused"  # resumed runs use the driver-loop paths
     cls = MailboxPageRankShard if exchange == "mailbox" else PageRankShard
-    actors = make_shard_actors(
-        cls,
-        graph,
-        actor_kwargs={"damping": damping, "threads": threads},
-        num_cpus=max(0.25, threads - 0.5),
-    )
+    actor_kwargs = {"damping": damping, "threads": threads}
+    if checkpoint_dir:
+        # restarted shards warm-start from the latest manifest in __init__
+        actor_kwargs["ckpt_dir"] = checkpoint_dir
+    actor_cpus = max(0.25, threads - 0.5)
+
+    def _make_pool(c):
+        return make_shard_actors(
+            c, graph, actor_kwargs=actor_kwargs, num_cpus=actor_cpus,
+            max_restarts=3 if checkpoint_dir else 0,
+        )
+
+    actors = _make_pool(cls)
     ray.get([a.ready.remote() for a in actors])
     P = graph.P
 
@@ -239,47 +281,80 @@ def pagerank(
     n_iter = iterations if iterations is not None else max_iterations
     max_delta = float("inf")
     converged = False
-    it = start_iter - 1
     ran = 0
+    failovers = 0
+    baseline = pool_incarnations(actors) if ckpt is not None else None
     t1 = time.perf_counter()
-    try:
+
+    def _run_segment(seg_start, seg_exchange, seg_baseline):
         if n_iter <= 0:
             # 0 applies: return the initialization scores. The fused loop
             # would KeyError on its empty delta history and the mailbox
             # block loop (block=0) would never advance.
-            ran, converged, max_delta = 0, False, float("inf")
-        elif exchange == "mailbox" and start_iter == 0:
-            ran, converged, max_delta = _run_mailbox(
+            return 0, False, float("inf")
+        if seg_exchange == "mailbox" and seg_start == 0:
+            return _run_mailbox(
                 actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every,
-                termination,
+                termination, seg_baseline, chaos_hook,
             )
-        elif exchange == "fused" and start_iter == 0:
-            ran, converged, max_delta = _run_fused(
+        if seg_exchange == "fused" and seg_start == 0:
+            return _run_fused(
                 actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every,
-                termination,
+                termination, seg_baseline, chaos_hook,
             )
-        else:
-            # split/groupby exchanges (and resumed runs, which need exact
-            # iteration accounting from a mid-stream start)
-            if exchange == "fused":
+        # split/groupby exchanges (and resumed runs, which need exact
+        # iteration accounting from a mid-stream start)
+        if seg_exchange == "fused":
+            seg_exchange = "direct"
+        md, conv = float("inf"), False
+        it = seg_start - 1
+        for it in range(seg_start, n_iter):
+            if termination is not None:  # cooperative cancel between rounds
+                termination.assert_running("pagerank loop")
+            if chaos_hook is not None:  # fault-injection point (tests)
+                chaos_hook(it, actors)
+            if seg_exchange == "direct":
+                deltas = _exchange_direct(actors, P)
+            else:
+                deltas = _exchange_groupby(actors, P, graph.bounds)
+            md = max(deltas) if deltas else 0.0
+            if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
+                files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+                if seg_baseline is not None:
+                    verify_incarnations(actors, seg_baseline)
+                ckpt.commit_iteration(
+                    it, files, {"max_delta": md, "bounds": graph.bounds.tolist(), "algo": "pagerank"}
+                )
+            if iterations is None and tol is not None and md < tol:
+                conv = True
+                break
+        return it - seg_start + 1, conv, md
+
+    try:
+        while True:
+            try:
+                ran, converged, max_delta = _run_segment(start_iter, exchange, baseline)
+                if baseline is not None:
+                    # final gate: a restart after the last commit must not
+                    # leak fresh-state scores into the result
+                    verify_incarnations(actors, baseline)
+                break
+            except FAILOVER_ERRORS + (ShardRestartDetected,):
+                if ckpt is None or failovers >= max_failovers:
+                    raise
+                failovers += 1
+                if exchange == "mailbox":
+                    # mailbox shards are async actors holding peer handles:
+                    # survivors' stalled run_rounds could interleave with a
+                    # rollback, so replace the pool wholesale instead
+                    for a in actors:
+                        ray.kill(a, no_restart=True)
+                    actors = _make_pool(PageRankShard)
+                    ray.get([a.ready.remote() for a in actors])
                 exchange = "direct"
-            for it in range(start_iter, n_iter):
-                if termination is not None:  # cooperative cancel between rounds
-                    termination.assert_running("pagerank loop")
-                if exchange == "direct":
-                    deltas = _exchange_direct(actors, P)
-                else:
-                    deltas = _exchange_groupby(actors, P, graph.bounds)
-                max_delta = max(deltas) if deltas else 0.0
-                if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
-                    files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
-                    ckpt.commit_iteration(
-                        it, files, {"max_delta": max_delta, "bounds": graph.bounds.tolist(), "algo": "pagerank"}
-                    )
-                if iterations is None and tol is not None and max_delta < tol:
-                    converged = True
-                    break
-            ran = it - start_iter + 1
+                start_iter, baseline = rollback_pool(
+                    actors, ckpt, algo="pagerank", bounds=graph.bounds
+                )
     except BaseException:
         # cancellation (or any failure) must not leak actor reservations —
         # the last committed checkpoint stays on disk for resume=True
@@ -309,6 +384,7 @@ def pagerank(
             "edges_per_sec": (graph.n_edges * max(0, ran)) / compute_s if compute_s > 0 else 0.0,
             "exchange": exchange,
             "p": P,
+            "failovers": failovers,
         },
     )
 

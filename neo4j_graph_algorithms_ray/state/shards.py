@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import glob
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -69,6 +70,11 @@ class EdgeShardBase:
         self.lo = int(self.bounds[part])
         self.hi = int(self.bounds[part + 1])
         self.n_local = self.hi - self.lo
+        # per-process token: a Ray actor restart re-runs __init__ in a fresh
+        # process, so a changed token is the only reliable signal of an
+        # idle-window kill (which raises no exception anywhere) — see
+        # state/failover.py
+        self.incarnation = uuid.uuid4().hex
 
         if not build_layout:
             # subclass replaces the whole traversal layout (e.g. MS-BFS with
@@ -118,6 +124,35 @@ class EdgeShardBase:
     def ready(self) -> int:
         return self.n_edges
 
+    def whoami(self) -> str:
+        return self.incarnation
+
+    def maybe_rehydrate(self, ckpt_dir: str | None, algo: str) -> int:
+        """Post-restart hook: reload this part's vertex state from the latest
+        committed manifest in ``ckpt_dir`` (if any, and if it matches this
+        graph's partitioning).  Called from subclass ``__init__`` so a Ray
+        ``max_restarts`` revival comes back with checkpoint state instead of
+        pristine state.  Returns the restored iteration, or -1.
+
+        The driver still rolls back the WHOLE pool to one manifest after it
+        detects the restart — peers have advanced past this state — so this
+        is a best-effort warm start, not the consistency mechanism."""
+        if not ckpt_dir:
+            return -1
+        from .checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(ckpt_dir, algo)
+        m = ckpt.latest()
+        if m is None:
+            return -1
+        if [int(b) for b in m.get("bounds", [])] != [int(b) for b in self.bounds]:
+            return -1
+        for f in m["files"]:
+            if int(f.split("part=")[1].split(".")[0]) == self.part and os.path.exists(f):
+                self.load_state(f)
+                return int(m["iteration"])
+        return -1
+
     def _split_by_owner(self, values: np.ndarray):
         """Split a per-uniq-dst vector into P chunks aligned with dst ranges."""
         return np.split(values, self.dst_split)
@@ -145,7 +180,10 @@ class PageRankShard(EdgeShardBase):
     float64 end-to-end (documented in SURVEY.md §7.2).
     """
 
-    def __init__(self, part, bounds, edges_dir, damping: float = 0.85, threads: int = 1):
+    def __init__(
+        self, part, bounds, edges_dir, damping: float = 0.85, threads: int = 1,
+        ckpt_dir: str | None = None,
+    ):
         super().__init__(part, bounds, edges_dir, weighted=False)
         self.d = float(damping)
         self.alpha = 1.0 - self.d
@@ -173,6 +211,7 @@ class PageRankShard(EdgeShardBase):
         self._self_idx = (self.uniq_dst[self._self_a : self._self_b] - self.lo).astype(np.int64)
         self._self_pending: np.ndarray | None = None
         self.reset()
+        self.maybe_rehydrate(ckpt_dir, "pagerank")
 
     def reset(self):
         self.score = np.full(self.n_local, self.alpha, dtype=np.float64)
@@ -340,6 +379,10 @@ class PageRankShard(EdgeShardBase):
         assert t.num_rows == self.n_local
         self.score = t["score"].to_numpy().astype(np.float64, copy=True)
         self.delta = t["delta"].to_numpy().astype(np.float64, copy=True)
+        # exchange scratch from an aborted round must not leak into a
+        # rolled-back run (the fused loop parks self-contributions here)
+        self._self_pending = None
+        self._pending = np.zeros(self.n_local, dtype=np.float64)
         return self.part
 
 
@@ -364,8 +407,11 @@ class MailboxPageRankShard(PageRankShard):
 
     DEPOSIT_TIMEOUT_S = 120.0
 
-    def __init__(self, part, bounds, edges_dir, damping: float = 0.85, threads: int = 1):
-        super().__init__(part, bounds, edges_dir, damping, threads)
+    def __init__(
+        self, part, bounds, edges_dir, damping: float = 0.85, threads: int = 1,
+        ckpt_dir: str | None = None,
+    ):
+        super().__init__(part, bounds, edges_dir, damping, threads, ckpt_dir)
         import asyncio
 
         self._cond = asyncio.Condition()
@@ -502,6 +548,7 @@ class LabelPropShard:
         self.lo = int(self.bounds[part])
         self.hi = int(self.bounds[part + 1])
         self.n_local = self.hi - self.lo
+        self.incarnation = uuid.uuid4().hex  # see EdgeShardBase.incarnation
 
         us, ts, ws = [], [], []
         if direction in (self.OUTGOING, self.BOTH):
@@ -532,6 +579,9 @@ class LabelPropShard:
 
     def ready(self) -> int:
         return len(self.u_local)
+
+    def whoami(self) -> str:
+        return self.incarnation
 
     # -- handshake ----------------------------------------------------------
     def needed_vids(self):
@@ -701,7 +751,7 @@ class LabelPropShard:
         return self.part
 
 
-def make_shard_actors(cls, graph, *, actor_kwargs=None, num_cpus: float = 0.25):
+def make_shard_actors(cls, graph, *, actor_kwargs=None, num_cpus: float = 0.25, max_restarts: int = 0):
     """Spawn one remote shard per partition of a BuiltGraph.
 
     ``num_cpus=0.25``: shard actors must never reserve the whole session —
@@ -710,10 +760,20 @@ def make_shard_actors(cls, graph, *, actor_kwargs=None, num_cpus: float = 0.25):
     would pend forever and deadlock the driver.  P = num_cpus shards reserve
     a quarter of the session; during BSP iterations the shards are the only
     runnable work, so real parallelism is unaffected (the OS schedules the
-    actor processes across all cores).
+    actor processes across all cores).  On cramped sessions (num_cpus=2) the
+    total reservation is additionally clamped to ``cluster_CPU - 1`` so one
+    task slot always stays free for concurrent Dataset stages.
+
+    ``max_restarts > 0`` lets Ray revive a dead shard process (``__init__``
+    re-runs, rebuilding the CSR from the partitioned Parquet); pass it
+    whenever a checkpoint directory is configured — see ``state/failover.py``
+    for the consistency protocol that makes a revival safe.
     """
     actor_kwargs = actor_kwargs or {}
-    remote_cls = ray.remote(num_cpus=num_cpus)(cls)
+    total_cpus = float(ray.cluster_resources().get("CPU", 1.0))
+    if graph.P * num_cpus > max(0.0, total_cpus - 1.0):
+        num_cpus = max(0.05, (total_cpus - 1.0) / graph.P)
+    remote_cls = ray.remote(num_cpus=num_cpus, max_restarts=max_restarts)(cls)
     return [
         remote_cls.remote(p, graph.bounds, graph.edges_dir, **actor_kwargs)
         for p in range(graph.P)

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
@@ -91,7 +92,10 @@ class _MstShard:
     per-component minimum cross edges under the (w,u,v) total order."""
 
     def __init__(self, part, bounds, edges_dir):
+        import uuid
+
         self.part = int(part)
+        self.incarnation = uuid.uuid4().hex  # see shards.EdgeShardBase
         t = _read_partition_mst(edges_dir, part)
         s = t["src"].to_numpy().astype(np.int64, copy=False)
         d = t["dst"].to_numpy().astype(np.int64, copy=False)
@@ -103,6 +107,9 @@ class _MstShard:
 
     def ready(self) -> int:
         return len(self.u)
+
+    def whoami(self) -> str:
+        return self.incarnation
 
     def round_mins(self, comp_ref):
         import ray
@@ -131,26 +138,92 @@ def _read_partition_mst(edges_dir, part):
     return _read_partition(edges_dir, part, ["src", "dst", "weight"])
 
 
-def _boruvka_actor(graph: BuiltGraph, max_rounds: int) -> MstResult:
+def _boruvka_actor(
+    graph: BuiltGraph,
+    max_rounds: int,
+    *,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    max_failovers: int = 2,
+    chaos_hook=None,
+) -> MstResult:
     """Fast path: component labels live on the driver (O(V), under the same
     broadcast threshold as every other small-side path) and ship to shards
-    once per round; shards return tiny per-component min-edge partials."""
+    once per round; shards return tiny per-component min-edge partials.
+
+    Checkpointing is driver-side (the algorithm state — component labels +
+    selected forest edges — lives on the driver; shards hold only the
+    immutable edge partition): per committed round, two state files
+    (part 0 = comp labels, part 1 = forest so far) under a ``mst``
+    manifest.  Failover is therefore a plain retry: ``round_mins`` is pure
+    given ``comp``, so after a shard death the driver just waits out the
+    ``max_restarts`` revival and re-issues the same round — no rollback."""
     import ray
 
+    from ..state.checkpoint import CheckpointManager, atomic_save_table
+    from ..state.failover import FAILOVER_ERRORS, pool_incarnations
     from .components import local_components
 
     actors = [
-        ray.remote(num_cpus=0.25)(_MstShard).remote(p, graph.bounds, graph.edges_dir)
+        ray.remote(num_cpus=0.25, max_restarts=3 if checkpoint_dir else 0)(
+            _MstShard
+        ).remote(p, graph.bounds, graph.edges_dir)
         for p in range(graph.P)
     ]
     ray.get([a.ready.remote() for a in actors])
+    ckpt = CheckpointManager(checkpoint_dir, "mst") if checkpoint_dir else None
     n = graph.n_vertices
     comp = np.arange(n, dtype=np.int64)
     sel_u, sel_v, sel_w = [], [], []
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
+    start_round = 1
+    failovers = 0
+    if resume and ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            ckpt.validate_resume(m, algo="mst", bounds=graph.bounds)
+            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            comp = pq.read_table(files[0])["comp"].to_numpy().astype(np.int64, copy=True)
+            sel = pq.read_table(files[1])
+            sel_u = [sel["u"].to_numpy().astype(np.int64, copy=True)]
+            sel_v = [sel["v"].to_numpy().astype(np.int64, copy=True)]
+            sel_w = [sel["weight"].to_numpy().astype(np.float64, copy=True)]
+            start_round = int(m["iteration"]) + 1
+
+    def _commit(rnd):
+        f0 = atomic_save_table(pa.table({"comp": pa.array(comp)}), ckpt.state_dir(), rnd, 0)
+        f1 = atomic_save_table(
+            pa.table(
+                {
+                    "u": pa.array(np.concatenate(sel_u) if sel_u else np.array([], np.int64)),
+                    "v": pa.array(np.concatenate(sel_v) if sel_v else np.array([], np.int64)),
+                    "weight": pa.array(
+                        np.concatenate(sel_w) if sel_w else np.array([], np.float64)
+                    ),
+                }
+            ),
+            ckpt.state_dir(), rnd, 1,
+        )
+        ckpt.commit_iteration(
+            rnd, [f0, f1], {"bounds": [int(b) for b in graph.bounds], "algo": "mst"}
+        )
+
+    rounds = start_round - 1
+    for rounds in range(start_round, max_rounds + 1):
+        if chaos_hook is not None:  # fault-injection point (tests)
+            chaos_hook(rounds, actors)
         cref = ray.put(comp)
-        parts = ray.get([a.round_mins.remote(cref) for a in actors])
+        while True:
+            try:
+                parts = ray.get([a.round_mins.remote(cref) for a in actors])
+                break
+            except FAILOVER_ERRORS:
+                if ckpt is None or failovers >= max_failovers:
+                    for a in actors:
+                        ray.kill(a, no_restart=True)
+                    raise
+                failovers += 1
+                pool_incarnations(actors)  # waits out the restart window
         parts = [p for p in parts if p is not None]
         if not parts:
             rounds -= 1
@@ -175,6 +248,8 @@ def _boruvka_actor(graph: BuiltGraph, max_rounds: int) -> MstResult:
         mapping = np.arange(n, dtype=np.int64)
         mapping[verts] = roots
         comp = mapping[comp]
+        if ckpt is not None and rounds % checkpoint_every == 0:
+            _commit(rounds)
     for a in actors:
         ray.kill(a, no_restart=True)
 
@@ -196,15 +271,31 @@ def _boruvka_actor(graph: BuiltGraph, max_rounds: int) -> MstResult:
         weight_min=float(w.min()) if len(w) else 0.0,
         weight_max=float(w.max()) if len(w) else 0.0,
         relationship_count=int(len(w)),
-        metrics={"rounds": rounds, "mode": "actor"},
+        metrics={"rounds": rounds, "mode": "actor", "failovers": failovers},
     )
 
 
-def minimum_spanning_forest(graph: BuiltGraph, *, max_rounds: int = 64, mode: str = "auto") -> MstResult:
+def minimum_spanning_forest(
+    graph: BuiltGraph,
+    *,
+    max_rounds: int = 64,
+    mode: str = "auto",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    max_failovers: int = 2,
+    chaos_hook=None,
+) -> MstResult:
     if mode == "auto":
         mode = "actor" if graph.n_vertices <= BROADCAST_MAX_V else "dataset"
+    if checkpoint_dir and mode != "actor":
+        raise ValueError("minimum_spanning_forest checkpointing requires mode='actor'")
     if mode == "actor":
-        return _boruvka_actor(graph, max_rounds)
+        return _boruvka_actor(
+            graph, max_rounds,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume=resume, max_failovers=max_failovers, chaos_hook=chaos_hook,
+        )
     return _boruvka_dataset(graph, max_rounds)
 
 

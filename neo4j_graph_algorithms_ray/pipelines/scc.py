@@ -80,18 +80,73 @@ def strongly_connected_components(
     max_outer: int = 1_000,
     max_bsp_rounds: int = 10_000,
     termination=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    max_failovers: int = 2,
+    chaos_hook=None,
 ) -> SccResult:
+    """Checkpointing commits at outer FW-BW round boundaries (the reference's
+    ``MultistepSCC.java:215`` loop granularity) — every BSP phase is quiesced
+    there, so per-shard state is exactly ``{assigned, label, indeg, outdeg}``.
+    With a ``checkpoint_dir``, a shard death mid-run rolls the pool back to
+    the last committed round and continues (state/failover.py)."""
     t0 = time.perf_counter()
+    from ..state.checkpoint import CheckpointManager
+    from ..state.failover import (
+        FAILOVER_ERRORS,
+        ShardRestartDetected,
+        pool_incarnations,
+        rollback_pool,
+        verify_incarnations,
+    )
+
     rev = graph.ensure_reverse_layout()
-    actors = make_shard_actors(SccShard, graph, actor_kwargs={"rev_edges_dir": rev})
+    actor_kwargs = {"rev_edges_dir": rev}
+    if checkpoint_dir:
+        actor_kwargs["ckpt_dir"] = checkpoint_dir
+    actors = make_shard_actors(
+        SccShard, graph, actor_kwargs=actor_kwargs,
+        max_restarts=3 if checkpoint_dir else 0,
+    )
     ray.get([a.ready.remote() for a in actors])
 
-    try:
-        _phase_to_fixpoint(actors, "trim_begin", "trim_step", (True,), max_bsp_rounds)
-        outer = 0
-        for outer in range(1, max_outer + 1):
+    ckpt = CheckpointManager(checkpoint_dir, "scc") if checkpoint_dir else None
+    start_outer = 0
+    if resume and ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            ckpt.validate_resume(m, algo="scc", bounds=graph.bounds)
+            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            ray.get([actors[p].load_state.remote(files[p]) for p in range(graph.P)])
+            start_outer = int(m["iteration"]) + 1
+    baseline = pool_incarnations(actors) if ckpt is not None else None
+    failovers = 0
+    outer = 0
+
+    def _commit(it):
+        files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
+        if baseline is not None:
+            verify_incarnations(actors, baseline)  # gate on no silent restart
+        ckpt.commit_iteration(
+            it, files, {"bounds": [int(b) for b in graph.bounds], "algo": "scc"}
+        )
+
+    def _run(so):
+        # iteration numbering: manifest iter 0 = post-seed-trim; iter k>=1 =
+        # after outer round k's trim (so a resume at k+1 re-enters the loop
+        # at the n_unassigned check with all phases quiesced)
+        if so == 0:
+            _phase_to_fixpoint(actors, "trim_begin", "trim_step", (True,), max_bsp_rounds)
+            if ckpt is not None:
+                _commit(0)
+            so = 1
+        it = so - 1
+        for it in range(so, max_outer + 1):
             if termination is not None:  # cooperative cancel between FW-BW rounds
                 termination.assert_running("scc outer round")
+            if chaos_hook is not None:  # fault-injection point (tests)
+                chaos_hook(it, actors)
             remaining = sum(ray.get([a.n_unassigned.remote() for a in actors]))
             if remaining == 0:
                 break
@@ -100,6 +155,24 @@ def strongly_connected_components(
             assigned = sum(ray.get([a.finalize_sccs.remote() for a in actors]))
             assert assigned > 0, "SCC outer round made no progress"
             _phase_to_fixpoint(actors, "trim_begin", "trim_step", (False,), max_bsp_rounds)
+            if ckpt is not None and it % checkpoint_every == 0:
+                _commit(it)
+        return it
+
+    try:
+        while True:
+            try:
+                outer = _run(start_outer)
+                if baseline is not None:
+                    verify_incarnations(actors, baseline)  # final gate
+                break
+            except FAILOVER_ERRORS + (ShardRestartDetected,):
+                if ckpt is None or failovers >= max_failovers:
+                    raise
+                failovers += 1
+                start_outer, baseline = rollback_pool(
+                    actors, ckpt, algo="scc", bounds=graph.bounds
+                )
     except BaseException:
         for a in actors:  # cancellation must not leak pool reservations
             ray.kill(a, no_restart=True)
@@ -119,5 +192,5 @@ def strongly_connected_components(
     return SccResult(
         labels=labels,
         nodes=graph.n_vertices,
-        metrics={"outer_rounds": outer, "elapsed_s": time.perf_counter() - t0},
+        metrics={"outer_rounds": outer, "elapsed_s": time.perf_counter() - t0, "failovers": failovers},
     )

@@ -294,7 +294,16 @@ def _degrees(canon: rd.Dataset) -> rd.Dataset:
 
 
 def triangle_count(
-    graph: BuiltGraph, *, chunk: int = 1 << 18, mode: str = "auto"
+    graph: BuiltGraph,
+    *,
+    chunk: int = 1 << 18,
+    mode: str = "auto",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    max_failovers: int = 2,
+    chaos_hook=None,
+    wedge_rounds: int | None = None,
 ) -> TriangleResult:
     """mode='auto' resolves to 'actor': the counting phase runs as a BSP
     exchange over ``TriangleShard`` actors — identical bytes moved as the
@@ -317,7 +326,14 @@ def triangle_count(
             _write_canonical_raw(graph, raw_dir)
             with open(marker, "w") as f:
                 f.write("ok")
-        return _count_actor_exchange(graph, raw_dir)
+        return _count_actor_exchange(
+            graph, raw_dir,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume=resume, max_failovers=max_failovers, chaos_hook=chaos_hook,
+            wedge_rounds=wedge_rounds,
+        )
+    if checkpoint_dir:
+        raise ValueError("triangle_count checkpointing requires mode='actor'")
     canon = _canonical_edges(graph).materialize()
     degrees = _degrees(canon).materialize()
 
@@ -395,18 +411,45 @@ def _write_canonical_raw(graph: BuiltGraph, raw_dir: str):
     ).write_parquet(raw_dir, partition_cols=["part"])
 
 
-def _count_actor_exchange(graph: BuiltGraph, raw_dir: str) -> TriangleResult:
+def _count_actor_exchange(
+    graph: BuiltGraph,
+    raw_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    max_failovers: int = 2,
+    chaos_hook=None,
+    wedge_rounds: int | None = None,
+) -> TriangleResult:
     """Full triangle pipeline over TriangleShard actors (state/triangle_shards.py):
     degree waves, boundary-degree fetch, orientation routing, wedge rounds,
-    corner exchange — every step a direct pre-aggregated actor exchange."""
+    corner exchange — every step a direct pre-aggregated actor exchange.
+
+    Checkpointing commits after each wedge round (the only long-running,
+    accumulating phase).  Recovery differs from PageRank/SCC because the
+    build phases are cross-actor: a revived shard cannot self-heal, so a
+    rollback resets EVERY shard, re-runs the deterministic build waves, and
+    reloads the last committed wedge round's counting state."""
+    from ..state.checkpoint import CheckpointManager
+    from ..state.failover import (
+        FAILOVER_ERRORS,
+        ShardRestartDetected,
+        pool_incarnations,
+        verify_incarnations,
+    )
     from ..state.triangle_shards import TriangleShard
 
     P = graph.P
     actors = [
-        ray.remote(num_cpus=0.25)(TriangleShard).remote(p, graph.bounds, raw_dir)
+        ray.remote(num_cpus=0.25, max_restarts=3 if checkpoint_dir else 0)(
+            TriangleShard
+        ).remote(p, graph.bounds, raw_dir)
         for p in range(P)
     ]
     ray.get([a.ready.remote() for a in actors])
+    ckpt = CheckpointManager(checkpoint_dir, "triangles") if checkpoint_dir else None
+    baseline = pool_incarnations(actors) if ckpt is not None else None
 
     def wave(push_m, absorb_m, push_args=(), per_actor_push_args=None):
         if P > 1:
@@ -426,37 +469,98 @@ def _count_actor_exchange(graph: BuiltGraph, raw_dir: str) -> TriangleResult:
         args = push_args if per_actor_push_args is None else per_actor_push_args[0]
         return [ray.get(getattr(actors[0], absorb_m).remote(getattr(actors[0], push_m).remote(*args)))]
 
-    # degrees
-    wave("deg_push", "deg_absorb")
-    # boundary-degree fetch feeding orientation
-    if P > 1:
-        needs = [a.need_degs.options(num_returns=P).remote() for a in actors]
-        served = [
-            actors[q].serve_degs.options(num_returns=P).remote(*[needs[p][q] for p in range(P)])
-            for q in range(P)
-        ]
-        per_actor_args = [[served[q][p] for q in range(P)] for p in range(P)]
-    else:
-        need = actors[0].need_degs.remote()
-        per_actor_args = [[actors[0].serve_degs.remote(need)]]
-    # orientation + routing to wedge owners
-    wave("orient_push", "orient_absorb", per_actor_push_args=per_actor_args)
-    edge_counts = ray.get([a.build_adjacency.remote() for a in actors])
+    def _build():
+        """Deterministic build phases (degrees -> orientation -> adjacency);
+        requires pristine build state on every shard."""
+        wave("deg_push", "deg_absorb")
+        if P > 1:
+            needs = [a.need_degs.options(num_returns=P).remote() for a in actors]
+            served = [
+                actors[q].serve_degs.options(num_returns=P).remote(*[needs[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+            per_actor_args = [[served[q][p] for q in range(P)] for p in range(P)]
+        else:
+            need = actors[0].need_degs.remote()
+            per_actor_args = [[actors[0].serve_degs.remote(need)]]
+        wave("orient_push", "orient_absorb", per_actor_push_args=per_actor_args)
+        return ray.get([a.build_adjacency.remote() for a in actors])
 
-    # wedge rounds: source-slice K bounds in-flight wedge volume
-    K = int(max(1, min(16, (max(edge_counts) // (1 << 21)) + 1))) if edge_counts else 1
-    for k in range(K):
-        wave("gen", "absorb", push_args=(k, K))
-    # one corner-count exchange
-    wave("corner_push", "corner_absorb")
+    def _restore(from_manifest):
+        """Reset all shards (deg_push is +=, survivors must not double),
+        rebuild adjacency, then reload the last committed counting state."""
+        ray.get([a.reset_build.remote() for a in actors])
+        edge_counts = _build()
+        k0, mK = 0, None
+        if from_manifest and ckpt is not None:
+            m = ckpt.latest()
+            if m is not None:
+                ckpt.validate_resume(m, algo="triangles", bounds=graph.bounds)
+                files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+                ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
+                k0 = int(m["iteration"]) + 1
+                mK = int(m["K"])
+        return edge_counts, k0, mK
 
-    count_refs = [a.counts_table.remote() for a in actors]
-    triple_refs = [a.triples_table.remote() for a in actors]
-    partials = ray.get([a.coef_partial.remote() for a in actors])
-    n_triangles = sum(ray.get([a.n_triangles.remote() for a in actors]))
-    ray.wait(
-        count_refs + triple_refs, num_returns=len(count_refs) + len(triple_refs), fetch_local=False
-    )
+    failovers = 0
+    try:
+        while True:
+            try:
+                if failovers == 0 and not resume:
+                    edge_counts, k0, mK = _build(), 0, None
+                else:
+                    edge_counts, k0, mK = _restore(True)
+                # wedge rounds: source-slice K bounds in-flight wedge volume
+                # (wedge_rounds overrides — tuning / checkpoint-cadence tests)
+                K = wedge_rounds or (
+                    int(max(1, min(16, (max(edge_counts) // (1 << 21)) + 1))) if edge_counts else 1
+                )
+                if mK is not None and mK != K:
+                    raise ValueError(
+                        f"resume manifest was written with K={mK} wedge rounds, "
+                        f"this run computes K={K} — pass the same wedge_rounds"
+                    )
+                for k in range(k0, K):
+                    if chaos_hook is not None:  # fault-injection point (tests)
+                        chaos_hook(k, actors)
+                    wave("gen", "absorb", push_args=(k, K))
+                    if ckpt is not None and (k % checkpoint_every == 0 or k == K - 1):
+                        files = ray.get(
+                            [a.save_state.remote(ckpt.state_dir(), k) for a in actors]
+                        )
+                        if baseline is not None:
+                            verify_incarnations(actors, baseline)
+                        ckpt.commit_iteration(
+                            k, files,
+                            {"bounds": [int(b) for b in graph.bounds], "algo": "triangles", "K": K},
+                        )
+                # one corner-count exchange
+                wave("corner_push", "corner_absorb")
+
+                count_refs = [a.counts_table.remote() for a in actors]
+                triple_refs = [a.triples_table.remote() for a in actors]
+                partials = ray.get([a.coef_partial.remote() for a in actors])
+                n_triangles = sum(ray.get([a.n_triangles.remote() for a in actors]))
+                ray.wait(
+                    count_refs + triple_refs,
+                    num_returns=len(count_refs) + len(triple_refs),
+                    fetch_local=False,
+                )
+                if baseline is not None:
+                    # final gate: the collected tables were produced on these
+                    # incarnations (actor tasks serialize), so a match proves
+                    # no fresh-state shard contributed
+                    verify_incarnations(actors, baseline)
+                break
+            except FAILOVER_ERRORS + (ShardRestartDetected,):
+                if ckpt is None or failovers >= max_failovers:
+                    raise
+                failovers += 1
+                baseline = pool_incarnations(actors)  # waits out restart windows
+    except BaseException:
+        for a in actors:  # failure must not leak pool reservations
+            ray.kill(a, no_restart=True)
+        raise
     for a in actors:
         ray.kill(a, no_restart=True)
     full = rd.from_arrow_refs(count_refs)
@@ -472,7 +576,7 @@ def _count_actor_exchange(graph: BuiltGraph, raw_dir: str) -> TriangleResult:
         triangle_count=n_triangles,
         node_count=graph.n_vertices,
         average_coefficient=(csum / n) if n else 0.0,
-        metrics={"p": P, "mode": "actor", "rounds": K},
+        metrics={"p": P, "mode": "actor", "rounds": K, "failovers": failovers},
     )
 
 

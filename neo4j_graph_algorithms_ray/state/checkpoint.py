@@ -20,6 +20,42 @@ import glob
 import json
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def atomic_save_table(table: pa.Table, ckpt_dir: str, iteration: int, part: int) -> str:
+    """Write one shard's state parquet atomically (temp + rename); the file
+    only becomes visible under its manifest-addressable name when complete."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={part:05d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def rehydrate_shard(shard, ckpt_dir: str | None, algo: str) -> int:
+    """Post-restart warm start: load ``shard.part``'s state file from the
+    latest committed manifest under ``ckpt_dir`` (if any, and only if its
+    partitioning matches).  Returns the restored iteration, or -1.
+
+    Used from shard ``__init__`` so a Ray ``max_restarts`` revival comes back
+    with checkpoint state instead of pristine state; the driver still rolls
+    the WHOLE pool back to one manifest on detection (state/failover.py)."""
+    if not ckpt_dir:
+        return -1
+    m = CheckpointManager(ckpt_dir, algo).latest()
+    if m is None:
+        return -1
+    if [int(b) for b in m.get("bounds", [])] != [int(b) for b in shard.bounds]:
+        return -1
+    for f in m["files"]:
+        if int(f.split("part=")[1].split(".")[0]) == shard.part and os.path.exists(f):
+            shard.load_state(f)
+            return int(m["iteration"])
+    return -1
+
 
 class CheckpointManager:
     def __init__(self, ckpt_dir: str, algo: str, keep: int = 2):

@@ -57,9 +57,12 @@ def _expand(indptr: np.ndarray, frontier: np.ndarray):
 
 
 class SccShard:
-    def __init__(self, part, bounds, edges_dir, rev_edges_dir):
+    def __init__(self, part, bounds, edges_dir, rev_edges_dir, ckpt_dir=None):
         self.part = int(part)
         self.bounds = np.asarray(bounds, dtype=np.int64)
+        import uuid
+
+        self.incarnation = uuid.uuid4().hex  # see shards.EdgeShardBase
         self.P = len(self.bounds) - 1
         self.lo = int(self.bounds[part])
         self.hi = int(self.bounds[part + 1])
@@ -92,9 +95,71 @@ class SccShard:
         self._frontier = np.array([], dtype=np.int64)
         self._first = True
         self._parked = None  # own-range slice of the last push
+        # post-restart warm start (checkpoint.rehydrate_shard semantics)
+        from .checkpoint import rehydrate_shard
+
+        rehydrate_shard(self, ckpt_dir, "scc")
 
     def ready(self) -> int:
         return self.n_local
+
+    def whoami(self) -> str:
+        return self.incarnation
+
+    # -- checkpoint / failover ----------------------------------------------
+    # Persistent state at an outer-round boundary (every BSP phase quiesced)
+    # is exactly {assigned, label, indeg, outdeg}: color/flagged are
+    # re-seeded by color_begin/bwd_begin, and the trim fixpoint leaves
+    # _newly empty.  Degrees must be saved — trims decrement them.
+
+    def reset(self):
+        self.assigned[:] = False
+        self.label[:] = -1
+        self.outdeg = np.diff(self.f_indptr)
+        self.indeg = np.diff(self.r_indptr)
+        self.color[:] = -1
+        self.flagged[:] = False
+        self._newly = np.array([], dtype=np.int64)
+        self._changed = np.array([], dtype=np.int64)
+        self._frontier = np.array([], dtype=np.int64)
+        self._first = True
+        self._parked = None
+        return self.part
+
+    def state_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
+                "assigned": pa.array(self.assigned),
+                "label": pa.array(self.label),
+                "indeg": pa.array(self.indeg),
+                "outdeg": pa.array(self.outdeg),
+            }
+        )
+
+    def save_state(self, ckpt_dir: str, iteration: int) -> str:
+        from .checkpoint import atomic_save_table
+
+        return atomic_save_table(self.state_table(), ckpt_dir, iteration, self.part)
+
+    def load_state(self, path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        assert t.num_rows == self.n_local
+        self.assigned = t["assigned"].to_numpy().astype(bool, copy=True)
+        self.label = t["label"].to_numpy().astype(np.int64, copy=True)
+        self.indeg = t["indeg"].to_numpy().astype(np.int64, copy=True)
+        self.outdeg = t["outdeg"].to_numpy().astype(np.int64, copy=True)
+        # phase scratch from an aborted run must not leak into the resume
+        self.color = np.full(self.n_local, -1, dtype=np.int64)
+        self.flagged = np.zeros(self.n_local, dtype=bool)
+        self._newly = np.array([], dtype=np.int64)
+        self._changed = np.array([], dtype=np.int64)
+        self._frontier = np.array([], dtype=np.int64)
+        self._first = True
+        self._parked = None
+        return self.part
 
     def n_unassigned(self) -> int:
         return int(np.count_nonzero(~self.assigned))

@@ -128,30 +128,10 @@ class EdgeShardBase:
         return self.incarnation
 
     def maybe_rehydrate(self, ckpt_dir: str | None, algo: str) -> int:
-        """Post-restart hook: reload this part's vertex state from the latest
-        committed manifest in ``ckpt_dir`` (if any, and if it matches this
-        graph's partitioning).  Called from subclass ``__init__`` so a Ray
-        ``max_restarts`` revival comes back with checkpoint state instead of
-        pristine state.  Returns the restored iteration, or -1.
+        """Post-restart hook — see ``checkpoint.rehydrate_shard``."""
+        from .checkpoint import rehydrate_shard
 
-        The driver still rolls back the WHOLE pool to one manifest after it
-        detects the restart — peers have advanced past this state — so this
-        is a best-effort warm start, not the consistency mechanism."""
-        if not ckpt_dir:
-            return -1
-        from .checkpoint import CheckpointManager
-
-        ckpt = CheckpointManager(ckpt_dir, algo)
-        m = ckpt.latest()
-        if m is None:
-            return -1
-        if [int(b) for b in m.get("bounds", [])] != [int(b) for b in self.bounds]:
-            return -1
-        for f in m["files"]:
-            if int(f.split("part=")[1].split(".")[0]) == self.part and os.path.exists(f):
-                self.load_state(f)
-                return int(m["iteration"])
-        return -1
+        return rehydrate_shard(self, ckpt_dir, algo)
 
     def _split_by_owner(self, values: np.ndarray):
         """Split a per-uniq-dst vector into P chunks aligned with dst ranges."""
@@ -367,12 +347,9 @@ class PageRankShard(EdgeShardBase):
 
     def save_state(self, ckpt_dir: str, iteration: int) -> str:
         """Atomic per-partition state checkpoint (write temp, rename)."""
-        os.makedirs(ckpt_dir, exist_ok=True)
-        final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={self.part:05d}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(self.state_table(), tmp)
-        os.replace(tmp, final)
-        return final
+        from .checkpoint import atomic_save_table
+
+        return atomic_save_table(self.state_table(), ckpt_dir, iteration, self.part)
 
     def load_state(self, path: str):
         t = pq.read_table(path)
@@ -734,13 +711,10 @@ class LabelPropShard:
         Persists the seeded node weights alongside the labels: voter weights
         are derived from them at resume, so a weighted-seeded run restores
         identical vote semantics without the caller re-passing seeds."""
-        os.makedirs(ckpt_dir, exist_ok=True)
-        final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={self.part:05d}.parquet")
-        tmp = final + ".tmp"
+        from .checkpoint import atomic_save_table
+
         state = self.labels_table().append_column("node_w", pa.array(self.node_w))
-        pq.write_table(state, tmp)
-        os.replace(tmp, final)
-        return final
+        return atomic_save_table(state, ckpt_dir, iteration, self.part)
 
     def load_state(self, path: str):
         t = pq.read_table(path)

@@ -35,6 +35,9 @@ class TriangleShard:
     def __init__(self, part, bounds, raw_dir):
         self.part = int(part)
         self.bounds = np.asarray(bounds, dtype=np.int64)
+        import uuid
+
+        self.incarnation = uuid.uuid4().hex  # see shards.EdgeShardBase
         self.P = len(self.bounds) - 1
         self.lo = int(self.bounds[part])
         self.hi = int(self.bounds[part + 1])
@@ -58,6 +61,88 @@ class TriangleShard:
 
     def ready(self) -> int:
         return len(self.u)
+
+    def whoami(self) -> str:
+        return self.incarnation
+
+    # -- checkpoint / failover ----------------------------------------------
+    # The build phases (degree waves, orientation, adjacency) are cross-actor
+    # exchanges, so a revived shard cannot self-heal locally: recovery resets
+    # EVERY shard's build + counting state, re-runs the (deterministic) build
+    # waves, then reloads the accumulated counting state of the last
+    # committed wedge round.  No __init__ rehydration for this shard type.
+
+    def reset_build(self):
+        """Back to post-__init__ state: zero degrees/adjacency AND the
+        accumulated counting state (deg_push is += — re-running the build
+        waves on un-reset survivors would double-count degrees)."""
+        self.deg = np.zeros(self.n_local, dtype=np.int64)
+        self.ga = self.gb = self.gdeg_b = np.array([], dtype=np.int64)
+        self._recv_oriented = []
+        self.corner_counts = np.zeros(self.n_local, dtype=np.int64)
+        self._foreign = []
+        self._triples = []
+        return self.part
+
+    def state_table(self) -> pa.Table:
+        """Counting state accumulated across wedge rounds, one table with a
+        section column: 0 = triangle triples (a,b,c), 1 = nonzero corner
+        counts (a=vid, b=count), 2 = pending foreign increments (a=vid,
+        b=count)."""
+        tri = self.triples_table()
+        sect = [np.zeros(tri.num_rows, dtype=np.int8)]
+        a = [tri["a"].to_numpy().astype(np.int64, copy=False)]
+        b = [tri["b"].to_numpy().astype(np.int64, copy=False)]
+        c = [tri["c"].to_numpy().astype(np.int64, copy=False)]
+        nz = np.flatnonzero(self.corner_counts)
+        sect.append(np.ones(len(nz), dtype=np.int8))
+        a.append(nz + self.lo)
+        b.append(self.corner_counts[nz])
+        c.append(np.zeros(len(nz), dtype=np.int64))
+        if self._foreign:
+            ids = np.concatenate([f[0] for f in self._foreign])
+            cnt = np.concatenate([f[1] for f in self._foreign]).astype(np.int64)
+        else:
+            ids = cnt = np.array([], dtype=np.int64)
+        sect.append(np.full(len(ids), 2, dtype=np.int8))
+        a.append(ids)
+        b.append(cnt)
+        c.append(np.zeros(len(ids), dtype=np.int64))
+        return pa.table(
+            {
+                "sect": pa.array(np.concatenate(sect)),
+                "a": pa.array(np.concatenate(a)),
+                "b": pa.array(np.concatenate(b)),
+                "c": pa.array(np.concatenate(c)),
+            }
+        )
+
+    def save_state(self, ckpt_dir: str, iteration: int) -> str:
+        from .checkpoint import atomic_save_table
+
+        return atomic_save_table(self.state_table(), ckpt_dir, iteration, self.part)
+
+    def load_state(self, path: str):
+        """Restore counting state (leaves degrees/adjacency alone — the
+        caller re-runs the build waves first)."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        sect = t["sect"].to_numpy()
+        a = t["a"].to_numpy().astype(np.int64, copy=False)
+        b = t["b"].to_numpy().astype(np.int64, copy=False)
+        c = t["c"].to_numpy().astype(np.int64, copy=False)
+        m0, m1, m2 = sect == 0, sect == 1, sect == 2
+        self._triples = (
+            [pa.table({"a": pa.array(a[m0]), "b": pa.array(b[m0]), "c": pa.array(c[m0])})]
+            if m0.any()
+            else []
+        )
+        self.corner_counts = np.zeros(self.n_local, dtype=np.int64)
+        if m1.any():
+            self.corner_counts[a[m1] - self.lo] = b[m1]
+        self._foreign = [(a[m2].copy(), b[m2].copy())] if m2.any() else []
+        return self.part
 
     # -- wave 1: undirected degrees -----------------------------------------
     def deg_push(self):

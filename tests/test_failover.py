@@ -129,3 +129,165 @@ def test_shard_init_rehydrates_from_manifest(tmp_workdir, tmp_path):
     # and without a manifest the hook is a no-op
     s2 = PageRankShard(0, g.bounds, g.edges_dir, ckpt_dir=str(tmp_path / "empty"))
     assert s2.score.min() == s2.score.max() == 1.0 - 0.85
+
+
+# ---------------------------------------------------------------------------
+# SCC — outer-round checkpoints (reference MultistepSCC.java:215 granularity)
+# ---------------------------------------------------------------------------
+
+
+def _chained_cycles_graph(tmp_workdir, n_cycles=3, cyc=4, P=3):
+    """n_cycles 4-cycles whose condensation is a path: FW-BW discovers one
+    SCC per outer round (single color root per round), so the outer loop is
+    guaranteed to run n_cycles rounds — enough to checkpoint mid-stream."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph_from_edges
+
+    edges = []
+    for c in range(n_cycles):
+        base = c * cyc
+        for i in range(cyc):
+            edges.append((base + i, base + (i + 1) % cyc))
+        if c + 1 < n_cycles:
+            edges.append((base, base + cyc))  # condensation edge
+    src, dst = zip(*edges)
+    t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "weight": pa.array([1.0] * len(src)),
+        }
+    )
+    return build_graph_from_edges(rd.from_arrow(t), n_cycles * cyc, tmp_workdir, P=P)
+
+
+def test_scc_checkpoint_resume(tmp_workdir, tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.scc import strongly_connected_components
+
+    g = _chained_cycles_graph(tmp_workdir)
+    full = strongly_connected_components(g)
+    want = full.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    ck = str(tmp_path / "ckpt")
+    # partial run: stop after 1 outer round, checkpointing
+    strongly_connected_components(g, max_outer=1, checkpoint_dir=ck)
+    m = CheckpointManager(ck, "scc").latest()
+    assert m is not None and m["iteration"] >= 1
+    # fresh actors resume from the manifest and finish
+    res = strongly_connected_components(g, checkpoint_dir=ck, resume=True)
+    got = res.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    np.testing.assert_array_equal(want, got)
+    # the fixture takes multiple outer rounds, so the resume genuinely
+    # entered mid-stream (manifest iteration >= 1, asserted above) and the
+    # continued numbering lands on the same final round
+    assert full.metrics["outer_rounds"] >= 2
+    assert res.metrics["outer_rounds"] <= full.metrics["outer_rounds"]
+
+
+def test_scc_survives_shard_kill(tmp_workdir, tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.scc import strongly_connected_components
+
+    g = _chained_cycles_graph(tmp_workdir)
+    full = strongly_connected_components(g)
+    want = full.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    res = strongly_connected_components(
+        g, checkpoint_dir=str(tmp_path / "ckpt"), chaos_hook=_KillOnce(at=2)
+    )
+    got = res.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    np.testing.assert_array_equal(want, got)
+    assert res.metrics["failovers"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Triangles — wedge-round checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _tri_graph(tmp_workdir, P=3):
+    from neo4j_graph_algorithms_ray.sources.corpus import powerlaw_corpus_table
+
+    corpus = powerlaw_corpus_table(n_files=200, n_repos=5, avg_out=5.0, seed=7)
+    return build_graph(rd.from_arrow(corpus), tmp_workdir, P=P)
+
+
+def test_triangles_checkpoint_resume(tmp_workdir, tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.triangles import triangle_count
+
+    g = _tri_graph(tmp_workdir)
+    full = triangle_count(g, wedge_rounds=4)
+    ck = str(tmp_path / "ckpt")
+    # run 1 commits every wedge round; chaos aborts the run after round 1 by
+    # raising (simulating a driver death between rounds)
+    class _Abort:
+        def __call__(self, k, actors):
+            if k == 2:
+                raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        triangle_count(g, wedge_rounds=4, checkpoint_dir=ck, chaos_hook=_Abort())
+    m = CheckpointManager(ck, "triangles").latest()
+    assert m is not None and m["iteration"] == 1 and m["K"] == 4
+    res = triangle_count(g, wedge_rounds=4, checkpoint_dir=ck, resume=True)
+    assert res.triangle_count == full.triangle_count
+    a = full.counts.to_pandas().sort_values("vid").reset_index(drop=True)
+    b = res.counts.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_array_equal(a["triangles"], b["triangles"])
+    # mismatched round count must refuse, not silently miscount
+    with pytest.raises(ValueError):
+        triangle_count(g, wedge_rounds=5, checkpoint_dir=ck, resume=True)
+
+
+def test_triangles_survive_shard_kill(tmp_workdir, tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.triangles import triangle_count
+
+    g = _tri_graph(tmp_workdir)
+    full = triangle_count(g, wedge_rounds=4)
+    res = triangle_count(
+        g, wedge_rounds=4, checkpoint_dir=str(tmp_path / "ckpt"),
+        chaos_hook=_KillOnce(at=2, part=1),
+    )
+    assert res.metrics["failovers"] == 1
+    assert res.triangle_count == full.triangle_count
+    a = full.counts.to_pandas().sort_values("vid").reset_index(drop=True)
+    b = res.counts.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_array_equal(a["triangles"], b["triangles"])
+    ca = full.coefficients.to_pandas().sort_values("vid")["coefficient"].to_numpy()
+    cb = res.coefficients.to_pandas().sort_values("vid")["coefficient"].to_numpy()
+    np.testing.assert_allclose(ca, cb, rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# MST — per-round driver-side checkpoints (comp labels + forest so far)
+# ---------------------------------------------------------------------------
+
+
+def test_mst_checkpoint_resume(tmp_workdir, tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.mst import minimum_spanning_forest
+
+    corpus, _ = fixture_corpus("uf1")  # weighted chains: multiple rounds
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=2)
+    full = minimum_spanning_forest(g)
+    assert full.metrics["rounds"] >= 2, "fixture must need multiple rounds"
+    ck = str(tmp_path / "ckpt")
+    minimum_spanning_forest(g, max_rounds=1, checkpoint_dir=ck)
+    res = minimum_spanning_forest(g, checkpoint_dir=ck, resume=True)
+    a = full.edges.to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    b = res.edges.to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(a["u"], b["u"])
+    np.testing.assert_array_equal(a["v"], b["v"])
+    np.testing.assert_allclose(a["weight"], b["weight"], rtol=0, atol=0)
+    assert res.weight_sum == full.weight_sum
+
+
+def test_mst_survives_shard_kill(tmp_workdir, tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.mst import minimum_spanning_forest
+
+    corpus, _ = fixture_corpus("uf1")
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=2)
+    full = minimum_spanning_forest(g)
+    res = minimum_spanning_forest(
+        g, checkpoint_dir=str(tmp_path / "ckpt"), chaos_hook=_KillOnce(at=2, part=1)
+    )
+    assert res.metrics["failovers"] >= 1
+    assert res.weight_sum == full.weight_sum
+    assert res.relationship_count == full.relationship_count

@@ -24,6 +24,30 @@ import ray.data as rd
 
 from ..functions import text as T
 
+import pyarrow.compute as pc
+
+
+def _tag_bucket64(col: str):
+    """Arrow-native coarse-bucket tag: ``bucket = low-6-bits(col)`` — equal to
+    the hash column's uint64 view mod 64 (two's-complement low bits), which is
+    what the shuffle keys on.  A zero-copy column append; replaces the former
+    per-batch Arrow->pandas->Arrow round trip on the busiest tag stages."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pc.bit_wise_and(t[col], 63))
+
+    return tag
+
+
+def _rename_cols(mapping: dict):
+    """Arrow-native column rename stage (zero-copy; pandas rename was a full
+    block conversion per batch)."""
+
+    def stage(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(n, n) for n in t.column_names])
+
+    return stage
+
 
 from ..sources.readers import from_pandas_clean, read_parquet_clean
 
@@ -316,13 +340,7 @@ def minhash_candidate_pairs(
 
     # coarse-bucket the (band, bh) keys so the shuffle has few, large groups
     # (per-tiny-group map_groups overhead dominates otherwise)
-    n_buckets = 64
     mbf = int(max_band_freq)
-
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["bucket"] = (b["bh"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
-        return b
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _groups_to_pairs(
@@ -333,7 +351,7 @@ def minhash_candidate_pairs(
     # minhash_dedup_pairs picks drop_duplicates (small) or a packed-key
     # groupby (large) by volume
     return grouped_map(
-        band_rows.map_batches(tag, batch_format="pandas"),
+        band_rows.map_batches(_tag_bucket64("bh"), batch_format="pyarrow"),
         "bucket",
         bucket_pairs,
         num_partitions=_shuffle_fan(),
@@ -691,13 +709,6 @@ def ngram_jaccard_pairs(
     # (no shuffle) rather than a groupby over the big gram table
     sizes = rep_docs.map_batches(size_rows, batch_format="pandas", batch_size=512)
 
-    n_buckets = 64
-
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["bucket"] = (b["gh"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
-        return b
-
     def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
         """Partial {pk, inter} for this bucket's gram groups (vectorized).
 
@@ -750,7 +761,7 @@ def ngram_jaccard_pairs(
 
     agg = bucketed_agg(
         grouped_map(
-            grams.map_batches(tag, batch_format="pandas"),
+            grams.map_batches(_tag_bucket64("gh"), batch_format="pyarrow"),
             "bucket",
             bucket_pair_counts,
             num_partitions=fan,
@@ -787,7 +798,7 @@ def ngram_jaccard_pairs(
     pairs = lookup_join(
         pairs,
         sizes.map_batches(
-            lambda b: b.rename(columns={did_t: "id_a", "sz": "sz_a"}), batch_format="pandas"
+            _rename_cols({did_t: "id_a", "sz": "sz_a"}), batch_format="pyarrow"
         ),
         "id_a",
         "sz_a",
@@ -797,7 +808,7 @@ def ngram_jaccard_pairs(
     pairs = lookup_join(
         pairs,
         sizes.map_batches(
-            lambda b: b.rename(columns={did_t: "id_b", "sz": "sz_b"}), batch_format="pandas"
+            _rename_cols({did_t: "id_b", "sz": "sz_b"}), batch_format="pyarrow"
         ),
         "id_b",
         "sz_b",
@@ -1169,12 +1180,6 @@ def simhash_near_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     rows = sigs.map_batches(explode_bands, batch_format="pandas")
 
     mh = max_hamming
-    n_buckets = 64
-
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["bucket"] = (b["bh"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
-        return b
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Size-class-vectorized pair generation + hamming verify (no Python
@@ -1228,7 +1233,7 @@ def simhash_near_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
         )
 
     pairs = grouped_map(
-        rows.map_batches(tag, batch_format="pandas"),
+        rows.map_batches(_tag_bucket64("bh"), batch_format="pyarrow"),
         "bucket",
         bucket_pairs,
         num_partitions=_shuffle_fan(),

@@ -327,16 +327,24 @@ def topk_per_group(
     if tree_fold:
         part_cols = [(key, ty[key]), (id_col, ty[id_col]), (score, ty[score]), ("__b", pa.int64())]
 
-        def salt(b: pd.DataFrame) -> pa.Table:
-            if len(b) == 0:
+        def salt(t: pa.Table) -> pa.Table:
+            # Arrow-in (pruned partials are already schema-pinned Arrow) —
+            # only appends the salt column, so no pandas block conversion.
+            if t.num_rows == 0:
                 return pa.table(
-                    {c: pa.array([], t) for c, t in part_cols + [("__s", pa.int64())]}
+                    {c: pa.array([], ty_) for c, ty_ in part_cols + [("__s", pa.int64())]}
                 )
-            b = b.copy()
-            b["__s"] = _bucket_ids(b, [key, id_col], salt_fan * fan)
-            return pa.table(
-                {c: pa.array(b[c].to_numpy()).cast(t) for c, t in part_cols + [("__s", pa.int64())]}
-            )
+            kv = t[key].to_numpy(zero_copy_only=False)
+            iv = t[id_col].to_numpy(zero_copy_only=False)
+            if kv.dtype.kind in "iu" and iv.dtype.kind in "iu":
+                h = kv.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                h ^= iv.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                s = ((h >> np.uint64(33)) % np.uint64(salt_fan * fan)).astype(np.int64)
+            else:  # string/other keys: keep the generic pandas hash
+                s = _bucket_ids(
+                    pd.DataFrame({key: kv, id_col: iv}), [key, id_col], salt_fan * fan
+                )
+            return t.append_column("__s", pa.array(s))
 
         def mid_fold(g: pd.DataFrame) -> pa.Table:
             if len(g) == 0 or key not in g.columns:
@@ -346,7 +354,7 @@ def topk_per_group(
             return pa.table({c: pa.array(out[c].to_numpy()).cast(t) for c, t in part_cols})
 
         pruned = (
-            pruned.map_batches(salt, batch_format="pandas")
+            pruned.map_batches(salt, batch_format="pyarrow")
             .groupby("__s", num_partitions=npart)
             .map_groups(mid_fold, batch_format="pandas")
         )

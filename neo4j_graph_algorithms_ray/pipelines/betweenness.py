@@ -98,6 +98,9 @@ def betweenness_centrality(
     resume: bool = False,
     max_batches: int | None = None,
     termination: "TerminationFlag | None" = None,
+    on_progress=None,
+    progress_interval_s: float = 10.0,
+    progress_logger=None,
 ) -> BetweennessResult:
     """``source_batch`` sources run concurrently per pass (unlike MS-BFS's
     bitmask ω=64, Brandes state carries a plain per-source axis, so the batch
@@ -107,7 +110,9 @@ def betweenness_centrality(
     Checkpointing is per completed source batch (exact mode over a large
     graph is a long accumulation; a killed job resumes at the next batch)."""
     from ..state.checkpoint import CheckpointManager
+    from ..state.progress import make_reporter
 
+    prog = make_reporter(on_progress, progress_interval_s, "betweenness", progress_logger)
     t0 = time.perf_counter()
     # the backward dependency push runs over the reverse adjacency, so every
     # direction needs both layouts (BOTH symmetrizes them into one)
@@ -169,6 +174,9 @@ def betweenness_centrality(
             if termination is not None:  # cooperative cancel between batches
                 termination.assert_running("betweenness source batch")
             _run_batch(pool, batches[bi], max_depth)
+            if prog is not None:  # unit = source batch (CPython-atomic ops;
+                # dual-pool races at worst coalesce two events)
+                prog.report(bi, batches_total=stop, sources_done=min((bi + 1) * source_batch, len(sources)))
             if ckpt is not None:  # only reachable when n_pools == 1
                 files = ray.get([a.save_state.remote(ckpt.state_dir(), bi) for a in pool])
                 ckpt.commit_iteration(
@@ -215,6 +223,8 @@ def betweenness_centrality(
     for pool in pools:
         for a in pool:
             ray.kill(a, no_restart=True)
+    if prog is not None:
+        prog.report(max(0, stop - 1), final=True, batches_total=stop, sources_done=len(sources))
     out = pa.concat_tables(tabs)
     return BetweennessResult(
         rd.from_arrow(out),
@@ -223,5 +233,6 @@ def betweenness_centrality(
             "sources": len(sources),
             "direction": direction,
             "elapsed_s": time.perf_counter() - t0,
+            **(prog.summary() if prog is not None else {}),
         },
     )

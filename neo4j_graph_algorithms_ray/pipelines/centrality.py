@@ -161,6 +161,7 @@ def _msbfs_pass(
     max_depth: int = 10_000,
     collect_asp: bool = False,
     termination=None,
+    prog=None,
 ):
     """Run MS-BFS from ``sources`` in batches of 64; stats stay in-actor.
 
@@ -207,6 +208,8 @@ def _msbfs_pass(
             if termination is not None:  # cooperative cancel between batches
                 termination.assert_running("ms-bfs source batch")
             _run_batch(pools[pi], P, batches[bi], max_depth)
+            if prog is not None:  # unit = 64-source MS-BFS batch
+                prog.report(bi, batches_total=len(batches))
             if collect_asp:
                 asp_refs.extend(a.asp_rows.remote() for a in pools[pi])
 
@@ -234,13 +237,21 @@ def _centrality(
     sample_sources: int | None = None,
     max_depth: int = 10_000,
     termination=None,
+    on_progress=None,
+    progress_interval_s: float = 10.0,
+    progress_logger=None,
 ) -> CentralityResult:
+    from ..state.progress import make_reporter
+
+    prog = make_reporter(on_progress, progress_interval_s, kind, progress_logger)
     n = graph.n_vertices
     sources = pick_sources(n, sample_sources)
     pools, _ = _msbfs_pass(
         graph, direction=direction, sources=sources, max_depth=max_depth,
-        termination=termination,
+        termination=termination, prog=prog,
     )
+    if prog is not None:
+        prog.report(prog.last["iteration"] if prog.last else 0, final=True)
     tabs = ray.get([a.stats_table.remote() for a in pools[0]])
     for extra in pools[1:]:  # additive per-vid stats: sum aligned shard tables
         tabs2 = ray.get([a.stats_table.remote() for a in extra])
@@ -275,7 +286,11 @@ def _centrality(
     return CentralityResult(
         rd.from_arrow(out),
         n,
-        metrics={"sources": len(sources), "direction": direction},
+        metrics={
+            "sources": len(sources),
+            "direction": direction,
+            **(prog.summary() if prog is not None else {}),
+        },
     )
 
 

@@ -69,7 +69,9 @@ def _contract_batch(t: pa.Table) -> pa.Table:
     return pa.table({"v": pa.array(verts), "root": pa.array(roots)})
 
 
-def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int = 64) -> rd.Dataset:
+def _star_contraction(
+    graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int = 64, prog=None
+) -> rd.Dataset:
     """Alternating large-star / small-star rounds (Kiveris et al. 2014).
 
     Every round is two bucketed groupby shuffles over the current edge set;
@@ -200,10 +202,12 @@ def _star_contraction(graph: BuiltGraph, edges: rd.Dataset, *, max_rounds: int =
         ).materialize()
 
     prev = _checksum(cur)
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         cur = _star_round(cur, large=True)
         cur = _star_round(cur, large=False)
         now = _checksum(cur)
+        if prog is not None:  # unit = large+small star round pair
+            prog.report(_round, edge_rows=int(now[0]))
         if now == prev:
             break
         prev = now
@@ -268,6 +272,9 @@ def connected_components(
     fanin: int = 8,
     max_rounds: int = 64,
     mode: str = "auto",
+    on_progress=None,
+    progress_interval_s: float = 10.0,
+    progress_logger=None,
 ) -> ComponentsResult:
     """Edge table -> per-vertex component labels (min-vid canonical).
 
@@ -280,6 +287,9 @@ def connected_components(
     the beyond-10^8 path, same output contract.  ``mode='auto'`` (default)
     picks star-contraction when ``n_vertices > TREEREDUCE_MAX_V`` instead of
     silently hitting the tree-reduce ceiling."""
+    from ..state.progress import make_reporter
+
+    prog = make_reporter(on_progress, progress_interval_s, "unionFind", progress_logger)
     if mode == "auto":
         mode = "starcontract" if graph.n_vertices > TREEREDUCE_MAX_V else "treereduce"
     cols = ["src", "dst", "weight"] if threshold is not None else ["src", "dst"]
@@ -291,9 +301,17 @@ def connected_components(
             batch_format="pyarrow",
         )
     if mode == "starcontract":
-        labels_ds = _star_contraction(graph, edges, max_rounds=max_rounds)
+        labels_ds = _star_contraction(graph, edges, max_rounds=max_rounds, prog=prog)
+        if prog is not None:
+            prog.report(prog.last["iteration"] if prog.last else 0, final=True)
         return ComponentsResult(
-            labels=labels_ds, nodes=graph.n_vertices, metrics={"mode": mode, "threshold": threshold}
+            labels=labels_ds,
+            nodes=graph.n_vertices,
+            metrics={
+                "mode": mode,
+                "threshold": threshold,
+                **(prog.summary() if prog is not None else {}),
+            },
         )
 
     star = edges.map_batches(_contract_batch, batch_format="pyarrow", batch_size=None).materialize()
@@ -306,6 +324,8 @@ def connected_components(
             .materialize()
         )
         rounds += 1
+        if prog is not None:  # unit = tree-reduce level
+            prog.report(rounds - 1, blocks=int(star.num_blocks()))
 
     # assembly: all vertices; isolated -> own vid.  The star side holds only
     # non-isolated vertices — broadcast-lookup under the cap, shuffle join
@@ -321,8 +341,14 @@ def connected_components(
         default="key",
         num_partitions=max(1, graph.P),
     )
+    if prog is not None:
+        prog.report(rounds - 1, final=True)
     return ComponentsResult(
         labels=labels,
         nodes=graph.n_vertices,
-        metrics={"reduce_rounds": rounds, "threshold": threshold},
+        metrics={
+            "reduce_rounds": rounds,
+            "threshold": threshold,
+            **(prog.summary() if prog is not None else {}),
+        },
     )

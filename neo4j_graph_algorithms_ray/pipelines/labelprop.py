@@ -64,7 +64,7 @@ def _transpose_exchange(refs_per_shard, P):
     return [[refs_per_shard[q][p] for q in range(P)] for p in range(P)]
 
 
-def _run_fused_lp(actors, P, max_iterations, termination=None):
+def _run_fused_lp(actors, P, max_iterations, termination=None, prog=None):
     """Run-ahead packed exchange (the PageRank ``_run_fused`` pattern).
 
     Each phase every shard emits ONE packed boundary-label array (the union of
@@ -89,9 +89,13 @@ def _run_fused_lp(actors, P, max_iterations, termination=None):
             packed = [o[0] for o in outs]
             changed_refs.append([o[1] for o in outs])
         n_sub = it + 1
+        if prog is not None:
+            prog.report(it)
         if n_sub % 4 == 0 and n_sub >= 2:
             lag = 2 * (it - 1)  # phases of the previous iteration (already done)
             tot = sum(ray.get(changed_refs[lag])) + sum(ray.get(changed_refs[lag + 1]))
+            if prog is not None:  # lagged changed-count at the check point
+                prog.report(it, changed=int(tot))
             if tot == 0:
                 break
     counts = ray.get([r for pair in changed_refs for r in pair])  # n_phases * P flat
@@ -111,9 +115,14 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     termination: "TerminationFlag | None" = None,
+    on_progress=None,
+    progress_interval_s: float = 10.0,
+    progress_logger=None,
 ) -> LabelPropResult:
     from ..state.checkpoint import CheckpointManager
+    from ..state.progress import make_reporter
 
+    prog = make_reporter(on_progress, progress_interval_s, "labelPropagation", progress_logger)
     t0 = time.perf_counter()
     rev_dir = None
     if direction in ("INCOMING", "BOTH"):
@@ -167,7 +176,7 @@ def label_propagation(
     converged = False
     try:
         if ckpt is None and start_iter == 0:
-            ran, converged = _run_fused_lp(actors, P, max_iterations, termination)
+            ran, converged = _run_fused_lp(actors, P, max_iterations, termination, prog)
         else:
             # per-iteration barrier path: checkpointed / resumed runs need
             # exact iteration accounting and a consistent state each round
@@ -188,6 +197,8 @@ def label_propagation(
                     )
                     total_changed += sum(changed)
                 ran = it - start_iter + 1
+                if prog is not None:
+                    prog.report(it, changed=int(total_changed))
                 if ckpt is not None:
                     files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
                     ckpt.commit_iteration(
@@ -204,6 +215,8 @@ def label_propagation(
             ray.kill(a, no_restart=True)
         raise
     compute_s = time.perf_counter() - t1
+    if prog is not None:
+        prog.report(max(0, ran - 1), final=True, converged=bool(converged))
 
     label_refs = [a.labels_table.remote() for a in actors]
     ray.wait(label_refs, num_returns=len(label_refs), fetch_local=False)
@@ -222,6 +235,7 @@ def label_propagation(
             "computeMillis": int(compute_s * 1000),
             "direction": direction,
             "p": P,
+            **(prog.summary() if prog is not None else {}),
         },
     )
 

@@ -45,9 +45,14 @@ def louvain(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     termination: "TerminationFlag | None" = None,
+    on_progress=None,
+    progress_interval_s: float = 10.0,
+    progress_logger=None,
 ) -> LouvainResult:
     from ..state.checkpoint import CheckpointManager
+    from ..state.progress import make_reporter
 
+    prog = make_reporter(on_progress, progress_interval_s, "louvain", progress_logger)
     t0 = time.perf_counter()
     rev = graph.ensure_reverse_layout()
     actors = make_shard_actors(
@@ -132,6 +137,8 @@ def louvain(
                 refs = submit_phase(0) + submit_phase(1)
                 step_refs.append(refs)
                 n_sub = it + 1
+                if prog is not None:
+                    prog.report(it)
                 if it >= 1 and sum(ray.get(step_refs[it - 1])) == 0:
                     break
                 if len(acks) > 12 * P:
@@ -156,6 +163,8 @@ def louvain(
                     acks.clear()
                     total_changed += sum(ray.get(refs))
                 ran = it - start_iter + 1
+                if prog is not None:
+                    prog.report(it, changed=int(total_changed))
                 if ckpt is not None:
                     files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
                     ckpt.commit_iteration(
@@ -176,6 +185,8 @@ def louvain(
             ray.kill(a, no_restart=True)
         raise
     compute_s = time.perf_counter() - t1
+    if prog is not None:
+        prog.report(max(0, ran - 1), final=True)
 
     # result Dataset straight from shard refs (pagerank/labelprop/scc
     # protocol) — the O(V) community table never lands on the driver; the
@@ -192,5 +203,10 @@ def louvain(
         iterations=ran,
         community_count=n_comm,
         nodes=graph.n_vertices,
-        metrics={"loadMillis": int(load_s * 1000), "computeMillis": int(compute_s * 1000), "p": P},
+        metrics={
+            "loadMillis": int(load_s * 1000),
+            "computeMillis": int(compute_s * 1000),
+            "p": P,
+            **(prog.summary() if prog is not None else {}),
+        },
     )

@@ -147,6 +147,7 @@ def _boruvka_actor(
     resume: bool = False,
     max_failovers: int = 2,
     chaos_hook=None,
+    prog=None,
 ) -> MstResult:
     """Fast path: component labels live on the driver (O(V), under the same
     broadcast threshold as every other small-side path) and ship to shards
@@ -244,6 +245,8 @@ def _boruvka_actor(
         sel_u.append(uu)
         sel_v.append(vv)
         sel_w.append(ww)
+        if prog is not None:  # unit = Boruvka round
+            prog.report(rounds, edges_added=int(len(uu)))
         verts, roots = local_components(comp[uu], comp[vv])
         mapping = np.arange(n, dtype=np.int64)
         mapping[verts] = roots
@@ -265,13 +268,20 @@ def _boruvka_actor(
     forest = rd.from_arrow(
         pa.table({"u": pa.array(u), "v": pa.array(v), "weight": pa.array(w)})
     )
+    if prog is not None:
+        prog.report(max(0, rounds), final=True, edges_total=int(len(w)))
     return MstResult(
         edges=forest,
         weight_sum=float(w.sum()),
         weight_min=float(w.min()) if len(w) else 0.0,
         weight_max=float(w.max()) if len(w) else 0.0,
         relationship_count=int(len(w)),
-        metrics={"rounds": rounds, "mode": "actor", "failovers": failovers},
+        metrics={
+            "rounds": rounds,
+            "mode": "actor",
+            "failovers": failovers,
+            **(prog.summary() if prog is not None else {}),
+        },
     )
 
 
@@ -285,7 +295,13 @@ def minimum_spanning_forest(
     resume: bool = False,
     max_failovers: int = 2,
     chaos_hook=None,
+    on_progress=None,
+    progress_interval_s: float = 10.0,
+    progress_logger=None,
 ) -> MstResult:
+    from ..state.progress import make_reporter
+
+    prog = make_reporter(on_progress, progress_interval_s, "mst", progress_logger)
     if mode == "auto":
         mode = "actor" if graph.n_vertices <= BROADCAST_MAX_V else "dataset"
     if checkpoint_dir and mode != "actor":
@@ -295,11 +311,12 @@ def minimum_spanning_forest(
             graph, max_rounds,
             checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
             resume=resume, max_failovers=max_failovers, chaos_hook=chaos_hook,
+            prog=prog,
         )
-    return _boruvka_dataset(graph, max_rounds)
+    return _boruvka_dataset(graph, max_rounds, prog=prog)
 
 
-def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64) -> MstResult:
+def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64, prog=None) -> MstResult:
     n_buckets = 64
     npart = max(2, graph.P)
     edges = _canon_edges(graph).materialize()  # {u, v, w}
@@ -320,7 +337,9 @@ def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64) -> MstResult:
     ).materialize()
 
     chosen: list[rd.Dataset] = []
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        if prog is not None:  # unit = Boruvka round (Dataset mode)
+            prog.report(_round)
         lab_u = labels.rename_columns({"vid": "u", "comp": "cu"})
         lab_v = labels.rename_columns({"vid": "v", "comp": "cv"})
         tagged = edges.join(lab_u, "inner", npart, on=("u",)).join(
@@ -439,7 +458,10 @@ def _boruvka_dataset(graph: BuiltGraph, max_rounds: int = 64) -> MstResult:
         weight_min=float(wmin),
         weight_max=float(wmax),
         relationship_count=int(cnt),
-        metrics={"rounds": len(chosen)},
+        metrics={
+            "rounds": len(chosen),
+            **(prog.summary() if prog is not None else {}),
+        },
     )
 
 

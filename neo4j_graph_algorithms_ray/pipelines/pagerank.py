@@ -107,7 +107,7 @@ def _exchange_groupby(actors, P, bounds):
 
 def _run_fused(
     actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every,
-    termination=None, baseline=None, chaos_hook=None,
+    termination=None, baseline=None, chaos_hook=None, prog=None,
 ):
     """Single-wave pipelined loop: call k applies round k-1 and pushes round k.
 
@@ -142,6 +142,8 @@ def _run_fused(
         md_history[it] = [m[1] for m in msgs]
         md_history.pop(it - 3, None)
         ran = it + 1
+        if prog is not None:  # max_delta is the lagged value (run-ahead loop)
+            prog.report(it, max_delta=float(max_delta))
         if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
             files = _ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
             max_delta = max(_ray.get(md_history[it]))
@@ -176,7 +178,7 @@ def _run_fused(
 
 def _run_mailbox(
     actors, P, n_iter, tol, iterations, ckpt, bounds, checkpoint_every,
-    termination=None, baseline=None, chaos_hook=None,
+    termination=None, baseline=None, chaos_hook=None, prog=None,
 ):
     """Block-wise driver for the mailbox exchange: k rounds per actor call.
 
@@ -200,6 +202,8 @@ def _run_mailbox(
         done += k
         md = max(mds)
         applies = done - 1
+        if prog is not None:
+            prog.report(max(0, applies), max_delta=float(md))
         if ckpt is not None and applies > 0:
             files = ray.get([a.save_state.remote(ckpt.state_dir(), applies - 1) for a in actors])
             if baseline is not None:
@@ -232,13 +236,23 @@ def pagerank(
     termination: "TerminationFlag | None" = None,
     max_failovers: int = 2,
     chaos_hook=None,
+    on_progress=None,
+    progress_interval_s: float = 10.0,
+    progress_logger=None,
 ) -> PageRankResult:
     """``max_failovers``: with a ``checkpoint_dir``, shard actors run with
     ``max_restarts`` and a mid-run worker death triggers up to this many
     pool rollbacks to the last committed manifest (state/failover.py) before
     the error propagates.  ``chaos_hook(iteration, actors)`` is a
-    fault-injection point called at the top of every driver round (tests)."""
+    fault-injection point called at the top of every driver round (tests).
+
+    ``on_progress(event)`` / ``progress_logger``: throttled per-iteration
+    progress (``state/progress.py``; reference ProgressLogger.java parity) —
+    at most one event per ``progress_interval_s`` seconds plus a final one."""
     t0 = time.perf_counter()
+    from ..state.progress import make_reporter
+
+    prog = make_reporter(on_progress, progress_interval_s, "pagerank", progress_logger)
     from ..state.failover import (
         FAILOVER_ERRORS,
         ShardRestartDetected,
@@ -295,12 +309,12 @@ def pagerank(
         if seg_exchange == "mailbox" and seg_start == 0:
             return _run_mailbox(
                 actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every,
-                termination, seg_baseline, chaos_hook,
+                termination, seg_baseline, chaos_hook, prog,
             )
         if seg_exchange == "fused" and seg_start == 0:
             return _run_fused(
                 actors, P, n_iter, tol, iterations, ckpt, graph.bounds, checkpoint_every,
-                termination, seg_baseline, chaos_hook,
+                termination, seg_baseline, chaos_hook, prog,
             )
         # split/groupby exchanges (and resumed runs, which need exact
         # iteration accounting from a mid-stream start)
@@ -318,6 +332,8 @@ def pagerank(
             else:
                 deltas = _exchange_groupby(actors, P, graph.bounds)
             md = max(deltas) if deltas else 0.0
+            if prog is not None:
+                prog.report(it, max_delta=float(md))
             if ckpt is not None and (it % checkpoint_every == 0 or it == n_iter - 1):
                 files = ray.get([a.save_state.remote(ckpt.state_dir(), it) for a in actors])
                 if seg_baseline is not None:
@@ -362,6 +378,11 @@ def pagerank(
             ray.kill(a, no_restart=True)
         raise
     compute_s = time.perf_counter() - t1
+    if prog is not None:  # same convergence semantics as the result below
+        prog.report(
+            max(0, ran - 1), final=True, max_delta=float(max_delta),
+            converged=bool(converged or (iterations is not None)),
+        )
 
     score_refs = [a.scores_table.remote() for a in actors]
     ray.wait(score_refs, num_returns=len(score_refs), fetch_local=False)
@@ -385,6 +406,7 @@ def pagerank(
             "exchange": exchange,
             "p": P,
             "failovers": failovers,
+            **(prog.summary() if prog is not None else {}),
         },
     )
 

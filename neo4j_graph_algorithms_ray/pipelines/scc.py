@@ -85,6 +85,9 @@ def strongly_connected_components(
     resume: bool = False,
     max_failovers: int = 2,
     chaos_hook=None,
+    on_progress=None,
+    progress_interval_s: float = 10.0,
+    progress_logger=None,
 ) -> SccResult:
     """Checkpointing commits at outer FW-BW round boundaries (the reference's
     ``MultistepSCC.java:215`` loop granularity) — every BSP phase is quiesced
@@ -93,6 +96,9 @@ def strongly_connected_components(
     the last committed round and continues (state/failover.py)."""
     t0 = time.perf_counter()
     from ..state.checkpoint import CheckpointManager
+    from ..state.progress import make_reporter
+
+    prog = make_reporter(on_progress, progress_interval_s, "scc", progress_logger)
     from ..state.failover import (
         FAILOVER_ERRORS,
         ShardRestartDetected,
@@ -154,6 +160,8 @@ def strongly_connected_components(
             _phase_to_fixpoint(actors, "bwd_begin", "bwd_step", (), max_bsp_rounds)
             assigned = sum(ray.get([a.finalize_sccs.remote() for a in actors]))
             assert assigned > 0, "SCC outer round made no progress"
+            if prog is not None:  # unit = outer FW-BW round
+                prog.report(it, assigned=int(assigned), remaining=int(remaining - assigned))
             _phase_to_fixpoint(actors, "trim_begin", "trim_step", (False,), max_bsp_rounds)
             if ckpt is not None and it % checkpoint_every == 0:
                 _commit(it)
@@ -189,8 +197,15 @@ def strongly_connected_components(
     for a in actors:
         ray.kill(a, no_restart=True)
     labels = rd.from_arrow_refs(label_refs)
+    if prog is not None:
+        prog.report(outer, final=True)
     return SccResult(
         labels=labels,
         nodes=graph.n_vertices,
-        metrics={"outer_rounds": outer, "elapsed_s": time.perf_counter() - t0, "failovers": failovers},
+        metrics={
+            "outer_rounds": outer,
+            "elapsed_s": time.perf_counter() - t0,
+            "failovers": failovers,
+            **(prog.summary() if prog is not None else {}),
+        },
     )

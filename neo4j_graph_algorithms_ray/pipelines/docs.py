@@ -382,8 +382,10 @@ def minhash_signatures(docs: rd.Dataset, *, num_perm=64, k=3) -> rd.Dataset:
                 }
             )
 
+    from ..stages.agg import actor_pool_args
+
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        Stage, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+        Stage, batch_format="pandas", batch_size=1024, **actor_pool_args()
     )
 
 

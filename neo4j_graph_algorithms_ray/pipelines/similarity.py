@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..stages.agg import grouped_map
+from ..stages.agg import actor_pool_args, grouped_map
 
 
 def read_embeddings(sf_dir: str) -> rd.Dataset:
@@ -171,7 +171,7 @@ def knn_bruteforce(emb: rd.Dataset, qids: np.ndarray, Q: np.ndarray, *, k: int =
         fn_constructor_kwargs={"qref": qref, "k": k},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        **actor_pool_args(),
     )
     return grouped_map(cand, "query_id", _final_topk(k))
 
@@ -220,7 +220,7 @@ def embedding_near_dup_pairs(
             out = t.select(["vec_id", "embedding"]).take(pa.array(idx))
             return out.append_column("bucket", pa.array(buckets))
 
-    rows = emb.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    rows = emb.map_batches(Assign, batch_format="pyarrow", **actor_pool_args())
     thr = threshold
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -329,7 +329,7 @@ def knn_ivf(
                 "bucket", pa.array(bucket[keep].astype(np.int64))
             )
 
-    filtered = emb.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    filtered = emb.map_batches(Assign, batch_format="pyarrow", **actor_pool_args())
 
     class Score:
         def __init__(self):
@@ -368,5 +368,5 @@ def knn_ivf(
                 )
             return pd.concat(outs, ignore_index=True)
 
-    cand = filtered.map_batches(Score, batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+    cand = filtered.map_batches(Score, batch_format="pandas", batch_size=4096, **actor_pool_args())
     return grouped_map(cand, "query_id", _final_topk(k))

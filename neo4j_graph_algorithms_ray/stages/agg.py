@@ -48,6 +48,24 @@ def shuffle_fan() -> int:
     return max(2, min(ncpu // 2, 256))
 
 
+def actor_pool_args(max_actors: int = 8) -> dict:
+    """``map_batches`` kwargs for a stateful actor-pool stage, sized so the
+    pool can never starve the rest of the pipeline.
+
+    On a cramped session (<= 2 CPUs) every actor reserves 0.5 CPU: a
+    pipeline chaining TWO actor-pool stages (knn_ivf's assign -> score) would
+    otherwise pin min-1-actor x 1 CPU each — the whole cluster — and the
+    upstream read tasks pend forever (observed: knn_ivf livelocks a
+    ``num_cpus=2`` session).  Larger sessions keep the default whole-CPU
+    reservation and autoscale the pool to ``min(max_actors, ncpu - 1)``."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if ncpu <= 2:
+        return {"concurrency": (1, max(1, ncpu)), "num_cpus": 0.5}
+    return {"concurrency": (1, max(1, min(max_actors, ncpu - 1)))}
+
+
 def _bucket_ids(df: pd.DataFrame, keys: list[str], fan: int) -> np.ndarray:
     if len(keys) == 1 and df[keys[0]].dtype.kind in "iu":
         k = df[keys[0]].to_numpy().astype(np.uint64, copy=False)

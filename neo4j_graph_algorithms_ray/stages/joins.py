@@ -81,13 +81,15 @@ def lookup_vids(
     if method == "auto":
         method = "broadcast" if n_vertices <= BROADCAST_MAX_ROWS else "join"
     if method == "broadcast":
+        from .agg import actor_pool_args
+
         ref = ray.put(vertices_ds.to_pandas())
         return edges_ds.map_batches(
             _BroadcastVidMapper,
             fn_constructor_kwargs={"vmap_ref": ref},
             batch_format="pyarrow",
             batch_size=65536,
-            concurrency=(1, 8),
+            **actor_pool_args(),
         )
     # shuffle-join path: two hash joins on the string key
     j = edges_ds.join(

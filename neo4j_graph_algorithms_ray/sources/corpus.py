@@ -322,6 +322,9 @@ _SF_PARAMS = {
     "sf0.001": (600, 40, 5.0),
     "sf0.01": (3000, 100, 5.0),
     "sf0.1": (20000, 200, 8.0),
+    # 10x bench tier; tables synthesised by scripts/gen_sf.py (the driver
+    # ships read-only parquet only up to sf0.1)
+    "sf1": (200000, 600, 8.0),
 }
 _CORPUS_SEED = 1001
 CORPUS_CACHE_ROOT = "/tmp/graft_corpus"

@@ -356,3 +356,24 @@ def test_coshuffle_lookup_salted_matches_unsalted(ray_session):
         )
         pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
     assert (a.loc[a["k"] == 7, "v"] == 70).all()
+
+
+def test_actor_pool_args_cramped_vs_normal(monkeypatch):
+    """Pool sizing: <=2-CPU sessions get 0.5-CPU actors (two chained pools
+    must not pin the whole cluster — the knn_ivf livelock), larger sessions
+    keep whole-CPU actors capped at ncpu-1."""
+    import ray as _ray
+
+    from neo4j_graph_algorithms_ray.stages.agg import actor_pool_args
+
+    monkeypatch.setattr(_ray, "cluster_resources", lambda: {"CPU": 2})
+    a = actor_pool_args()
+    assert a == {"concurrency": (1, 2), "num_cpus": 0.5}
+
+    monkeypatch.setattr(_ray, "cluster_resources", lambda: {"CPU": 32})
+    b = actor_pool_args()
+    assert b == {"concurrency": (1, 8)} and "num_cpus" not in b
+
+    monkeypatch.setattr(_ray, "cluster_resources", lambda: {"CPU": 4})
+    c = actor_pool_args()
+    assert c == {"concurrency": (1, 3)}

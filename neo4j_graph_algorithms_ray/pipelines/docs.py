@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions import text as T
@@ -567,6 +568,351 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+# prefix-route gate: the verify gram CSR and the gram df table must each fit
+# one broadcast; total kept-gram rows bounds both (8 B/gram -> ~160 MB at the
+# cap).  Above it the counting index (whose widest op is the df-capped
+# gram-group shuffle) is the scale path.
+NGRAM_PREFIX_MAX_GRAM_ROWS = 20_000_000
+
+
+def _ngram_pairs_prefix(
+    rep_docs: rd.Dataset,
+    gram_rows_fn,
+    msz: "rd.Dataset | None",
+    *,
+    did_t: str,
+    thr: float,
+    mdf: int,
+    fan: int,
+    shingle_k: int,
+):
+    """Prefix-filtered exact n-gram Jaccard (the broadcast-scale route of
+    ``ngram_jaccard_pairs`` — see its route comment for the algorithm cite
+    and the gate).  Returns ``(rep_pairs, intra)`` with the same semantics
+    the counting index produces: ``rep_pairs = {id_a, id_b, jac_u}`` over
+    representatives, ``intra = {rep, jac_u}`` for duplicated groups (None
+    when ``msz`` is None).
+
+    Three NECESSARY conditions for ``jaccard >= t`` prune candidates before
+    any wide op; survivors get their true intersection from a broadcast CSR
+    of every rep's kept (df <= max_doc_freq) grams, so output is exactly the
+    counting index's:
+
+    - prefix: with each doc's kept grams in one global (df, gh) order, a
+      qualifying pair shares a gram among each side's first
+      ``k_d - floor(t*sz_d) + 1``  (jac >= t implies intersection
+      >= t*union >= t*sz_d; if all shared grams sat beyond the prefix the
+      intersection would be < floor(t*sz_d))
+    - positional: intersection <= min(k_a - i, k_b - j) at the first shared
+      gram's ranks (i, j) — must reach ceil(t/(1+t)(sz_a+sz_b))
+    - length: intersection <= min(sz) and union >= max(sz) force
+      min(sz) >= t*max(sz)
+
+    ``jac = inter/(sz_a + sz_b - inter)`` with sz the UNPRUNED distinct-gram
+    count and inter over kept grams only — the counting index's conservative
+    jaccard, replayed by the DuckDB oracle.
+    """
+    from ..stages.joins import lookup_join
+
+    tf = max(float(thr), 0.0)  # filters assume t >= 0; thr < 0 still exact
+
+    import time as _time
+
+    _prof = os.environ.get("GRAFT_NGRAM_PROF") == "1"
+    _t = [_time.time()]
+
+    def _mark(label):
+        if _prof:
+            now = _time.time()
+            print(f"[ngram-prefix] {label}: {now - _t[0]:.1f}s", flush=True)
+            _t[0] = now
+
+    # 1. ONE shingle+hash pass: the distinct (doc, gram) rows are
+    #    materialized and feed BOTH the df aggregate and the kept-rows
+    #    stage (the counting index re-shingles per consumer; here the rows
+    #    fit the route gate, so paying ~24 B/gram of object store once
+    #    beats a second md5 pass over the corpus)
+    grams = rep_docs.map_batches(
+        gram_rows_fn, batch_format="pandas", batch_size=512
+    ).materialize()
+    _mark("grams")
+
+    # 2. weighted gram document frequency (identical to the counting
+    #    kernel's in-bucket W): one small groupby — the route gate bounds
+    #    distinct grams <= total gram rows <= broadcast cap
+    dfp = bucketed_agg(
+        grams, "gh", {"df": ("m", "sum")}, small_fold_rows=2_000_000
+    ).to_pandas()
+    if len(dfp):
+        dfp = dfp.sort_values("gh")
+        df_ref = ray.put(
+            (dfp["gh"].to_numpy(np.int64), dfp["df"].to_numpy(np.int64))
+        )
+    else:
+        df_ref = ray.put((np.array([], np.int64), np.array([], np.int64)))
+    _mark("df table")
+
+    # 3. kept-gram rows with canonical rank, computed per gram-rows block
+    #    (batch_size=None: a block is whole gram_rows output batches, so a
+    #    doc's rows arrive together and contiguous — CHECKED below, loudly).
+    #    Grams are dictionary-encoded to their dense rank in the sorted df
+    #    table ("gr", int32 — the route gate bounds distinct grams < 2^31):
+    #    half the CSR/shuffle bytes, and the verify kernel can pack
+    #    (pair, gram) into ONE int64.
+    def kept_rows(b: pd.DataFrame, ref=df_ref) -> pd.DataFrame:
+        gh_s, df_s = ray.get(ref)
+        dids = b[did_t].to_numpy()
+        h = b["gh"].to_numpy()
+        if len(dids) and (int(dids.max()) >= 2**31 or int(dids.min()) < 0):
+            raise ValueError(
+                "ngram_jaccard_pairs requires 0 <= doc_id < 2^31 (packed pair keys)"
+            )
+        # doc segments: contiguity invariant (each doc's distinct grams are
+        # emitted as one run by gram_rows and blocks cut at batch bounds)
+        if len(dids):
+            seg_start = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1]])
+            if len(seg_start) != len(np.unique(dids)):
+                raise RuntimeError(
+                    "ngram prefix route: gram rows for one doc split across "
+                    "runs — per-batch doc contiguity violated"
+                )
+        else:
+            seg_start = np.zeros(0, np.int64)
+        seg = np.cumsum(np.r_[False, dids[1:] != dids[:-1]]) if len(dids) else dids
+        nseg = len(seg_start)
+        sz = np.bincount(seg, minlength=nseg).astype(np.int64)
+        if len(gh_s):
+            gr = np.searchsorted(gh_s, h).astype(np.int32)  # dense gram rank
+            dfv = df_s[gr]
+        else:
+            gr = np.zeros(len(h), np.int32)
+            dfv = np.zeros(len(h), np.int64)
+        keep = dfv <= mdf
+        r2, g2, df2 = seg[keep], gr[keep], dfv[keep]
+        kcnt = np.bincount(r2, minlength=nseg).astype(np.int64)
+        o = np.lexsort((g2, df2, r2))  # per-doc canonical (df, gh-rank) order
+        r3, g3 = r2[o], g2[o]
+        if len(r3):
+            startd = np.flatnonzero(np.r_[True, r3[1:] != r3[:-1]])
+            runlen = np.diff(np.append(startd, len(r3)))
+            rank = np.arange(len(r3), dtype=np.int64) - np.repeat(startd, runlen)
+        else:
+            rank = np.zeros(0, dtype=np.int64)
+        szr = sz[r3]
+        alpha = np.maximum(1, np.floor(tf * szr).astype(np.int64))
+        # q=2 extended prefix (Xiao et al.'s generalization): a pair with
+        # intersection >= alpha shares >= 2 grams within each side's first
+        # k - alpha + 2 positions, so the witness-count filter downstream
+        # can demand two hits before paying for verification
+        pref = rank < (kcnt[r3] - alpha + 2)
+        doc_of_seg = dids[seg_start]
+        # emit (doc, gram-rank)-sorted so the CSR build can skip its sort
+        o2 = np.lexsort((g3, r3))
+        return pd.DataFrame(
+            {
+                did_t: doc_of_seg[r3][o2],
+                "gr": g3[o2],
+                "rank": rank[o2],
+                "k": kcnt[r3][o2],
+                "sz": szr[o2],
+                "pref": pref[o2].astype(np.int8),
+            }
+        )
+
+    kept = grams.map_batches(
+        kept_rows, batch_format="pandas", batch_size=None
+    ).materialize()
+    _mark("kept")
+
+    # 3. verify CSR broadcast: every rep's kept gram ranks (sorted per doc)
+    #    + unpruned size, gathered once (route gate bounds the rows)
+    kp = kept.to_pandas()
+    if len(kp):
+        dvals = kp[did_t].to_numpy(np.int64)
+        if len(dvals) > 1 and (dvals[1:] < dvals[:-1]).any():
+            # blocks out of doc order (rows within a doc are already
+            # gram-rank sorted by kept_rows)
+            kp = kp.sort_values([did_t, "gr"], kind="stable")
+            dvals = kp[did_t].to_numpy(np.int64)
+        dkeys, counts = np.unique(dvals, return_counts=True)
+        off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        gv = kp["gr"].to_numpy(np.int32)
+        szv = kp["sz"].to_numpy(np.int64)[off[:-1]]
+    else:
+        dkeys = np.array([], np.int64)
+        off = np.zeros(1, np.int64)
+        gv = np.array([], np.int32)
+        szv = np.array([], np.int64)
+    csr_ref = ray.put((dkeys, off, gv, szv))
+    _mark("csr")
+
+    # 4. candidates: prefix posting rows bucketed by gram rank; each bucket
+    #    enumerates co-occurring pairs surviving positional + length bounds
+    posting = kept.filter(expr="pref == 1")
+    tagged = posting.map_batches(_tag_bucket64("gr"), batch_format="pyarrow")
+
+    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
+        empty_df = pd.DataFrame(
+            {"pk": pd.Series(dtype=np.int64), "cnt": pd.Series(dtype=np.int64)}
+        )
+        if len(g) == 0 or "gr" not in g.columns:
+            return empty_df
+        gh = g["gr"].to_numpy()
+        did = g[did_t].to_numpy()
+        rk = g["rank"].to_numpy()
+        kk = g["k"].to_numpy()
+        ss = g["sz"].to_numpy()
+        order = np.lexsort((did, gh))
+        gh, did, rk, kk, ss = (x[order] for x in (gh, did, rk, kk, ss))
+        gnew = np.empty(len(gh), dtype=bool)
+        gnew[0] = True
+        gnew[1:] = gh[1:] != gh[:-1]
+        starts = np.flatnonzero(gnew)
+        counts = np.diff(np.append(starts, len(gh)))
+        keys = []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            gs = starts[counts == s]
+            if not len(gs):
+                continue
+            idx = gs[:, None] + np.arange(s)[None, :]
+            m, r, kv, sv = did[idx], rk[idx], kk[idx], ss[idx]
+            ii, jj = np.triu_indices(s, k=1)
+            a = m[:, ii].ravel()
+            b_ = m[:, jj].ravel()
+            ra, rb = r[:, ii].ravel(), r[:, jj].ravel()
+            ka, kb = kv[:, ii].ravel(), kv[:, jj].ravel()
+            sa, sb = sv[:, ii].ravel(), sv[:, jj].ravel()
+            alpha_pair = np.ceil(tf / (1.0 + tf) * (sa + sb) - 1e-9)
+            # positional bound relaxed by one: the SECOND witness of a
+            # qualifying pair only guarantees min(k - i, k - j) >= alpha - 1
+            ok = (np.minimum(sa, sb) + 1e-9 >= tf * np.maximum(sa, sb)) & (
+                np.minimum(ka - ra, kb - rb) >= np.maximum(alpha_pair - 1, 1)
+            )
+            if ok.any():
+                keys.append((a[ok] << 32) | b_[ok])
+        if not keys:
+            return empty_df
+        pk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pd.DataFrame({"pk": pk, "cnt": cnt.astype(np.int64)})
+
+    # global witness counts: one narrow {pk, cnt} groupby; a pair needing
+    # intersection >= 2 must collect >= 2 witnesses across buckets, so the
+    # verify stage can drop ~all one-witness candidates before gathering
+    cands = bucketed_agg(
+        grouped_map(tagged, "bucket", bucket_cands, num_partitions=fan),
+        "pk",
+        {"cnt": ("cnt", "sum")},
+    )
+
+    # 5. verify: true intersection per candidate from the CSR — SORT-FREE.
+    #    The witness prefilter first drops every candidate whose global
+    #    witness count can't reach min(2, alpha_pair) (~97% of candidates
+    #    on low-duplication corpora share exactly one gram).  Survivors
+    #    pack (pair_idx << 32 | gram_rank) into one int64 per gathered row:
+    #    the b-side's packed keys come out ALREADY sorted (pair index
+    #    ascending, CSR slices sorted by rank), so intersection is one
+    #    binary-search membership pass of the a-side — no per-pair Python,
+    #    no lexsort (the lexsort variant measured 74s at 10x bench scale).
+    #    The witness groupby made pairs globally distinct, so the threshold
+    #    filter's output is final — no dedup pass follows.
+    def verify(b: pd.DataFrame, ref=csr_ref) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jac_u": pa.array([], pa.int64()),
+            }
+        )
+        if len(b) == 0 or "pk" not in b.columns:
+            return out_empty
+        dk, off_, gv_, szv_ = ray.get(ref)
+        pk = b["pk"].to_numpy()
+        cnt = b["cnt"].to_numpy()
+        ia = (pk >> 32).astype(np.int64)
+        ib = (pk & 0xFFFFFFFF).astype(np.int64)
+        pa_ = np.searchsorted(dk, ia)
+        pb_ = np.searchsorted(dk, ib)
+        alpha_pair = np.ceil(
+            tf / (1.0 + tf) * (szv_[pa_] + szv_[pb_]) - 1e-9
+        )
+        w = cnt >= np.minimum(2, np.maximum(alpha_pair, 1))
+        pk, ia, ib, pa_, pb_ = pk[w], ia[w], ib[w], pa_[w], pb_[w]
+        if not len(pk):
+            return out_empty
+        la = off_[pa_ + 1] - off_[pa_]
+        lb = off_[pb_ + 1] - off_[pb_]
+        pidx = np.arange(len(pk), dtype=np.int64) << 32
+
+        def gather_packed(pos, lens):
+            tot = int(lens.sum())
+            cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idx = np.repeat(off_[pos] - cum, lens) + np.arange(tot)
+            return np.repeat(pidx, lens) | gv_[idx].astype(np.int64)
+
+        akeys = gather_packed(pa_, la)
+        bkeys = gather_packed(pb_, lb)  # sorted: pair asc, rank asc per pair
+        if len(bkeys):
+            hit = np.minimum(np.searchsorted(bkeys, akeys), len(bkeys) - 1)
+            found = bkeys[hit] == akeys
+            inter = np.bincount(akeys[found] >> 32, minlength=len(pk)).astype(np.int64)
+        else:
+            inter = np.zeros(len(pk), np.int64)
+        union = szv_[pa_] + szv_[pb_] - inter
+        jac = inter / np.maximum(union, 1)
+        keep = jac >= thr
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep]),
+                "id_b": pa.array(ib[keep]),
+                "jac_u": pa.array(np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    rep_pairs = cands.map_batches(verify, batch_format="pandas", batch_size=65536)
+    _mark("cands+verify wired (lazy)")
+
+    # 6. intra-group pairs for duplicated groups: kept = per-rep kept-gram
+    #    count (k), identical to the counting index's sz - npruned.  Per-doc
+    #    stats come from the kept rows (a doc with no kept rows defaults to
+    #    sz = k = 0 -> dropped, exactly the counting index's outcome: its
+    #    intersection over kept grams is 0 for all-pruned or empty docs).
+    intra = None
+    if msz is not None:
+
+        def per_doc_stats(b: pd.DataFrame) -> pd.DataFrame:
+            d = b[did_t].to_numpy()
+            du, idx = np.unique(d, return_index=True)
+            return pd.DataFrame(
+                {
+                    did_t: du,
+                    "sz": b["sz"].to_numpy()[idx],
+                    "k": b["k"].to_numpy()[idx],
+                }
+            )
+
+        stats = kept.map_batches(per_doc_stats, batch_format="pandas").materialize()
+        base = lookup_join(msz, stats, did_t, "sz", default=0, num_partitions=fan)
+        base = lookup_join(base, stats, did_t, "k", default=0, num_partitions=fan)
+
+        def intra_jac(b: pd.DataFrame) -> pa.Table:
+            sz = b["sz"].to_numpy(dtype=np.int64)
+            kept_ = b["k"].to_numpy(dtype=np.int64)
+            jac = kept_ / np.maximum(2 * sz - kept_, 1)
+            ok = (kept_ >= 1) & (jac >= thr)
+            return pa.table(
+                {
+                    "rep": pa.array(b[did_t].to_numpy()[ok].astype(np.int64)),
+                    "jac_u": pa.array(np.floor(jac[ok] * 1e6 + 0.5).astype(np.int64)),
+                }
+            )
+
+        intra = base.map_batches(intra_jac, batch_format="pandas")
+
+    return rep_pairs, intra
+
+
 def ngram_jaccard_pairs(
     docs: rd.Dataset,
     *,
@@ -574,6 +920,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     max_doc_freq: int = 256,
     collapse: bool | None = None,
+    method: str = "auto",
 ) -> rd.Dataset:
     """Exact word-``k``-gram Jaccard near-dup pairs ``{id_a, id_b, jac_u}``
     (``jac_u = floor(jaccard * 1e6 + 0.5)``, pairs with jaccard >= threshold).
@@ -707,9 +1054,59 @@ def ngram_jaccard_pairs(
         sz = np.bincount(r[first], minlength=len(c)).astype(np.int64)
         return pd.DataFrame({did_t: b[did_t], "sz": sz})
 
+    # ---- route: prefix-filtered candidates + verify vs the counting index.
+    # The counting index shuffles one packed key per shared gram per pair —
+    # on low-duplication corpora that is O(sum_g C(df_g, 2)) keys to find a
+    # handful of qualifying pairs (measured at 10x bench scale: 116M distinct
+    # pairs for 80 results).  The prefix route (Bayardo et al. All-Pairs /
+    # Xiao et al. PPJoin, both public) indexes only each doc's first
+    # ``k_d - floor(t*sz_d) + 1`` kept grams in a global rarity order and
+    # prunes per co-occurrence with the positional bound
+    # ``min(k_a - i, k_b - j) >= ceil(t/(1+t)(sz_a+sz_b))`` and the length
+    # bound ``min(sz) >= t*max(sz)`` — every filter is a proven NECESSARY
+    # condition for jaccard >= t, so output is EXACTLY the counting index's
+    # (surviving candidates get their true intersection from a broadcast
+    # gram CSR).  The route needs that CSR (plus the gram df table) to fit
+    # one broadcast, so it is gated on total kept-gram rows; above the gate
+    # (the 100-TB shape) the counting index — whose widest structure is the
+    # df-capped gram-group shuffle — remains the scale path.
+    if method not in ("auto", "prefix", "count"):
+        raise ValueError(f"ngram_jaccard_pairs: unknown method {method!r}")
+    if method == "auto":
+        # cheap tokenize-only UPPER bound on gram rows (distinct grams per
+        # doc <= shingles = ntok - k + 1) — no hashing, no shuffle; a safe
+        # over-estimate only ever demotes to the scale path
+        def tok_ub(b: pd.DataFrame) -> pd.DataFrame:
+            cnt = (
+                b["text"].str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
+            ).to_numpy()
+            ub = np.where(cnt >= k, cnt - k + 1, (cnt > 0).astype(np.int64))
+            return pd.DataFrame({"ub": ub})
+
+        ub_total = int(
+            rep_docs.map_batches(tok_ub, batch_format="pandas").sum("ub") or 0
+        )
+        use_prefix = 0 < ub_total <= NGRAM_PREFIX_MAX_GRAM_ROWS
+    else:
+        use_prefix = method == "prefix"
+    if use_prefix:
+        rep_pairs, intra = _ngram_pairs_prefix(
+            rep_docs,
+            gram_rows,
+            msz if collapse else None,
+            did_t=did_t,
+            thr=thr,
+            mdf=mdf,
+            fan=fan,
+            shingle_k=k,
+        )
+        if not collapse:
+            return rep_pairs
+        return _expand_rep_pairs(rep_pairs, intra, dups, empty=_empty_pairs, fan=fan)
+
     # per-rep distinct-gram counts: second streaming pass over the rep docs
     # (no shuffle) rather than a groupby over the big gram table
-    sizes = rep_docs.map_batches(size_rows, batch_format="pandas", batch_size=512)
+    sizes = rep_docs.map_batches(size_rows, batch_format="pandas", batch_size=512).materialize()
 
     def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
         """Partial {pk, inter} for this bucket's gram groups (vectorized).
@@ -785,55 +1182,96 @@ def ngram_jaccard_pairs(
         batch_format="pandas",
     )
 
-    def unpack(b: pd.DataFrame) -> pa.Table:
-        pk = b["pk"].to_numpy()
-        return pa.table(
-            {
-                "id_a": pa.array((pk >> 32).astype(np.int64)),
-                "id_b": pa.array((pk & 0xFFFFFFFF).astype(np.int64)),
-                "inter": pa.array(b["inter"].to_numpy().astype(np.int64)),
-            }
+    from ..stages.joins import BROADCAST_MAX_ROWS
+
+    n_reps = sizes.count()
+    if n_reps <= BROADCAST_MAX_ROWS:
+        # fused finisher: the pair table is the pipeline's BIGGEST dataset
+        # (one row per co-occurring pair — 116M at 10x bench scale) while the
+        # size table is one int per rep; unpack + both size lookups + the
+        # jaccard threshold collapse into ONE broadcast pass so the wide
+        # table is scanned once and never rewritten with appended columns
+        szdf = sizes.to_pandas().sort_values(did_t)
+        sref = ray.put(
+            (szdf[did_t].to_numpy(np.int64), szdf["sz"].to_numpy(np.int64))
         )
 
-    pairs = agg.filter(expr="pk >= 0").map_batches(unpack, batch_format="pandas")
-    sizes = sizes.materialize()
-    pairs = lookup_join(
-        pairs,
-        sizes.map_batches(
-            _rename_cols({did_t: "id_a", "sz": "sz_a"}), batch_format="pyarrow"
-        ),
-        "id_a",
-        "sz_a",
-        default=0,
-        num_partitions=fan,
-    )
-    pairs = lookup_join(
-        pairs,
-        sizes.map_batches(
-            _rename_cols({did_t: "id_b", "sz": "sz_b"}), batch_format="pyarrow"
-        ),
-        "id_b",
-        "sz_b",
-        default=0,
-        num_partitions=fan,
-    )
+        def fused_finish(b: pd.DataFrame, ref=sref) -> pa.Table:
+            keys, szv = ray.get(ref)
+            pk = b["pk"].to_numpy()
+            ia = (pk >> 32).astype(np.int64)
+            ib = (pk & 0xFFFFFFFF).astype(np.int64)
+            inter_ = b["inter"].to_numpy().astype(np.int64)
+            sz_a = szv[np.searchsorted(keys, ia)]
+            sz_b = szv[np.searchsorted(keys, ib)]
+            union = sz_a + sz_b - inter_
+            jac = inter_ / np.maximum(union, 1)
+            keep = jac >= thr
+            return pa.table(
+                {
+                    "id_a": pa.array(ia[keep]),
+                    "id_b": pa.array(ib[keep]),
+                    "jac_u": pa.array(np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64)),
+                }
+            )
 
-    def finish(b: pd.DataFrame) -> pa.Table:
-        inter_ = b["inter"].to_numpy(dtype=np.int64)
-        union = b["sz_a"].to_numpy(dtype=np.int64) + b["sz_b"].to_numpy(dtype=np.int64) - inter_
-        jac = inter_ / np.maximum(union, 1)
-        keep = jac >= thr
-        # typed Arrow out: empty blocks keep the schema (pandas empties have
-        # none, which breaks the distributed expansion joins downstream)
-        return pa.table(
-            {
-                "id_a": pa.array(b["id_a"].to_numpy()[keep].astype(np.int64)),
-                "id_b": pa.array(b["id_b"].to_numpy()[keep].astype(np.int64)),
-                "jac_u": pa.array(np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64)),
-            }
+        rep_pairs = agg.filter(expr="pk >= 0").map_batches(
+            fused_finish, batch_format="pandas", batch_size=262144
+        )
+    else:
+        # above the broadcast cap (reps outnumber it): distributed size joins
+
+        def unpack(b: pd.DataFrame) -> pa.Table:
+            pk = b["pk"].to_numpy()
+            return pa.table(
+                {
+                    "id_a": pa.array((pk >> 32).astype(np.int64)),
+                    "id_b": pa.array((pk & 0xFFFFFFFF).astype(np.int64)),
+                    "inter": pa.array(b["inter"].to_numpy().astype(np.int64)),
+                }
+            )
+
+        pairs = agg.filter(expr="pk >= 0").map_batches(unpack, batch_format="pandas")
+        pairs = lookup_join(
+            pairs,
+            sizes.map_batches(
+                _rename_cols({did_t: "id_a", "sz": "sz_a"}), batch_format="pyarrow"
+            ),
+            "id_a",
+            "sz_a",
+            default=0,
+            num_partitions=fan,
+        )
+        pairs = lookup_join(
+            pairs,
+            sizes.map_batches(
+                _rename_cols({did_t: "id_b", "sz": "sz_b"}), batch_format="pyarrow"
+            ),
+            "id_b",
+            "sz_b",
+            default=0,
+            num_partitions=fan,
         )
 
-    rep_pairs = pairs.map_batches(finish, batch_format="pandas")
+        def finish(b: pd.DataFrame) -> pa.Table:
+            inter_ = b["inter"].to_numpy(dtype=np.int64)
+            union = (
+                b["sz_a"].to_numpy(dtype=np.int64) + b["sz_b"].to_numpy(dtype=np.int64) - inter_
+            )
+            jac = inter_ / np.maximum(union, 1)
+            keep = jac >= thr
+            # typed Arrow out: empty blocks keep the schema (pandas empties
+            # have none, which breaks the distributed expansion joins
+            # downstream)
+            return pa.table(
+                {
+                    "id_a": pa.array(b["id_a"].to_numpy()[keep].astype(np.int64)),
+                    "id_b": pa.array(b["id_b"].to_numpy()[keep].astype(np.int64)),
+                    "jac_u": pa.array(np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64)),
+                }
+            )
+
+        rep_pairs = pairs.map_batches(finish, batch_format="pandas")
     if not collapse:
         return rep_pairs  # docs ARE the reps; nothing to expand
 

@@ -546,3 +546,100 @@ def test_pair_dedup_big_ids(monkeypatch, tmp_path):
 
     with pytest.raises(Exception, match="2\\^31"):
         D.ngram_jaccard_pairs(rd.from_pandas(sp), threshold=0.3).materialize()
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered ngram route (All-Pairs/PPJoin candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_route_corpus(seed=7, n=250, vocab_n=40):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(vocab_n)]
+    rows = []
+    for i in range(n):
+        m = int(rng.integers(4, 30))
+        rows.append((i, " ".join(rng.choice(vocab, m))))
+    for j in range(40):  # planted exact dups (collapse branch)
+        rows.append((n + j, rows[j][1]))
+    for j in range(15):  # planted near dups
+        base = rows[j][1].split()
+        base[0] = "zzz"
+        rows.append((n + 40 + j, " ".join(base)))
+    rows.append((n + 60, None))
+    rows.append((n + 61, ""))
+    rows.append((n + 62, "a b"))  # single-gram doc (alpha_pair <= 1 pairs)
+    rows.append((n + 63, "a b"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _norm_pairs(df):
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"id_a": [], "id_b": [], "jac_u": []}, dtype="int64"
+        )
+    return (
+        df[["id_a", "id_b", "jac_u"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+@pytest.mark.parametrize("thr", [0.2, 0.5, 0.9])
+@pytest.mark.parametrize("mdf", [256, 3])
+def test_ngram_prefix_route_matches_counting_index(ray_session, thr, mdf):
+    """The prefix route (extended prefix + positional + length + witness
+    filters, CSR verify) is EXACT: identical output to the counting index
+    across thresholds, df caps, and both collapse branches."""
+    df = _prefix_route_corpus()
+    for coll in (None, False):
+        a = _norm_pairs(
+            D.ngram_jaccard_pairs(
+                rd.from_pandas(df), threshold=thr, max_doc_freq=mdf,
+                collapse=coll, method="count",
+            ).to_pandas()
+        )
+        b = _norm_pairs(
+            D.ngram_jaccard_pairs(
+                rd.from_pandas(df), threshold=thr, max_doc_freq=mdf,
+                collapse=coll, method="prefix",
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0 or thr > 0.8  # planted dups surface
+
+
+def test_ngram_prefix_single_witness_pairs_survive(ray_session):
+    """Pairs whose required overlap alpha_pair is 1 (tiny docs / low
+    threshold) must NOT be killed by the two-witness prefilter."""
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b", "a b", "c d e f g h i j"]}
+    )
+    out = _norm_pairs(
+        D.ngram_jaccard_pairs(
+            rd.from_pandas(df), threshold=0.5, method="prefix", collapse=False
+        ).to_pandas()
+    )
+    assert list(map(tuple, out.to_numpy())) == [(0, 1, 1_000_000)]
+
+
+def test_ngram_auto_routes_by_gram_bound(ray_session, monkeypatch):
+    """auto == prefix under the gram-row gate, counting index above it."""
+    import neo4j_graph_algorithms_ray.pipelines.docs as docs_mod
+
+    df = _prefix_route_corpus()
+    want = _norm_pairs(
+        D.ngram_jaccard_pairs(
+            rd.from_pandas(df), threshold=0.5, method="count"
+        ).to_pandas()
+    )
+    monkeypatch.setattr(docs_mod, "NGRAM_PREFIX_MAX_GRAM_ROWS", 1)
+    got = _norm_pairs(
+        D.ngram_jaccard_pairs(
+            rd.from_pandas(df), threshold=0.5, method="auto"
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(want, got)
+    with pytest.raises(ValueError, match="unknown method"):
+        D.ngram_jaccard_pairs(rd.from_pandas(df), method="bogus")

@@ -643,3 +643,30 @@ def test_ngram_auto_routes_by_gram_bound(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(want, got)
     with pytest.raises(ValueError, match="unknown method"):
         D.ngram_jaccard_pairs(rd.from_pandas(df), method="bogus")
+
+
+def test_minhash_mersenne_fold_equals_modulo():
+    """The shift-fold permutation kernel is bit-identical to plain % M
+    (the DuckDB oracle replays % M with the same constants)."""
+    mh = T.MinHasher(num_perm=16)
+    M = T.MINHASH_PRIME
+    rng = np.random.default_rng(3)
+    H = np.concatenate(
+        [
+            rng.integers(0, 2**64 - 1, size=5000, dtype=np.uint64),
+            np.array([0, 1, M - 1, M, M + 1, 2**63, 2**64 - 1], dtype=np.uint64),
+        ]
+    )
+    x = H % M
+    want = (x[:, None] * mh.a[None, :] + mh.b[None, :]) % M
+    # drive through the public kernel: one "doc" per hash via signature()
+    got = np.stack([mh.signature(np.array([h], dtype=np.uint64)) for h in H[:64]])
+    assert np.array_equal(got, want[:64])
+    # and the batched path end-to-end on real text
+    texts = ["alpha beta gamma delta", "beta gamma delta epsilon", None, ""]
+    sigs = mh.batch_signatures(texts, 3)
+    Hh, c = T.batch_shingle_hashes(texts, 3)
+    off = 0
+    for i, n in enumerate(c):
+        assert np.array_equal(sigs[i], mh.signature(Hh[off : off + n]))
+        off += n

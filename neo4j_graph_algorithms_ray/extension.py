@@ -45,6 +45,9 @@ from .pipelines.graph_build import BuiltGraph
 # from "attribute exists because an earlier extension registered it"
 # (latest-wins re-registration, allowed)
 _EXTENSION_NAMES: set[str] = set()
+# intermediate algo.* Namespace nodes created by dotted extension names —
+# registering AT one of these later must not read as "shadows a builtin"
+_EXTENSION_NAMESPACES: set[str] = set()
 
 
 @dataclass
@@ -129,23 +132,46 @@ def register_procedure(
         probe = getattr(probe, p, None)
         if probe is None:
             break
-    if probe is not None and name not in _EXTENSION_NAMES:
-        # an algo.<name> attribute exists and WE didn't install it: it's a
-        # builtin proc (e.g. 'pageRank', 'unionFind.forkJoin')
+    if (
+        probe is not None
+        and name not in _EXTENSION_NAMES
+        and name not in _EXTENSION_NAMESPACES
+    ):
+        # an algo.<name> attribute exists and WE didn't install it (neither
+        # as a proc nor as an intermediate namespace a dotted extension
+        # created): it's a builtin (e.g. 'pageRank', 'unionFind.forkJoin')
         raise ValueError(
             f"register_procedure({name!r}) would shadow the builtin "
             f"algo.{name} procedure — pick another name"
         )
     _EXTENSION_NAMES.add(name)
-    for p in parts[:-1]:
+    for i, p in enumerate(parts[:-1]):
         nxt = getattr(target, p, None)
         if nxt is None:
             nxt = procs.Namespace()
             setattr(target, p, nxt)
+            _EXTENSION_NAMESPACES.add(".".join(parts[: i + 1]))
         target = nxt
     subs = {"stream": _wrap(stream)} if stream is not None else {}
-    entry = procs.Proc(_wrap(write), **subs) if write is not None else procs.Namespace(**subs)
-    setattr(target, parts[-1], entry)
+    existing = getattr(target, parts[-1], None)
+    if (
+        name in _EXTENSION_NAMESPACES
+        and isinstance(existing, procs.Namespace)
+        and write is None
+    ):
+        # registering a stream at a namespace node a dotted child created:
+        # merge so the child procs survive (latest wins per leaf, not per tree)
+        for k, v in subs.items():
+            setattr(existing, k, v)
+    else:
+        entry = procs.Proc(_wrap(write), **subs) if write is not None else procs.Namespace(**subs)
+        if isinstance(existing, procs.Namespace) and name in _EXTENSION_NAMESPACES:
+            # carry child procs onto the replacing entry (e.g. 'myext.sub'
+            # registered before 'myext' gets write=)
+            for k, v in vars(existing).items():
+                if not hasattr(entry, k):
+                    setattr(entry, k, v)
+        setattr(target, parts[-1], entry)
     mod = getattr(write or stream, "__module__", "?")
     fn_name = getattr(write or stream, "__qualname__", str(write or stream))
     # catalog rows use bare names ('pagerank', 'louvain', ...) — register

@@ -125,6 +125,8 @@ def betweenness_centrality(
     ray.get([a.begin_pass.remote() for a in actors])
 
     ckpt = CheckpointManager(checkpoint_dir, "betweenness") if checkpoint_dir else None
+    if ckpt is not None and not resume:
+        ckpt.reset()  # fresh run: a stale manifest would be loaded by mid-run rollback
     start_batch = 0
     if resume and ckpt is not None:
         m = ckpt.latest()

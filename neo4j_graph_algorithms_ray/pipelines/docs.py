@@ -652,14 +652,32 @@ def _ngram_pairs_prefix(
         df_ref = ray.put((np.array([], np.int64), np.array([], np.int64)))
     _mark("df table")
 
-    # 3. kept-gram rows with canonical rank, computed per gram-rows block
-    #    (batch_size=None: a block is whole gram_rows output batches, so a
-    #    doc's rows arrive together and contiguous — CHECKED below, loudly).
-    #    Grams are dictionary-encoded to their dense rank in the sorted df
-    #    table ("gr", int32 — the route gate bounds distinct grams < 2^31):
-    #    half the CSR/shuffle bytes, and the verify kernel can pack
-    #    (pair, gram) into ONE int64.
+    # 3. kept-gram rows with canonical rank, computed per doc-keyed GROUP
+    #    (grouped_map on a did-derived bucket): every row of a doc is
+    #    guaranteed to arrive in one kernel call by construction.  A plain
+    #    per-block map relied on "block == gram_rows output batch", which
+    #    Ray Data's dynamic block splitting breaks — BlockOutputBuffer
+    #    slices a buffered block at an arbitrary row offset past 1.5x
+    #    target_max_block_size, so one long doc's rows could land in two
+    #    blocks and each half would pass an in-block check with a too-small
+    #    sz/k (silently wrong pairs).  Grams are dictionary-encoded to their
+    #    dense rank in the sorted df table ("gr", int32 — the route gate
+    #    bounds distinct grams < 2^31): half the CSR/shuffle bytes, and the
+    #    verify kernel can pack (pair, gram) into ONE int64.
+    _KEPT_EMPTY = pd.DataFrame(
+        {
+            did_t: pd.Series(dtype=np.int64),
+            "gr": pd.Series(dtype=np.int32),
+            "rank": pd.Series(dtype=np.int64),
+            "k": pd.Series(dtype=np.int64),
+            "sz": pd.Series(dtype=np.int64),
+            "pref": pd.Series(dtype=np.int8),
+        }
+    )
+
     def kept_rows(b: pd.DataFrame, ref=df_ref) -> pd.DataFrame:
+        if len(b) == 0 or "gh" not in b.columns:
+            return _KEPT_EMPTY
         gh_s, df_s = ray.get(ref)
         dids = b[did_t].to_numpy()
         h = b["gh"].to_numpy()
@@ -667,15 +685,12 @@ def _ngram_pairs_prefix(
             raise ValueError(
                 "ngram_jaccard_pairs requires 0 <= doc_id < 2^31 (packed pair keys)"
             )
-        # doc segments: contiguity invariant (each doc's distinct grams are
-        # emitted as one run by gram_rows and blocks cut at batch bounds)
+        # group rows arrive in arbitrary doc order — sort so each doc is one
+        # contiguous run (whole docs are in this group by bucket keying)
         if len(dids):
+            o0 = np.argsort(dids, kind="stable")
+            dids, h = dids[o0], h[o0]
             seg_start = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1]])
-            if len(seg_start) != len(np.unique(dids)):
-                raise RuntimeError(
-                    "ngram prefix route: gram rows for one doc split across "
-                    "runs — per-batch doc contiguity violated"
-                )
         else:
             seg_start = np.zeros(0, np.int64)
         seg = np.cumsum(np.r_[False, dids[1:] != dids[:-1]]) if len(dids) else dids
@@ -719,14 +734,18 @@ def _ngram_pairs_prefix(
             }
         )
 
-    kept = grams.map_batches(
-        kept_rows, batch_format="pandas", batch_size=None
+    kept = grouped_map(
+        grams.map_batches(_tag_bucket64(did_t), batch_format="pyarrow"),
+        "bucket",
+        kept_rows,
+        num_partitions=fan,
     ).materialize()
     _mark("kept")
 
     # 3. verify CSR broadcast: every rep's kept gram ranks (sorted per doc)
-    #    + unpruned size, gathered once (route gate bounds the rows)
-    kp = kept.to_pandas()
+    #    + unpruned size, gathered once (route gate bounds the rows; only
+    #    the 3 CSR columns travel to the driver — did/gr/sz, not rank/k/pref)
+    kp = kept.select_columns([did_t, "gr", "sz"]).to_pandas()
     if len(kp):
         dvals = kp[did_t].to_numpy(np.int64)
         if len(dvals) > 1 and (dvals[1:] < dvals[:-1]).any():

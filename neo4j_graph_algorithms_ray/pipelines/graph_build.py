@@ -327,7 +327,9 @@ def node_props_to_vids(
                     }
                 )
 
-        return props_ds.map_batches(MapProps, batch_format="pyarrow", concurrency=(1, 4))
+        from ..stages.agg import actor_pool_args
+
+        return props_ds.map_batches(MapProps, batch_format="pyarrow", **actor_pool_args(4))
 
     # large-vertex-table path: side-tagged co-shuffle on the string key.
     # Both sides land in one coarse bucket space (vectorized uint64 string

@@ -146,11 +146,15 @@ def label_propagation(
 
     # seeds (optional; default label=vid, weight=1 set at shard init)
     if seeds is not None:
+        from ..stages.agg import route_stage_args
+
         seeds.map_batches(
-            _RouteSeeds(actors, graph.bounds), batch_format="pyarrow", batch_size=65536, concurrency=1
+            _RouteSeeds(actors, graph.bounds), batch_format="pyarrow", batch_size=65536, **route_stage_args()
         ).count()
 
     ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
+    if ckpt is not None and not resume:
+        ckpt.reset()  # fresh run: a stale manifest would be loaded by mid-run rollback
     start_iter = 0
     if resume and ckpt is not None:
         m = ckpt.latest()

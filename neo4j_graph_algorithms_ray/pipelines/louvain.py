@@ -74,6 +74,8 @@ def louvain(
     ray.get([a.set_m2.remote(m2) for a in actors])
 
     ckpt = CheckpointManager(checkpoint_dir, "louvain") if checkpoint_dir else None
+    if ckpt is not None and not resume:
+        ckpt.reset()  # fresh run: a stale manifest would be loaded by mid-run rollback
     start_iter = 0
     if resume and ckpt is not None:
         m = ckpt.latest()

@@ -174,6 +174,8 @@ def _boruvka_actor(
     ]
     ray.get([a.ready.remote() for a in actors])
     ckpt = CheckpointManager(checkpoint_dir, "mst") if checkpoint_dir else None
+    if ckpt is not None and not resume:
+        ckpt.reset()  # fresh run: a stale manifest would be loaded by mid-run rollback
     n = graph.n_vertices
     comp = np.arange(n, dtype=np.int64)
     sel_u, sel_v, sel_w = [], [], []

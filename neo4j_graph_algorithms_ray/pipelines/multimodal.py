@@ -28,6 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..stages.agg import actor_pool_args
+
 BINARY_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("payload", pa.binary()), ("media_type", pa.string())]
 )
@@ -191,17 +193,18 @@ class DecodeStage:
 
 def decode_metadata(
     binary_ds: rd.Dataset, *, real: bool = False, feature_dim: int = 8,
-    concurrency=(1, 4), batch_size: int = 256,
+    concurrency=None, batch_size: int = 256,
 ) -> rd.Dataset:
     """Binary column -> typed metadata via the actor-pool decode stage.
     ``real=True`` forwards to DecodeStage's Pillow path (loaded once per
     actor) — previously unreachable through this public wrapper."""
+    pool = {"concurrency": concurrency} if concurrency is not None else actor_pool_args(4)
     return binary_ds.map_batches(
         DecodeStage,
         fn_constructor_kwargs={"real": real, "feature_dim": feature_dim},
         batch_format="pyarrow",
         batch_size=batch_size,  # small: rows are wide binary
-        concurrency=concurrency,
+        **pool,
     )
 
 
@@ -249,14 +252,15 @@ class ResizeStage:
 
 
 def resize(decoded: rd.Dataset, *, max_w: int = 32, max_h: int = 32,
-           concurrency=(1, 4), batch_size: int = 256) -> rd.Dataset:
+           concurrency=None, batch_size: int = 256) -> rd.Dataset:
     """Decoded metadata -> resized dims {doc_id, width, height, scale_u}."""
+    pool = {"concurrency": concurrency} if concurrency is not None else actor_pool_args(4)
     return decoded.select_columns(["doc_id", "width", "height"]).map_batches(
         ResizeStage,
         fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        **pool,
     )
 
 
@@ -400,12 +404,13 @@ class FeatureStage:
         )
 
 
-def feature_extract(binary_ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 256) -> rd.Dataset:
+def feature_extract(binary_ds: rd.Dataset, *, concurrency=None, batch_size: int = 256) -> rd.Dataset:
     """Binary payload -> unnested feature histogram {doc_id, dim, n, feat_u}."""
+    pool = {"concurrency": concurrency} if concurrency is not None else actor_pool_args(4)
     return binary_ds.map_batches(
         FeatureStage,
         fn_constructor_kwargs={"real": False},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        **pool,
     )

@@ -98,8 +98,10 @@ def _exchange_groupby(actors, P, bounds):
     # per-dst cardinality ~ V -> bucketed aggregate (stages/agg.py); the
     # native sort-based Aggregate walks groups in per-key Python
     agg = bucketed_agg(msgs, "dst", {"contrib": ("contrib", "sum")}, types={"contrib": pa.float64()})
+    from ..stages.agg import route_stage_args
+
     routed = agg.map_batches(
-        _RouteApply(actors, bounds), batch_format="pyarrow", batch_size=65536, concurrency=1
+        _RouteApply(actors, bounds), batch_format="pyarrow", batch_size=65536, **route_stage_args()
     )
     routed.count()  # drive the pipeline
     return ray.get([a.finish_iteration.remote() for a in actors])
@@ -277,11 +279,14 @@ def pagerank(
             max_restarts=3 if checkpoint_dir else 0,
         )
 
+    ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
+    if ckpt is not None and not resume:
+        ckpt.reset()  # BEFORE the pool: shards rehydrate in __init__
+
     actors = _make_pool(cls)
     ray.get([a.ready.remote() for a in actors])
     P = graph.P
 
-    ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
     start_iter = 0
     if resume and ckpt is not None:
         m = ckpt.latest()
@@ -346,10 +351,13 @@ def pagerank(
                 break
         return it - seg_start + 1, conv, md
 
+    call_start_iter = start_iter  # failover rollbacks move start_iter forward;
+    # ran_iterations must still count every apply since THIS call's start
     try:
         while True:
             try:
                 ran, converged, max_delta = _run_segment(start_iter, exchange, baseline)
+                ran += start_iter - call_start_iter  # checkpointed applies kept across rollback
                 if baseline is not None:
                     # final gate: a restart after the last commit must not
                     # leak fresh-state scores into the result

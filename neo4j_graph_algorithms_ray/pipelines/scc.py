@@ -111,13 +111,16 @@ def strongly_connected_components(
     actor_kwargs = {"rev_edges_dir": rev}
     if checkpoint_dir:
         actor_kwargs["ckpt_dir"] = checkpoint_dir
+    ckpt = CheckpointManager(checkpoint_dir, "scc") if checkpoint_dir else None
+    if ckpt is not None and not resume:
+        ckpt.reset()  # BEFORE the pool: shards rehydrate in __init__
+
     actors = make_shard_actors(
         SccShard, graph, actor_kwargs=actor_kwargs,
         max_restarts=3 if checkpoint_dir else 0,
     )
     ray.get([a.ready.remote() for a in actors])
 
-    ckpt = CheckpointManager(checkpoint_dir, "scc") if checkpoint_dir else None
     start_outer = 0
     if resume and ckpt is not None:
         m = ckpt.latest()

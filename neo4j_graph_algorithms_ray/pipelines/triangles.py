@@ -368,7 +368,9 @@ def triangle_count(
                 v = t["v"].to_numpy()
                 return _orient_cols(u, v, self.deg[u], self.deg[v])
 
-        oriented = canon.map_batches(Orient, batch_format="pyarrow", concurrency=(1, 4))
+        from ..stages.agg import actor_pool_args
+
+        oriented = canon.map_batches(Orient, batch_format="pyarrow", **actor_pool_args(4))
     else:
         npart = max(2, graph.P)
         du_t = degrees.rename_columns({"vid": "u", "deg": "du"})
@@ -449,6 +451,8 @@ def _count_actor_exchange(
     ]
     ray.get([a.ready.remote() for a in actors])
     ckpt = CheckpointManager(checkpoint_dir, "triangles") if checkpoint_dir else None
+    if ckpt is not None and not resume:
+        ckpt.reset()  # fresh run: a stale manifest would be loaded by mid-run rollback
     baseline = pool_incarnations(actors) if ckpt is not None else None
 
     def wave(push_m, absorb_m, push_args=(), per_actor_push_args=None):
@@ -593,12 +597,14 @@ def _count_dataset_shuffle(
     sub = max(1, (2 * ncpu) // max(1, graph.P))
     items = [{"part": p, "k": k, "K": K} for p in range(graph.P) for k in range(K)]
     parts = rd.from_items(items)
+    from ..stages.agg import actor_pool_args
+
     wedges = parts.map_batches(
         WedgeGen,
         fn_constructor_kwargs={"tri_dir": tri_dir, "bounds": graph.bounds, "sub": sub, "chunk": chunk},
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=(1, max(2, ncpu // 2)),
+        **actor_pool_args(max(2, ncpu // 2)),
     )
     checker = WedgeCheck(tri_dir, graph.bounds, sub)
 

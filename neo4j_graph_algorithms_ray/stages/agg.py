@@ -66,6 +66,22 @@ def actor_pool_args(max_actors: int = 8) -> dict:
     return {"concurrency": (1, max(1, min(max_actors, ncpu - 1)))}
 
 
+def route_stage_args() -> dict:
+    """``map_batches`` kwargs for a single-actor routing stage (ordered
+    hand-off into a raw shard-actor pool).  Concurrency is pinned at 1 —
+    routing correctness assumes one writer — but on a cramped session the
+    actor reserves 0.5 CPU so the shard pool (clamped to cluster_CPU - 1)
+    plus the router can never pin every slot while upstream shuffle tasks
+    still need one."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    args: dict = {"concurrency": 1}
+    if ncpu <= 2:
+        args["num_cpus"] = 0.5
+    return args
+
+
 def _bucket_ids(df: pd.DataFrame, keys: list[str], fan: int) -> np.ndarray:
     if len(keys) == 1 and df[keys[0]].dtype.kind in "iu":
         k = df[keys[0]].to_numpy().astype(np.uint64, copy=False)

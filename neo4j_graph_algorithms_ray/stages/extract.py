@@ -101,12 +101,20 @@ class ImportExtractor:
         ).replace_schema_metadata(None)
 
 
-def extract_edges(corpus_ds, *, default_weight: float = 1.0, concurrency=(1, 8)):
-    """corpus Dataset -> string edge Dataset (``src_key, dst_key, weight``)."""
+def extract_edges(corpus_ds, *, default_weight: float = 1.0, concurrency=None):
+    """corpus Dataset -> string edge Dataset (``src_key, dst_key, weight``).
+
+    Pool sizing defaults to ``actor_pool_args`` so the extractor actors
+    cannot starve concurrent stages on a cramped session (a fixed
+    min-1-actor x 1 CPU reservation livelocked ``num_cpus=2`` when chained
+    with the vid-mapper pool downstream)."""
+    from .agg import actor_pool_args
+
+    pool = {"concurrency": concurrency} if concurrency is not None else actor_pool_args(8)
     return corpus_ds.map_batches(
         ImportExtractor,
         fn_constructor_kwargs={"default_weight": default_weight},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        **pool,
     )

@@ -94,6 +94,26 @@ class CheckpointManager:
                 "it was written for a different graph or partitioning"
             )
 
+    def reset(self) -> None:
+        """Clear any previous run's checkpoint under this ``(dir, algo)``.
+
+        Drivers call this on a FRESH (``resume=False``) run BEFORE spawning
+        shard actors: shards warm-start in ``__init__`` via
+        ``rehydrate_shard`` (the ``max_restarts`` failover path) and the
+        mid-run ``rollback_pool`` reads ``latest()`` — either would silently
+        load a *previous* run's committed state into a run whose driver
+        starts at iteration 0, compounding iterations on converged state.
+        """
+        try:
+            os.remove(self.manifest_path)
+        except FileNotFoundError:
+            pass
+        for f in glob.glob(os.path.join(self.dir, "iter=*.parquet")):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
     def commit_iteration(self, iteration: int, files: list[str], meta: dict):
         m = {"iteration": iteration, "files": sorted(files), **meta}
         tmp = self.manifest_path + ".tmp"

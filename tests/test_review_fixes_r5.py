@@ -1,0 +1,111 @@
+"""Round-5 adversarial-review regression tests.
+
+Covers the confirmed findings from the round-5 diff review:
+1. fresh (resume=False) runs must NOT warm-start from a stale checkpoint
+   left by a previous run in the same checkpoint_dir (shards rehydrate in
+   __init__ for the max_restarts failover path; CheckpointManager.reset()
+   clears the manifest before the pool spawns),
+2. ran_iterations counts every apply since the CALL's start, including
+   iterations retained across a mid-run failover rollback,
+3. register_procedure at a namespace node a dotted extension created is a
+   legitimate registration, not a builtin shadow.
+"""
+
+import numpy as np
+import pytest
+import ray
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph
+from neo4j_graph_algorithms_ray.pipelines.pagerank import pagerank
+from neo4j_graph_algorithms_ray.sources.corpus import fixture_corpus
+
+
+def _build(tmp_workdir, name, P):
+    corpus, _ = fixture_corpus(name)
+    return build_graph(rd.from_arrow(corpus), tmp_workdir, P=P)
+
+
+def _scores(res):
+    return res.scores.to_pandas().sort_values("vid")["score"].to_numpy()
+
+
+def test_fresh_run_ignores_stale_checkpoint(tmp_workdir, tmp_path):
+    """Two successive resume=False runs into the SAME checkpoint_dir must be
+    identical: the second run's shards must start pristine, not rehydrate the
+    first run's committed iteration (which would compound 2x iterations)."""
+    g = _build(tmp_workdir, "pr-wiki", 3)
+    ckpt = str(tmp_path / "ckpt")
+    clean = pagerank(g, iterations=12)
+    first = pagerank(g, iterations=12, checkpoint_dir=ckpt, checkpoint_every=3)
+    # manifest from `first` is now on disk; a fresh run must not load it
+    second = pagerank(g, iterations=12, checkpoint_dir=ckpt, checkpoint_every=3)
+    np.testing.assert_allclose(_scores(clean), _scores(first), rtol=0, atol=0)
+    np.testing.assert_allclose(_scores(clean), _scores(second), rtol=0, atol=0)
+    assert second.ran_iterations == 12
+
+
+def test_fresh_scc_ignores_stale_checkpoint(tmp_workdir, tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.scc import strongly_connected_components as scc
+
+    g = _build(tmp_workdir, "scc1", 2)
+    ckpt = str(tmp_path / "ckpt")
+    clean = scc(g).labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    scc(g, checkpoint_dir=ckpt, checkpoint_every=1)
+    again = (
+        scc(g, checkpoint_dir=ckpt, checkpoint_every=1)
+        .labels.to_pandas()
+        .sort_values("vid")["label"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(clean, again)
+
+
+def test_failover_ran_iterations_counts_kept_applies(tmp_workdir, tmp_path):
+    """After a rollback the retried segment starts at manifest+1; the result
+    must still report the full apply count for this call, not the segment's."""
+    from tests.test_failover import _KillOnce
+
+    g = _build(tmp_workdir, "pr-wiki", 3)
+    res = pagerank(
+        g, iterations=20, exchange="direct",
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=4,
+        chaos_hook=_KillOnce(at=7),
+    )
+    assert res.metrics["failovers"] == 1
+    assert res.ran_iterations == 20
+
+
+def test_register_procedure_namespace_parent_allowed():
+    """'myextns.sub' creates algo.myextns; registering 'myextns' afterwards is
+    an extension registration (merge), not a builtin shadow."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray import procs
+    from neo4j_graph_algorithms_ray.extension import register_procedure
+
+    register_procedure("myextns.sub", stream=lambda ctx: pd.DataFrame({"x": [1]}))
+    # must not raise "would shadow the builtin algo.myextns procedure"
+    register_procedure("myextns", write=lambda ctx: pd.DataFrame({"y": [2]}))
+    # both remain reachable: the parent write proc carries the child namespace
+    assert callable(procs.algo.myextns)
+    assert hasattr(procs.algo.myextns, "sub")
+
+
+def test_checkpoint_reset_clears_manifest(tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.state.checkpoint import (
+        CheckpointManager,
+        atomic_save_table,
+    )
+
+    cm = CheckpointManager(str(tmp_path), "pagerank")
+    f = atomic_save_table(pa.table({"v": [1]}), cm.state_dir(), 3, 0)
+    cm.commit_iteration(3, [f], {"algo": "pagerank", "bounds": [0, 1]})
+    assert cm.latest() is not None
+    cm.reset()
+    assert cm.latest() is None
+    assert not os.path.exists(f)

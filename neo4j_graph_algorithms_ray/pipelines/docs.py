@@ -715,10 +715,12 @@ def _ngram_pairs_prefix(
             rank = np.zeros(0, dtype=np.int64)
         szr = sz[r3]
         alpha = np.maximum(1, np.floor(tf * szr).astype(np.int64))
-        # q=2 extended prefix (Xiao et al.'s generalization): a pair with
-        # intersection >= alpha shares >= 2 grams within each side's first
-        # k - alpha + 2 positions, so the witness-count filter downstream
-        # can demand two hits before paying for verification
+        # q=2 extended prefix (Xiao et al.'s generalization of Bayardo's
+        # All-Pairs prefix): a pair with intersection >= alpha shares >= 2
+        # grams within each side's first k - alpha + 2 positions, so the
+        # in-kernel witness filter (shared-extended-prefix-gram count >= 2,
+        # counted against the broadcast prefix CSR) can demand two hits
+        # before paying for full verification
         pref = rank < (kcnt[r3] - alpha + 2)
         doc_of_seg = dids[seg_start]
         # emit (doc, gram-rank)-sorted so the CSR build can skip its sort
@@ -742,10 +744,16 @@ def _ngram_pairs_prefix(
     ).materialize()
     _mark("kept")
 
-    # 3. verify CSR broadcast: every rep's kept gram ranks (sorted per doc)
-    #    + unpruned size, gathered once (route gate bounds the rows; only
-    #    the 3 CSR columns travel to the driver — did/gr/sz, not rank/k/pref)
-    kp = kept.select_columns([did_t, "gr", "sz"]).to_pandas()
+    # 4. verify CSR broadcast: every rep's kept gram ranks (sorted per doc)
+    #    + unpruned size.  ONE driver gather of the full kept table feeds
+    #    both this CSR and the prefix posting below (the route gate bounds
+    #    the rows; a second per-consumer gather measured ~0.7 s at 10x
+    #    bench scale for no benefit).
+    kp_full = kept.to_pandas()
+    if did_t not in kp_full.columns:
+        # an all-empty kept table can surface as a zero-column frame
+        kp_full = _KEPT_EMPTY.copy()
+    kp = kp_full[[did_t, "gr", "sz"]]
     if len(kp):
         dvals = kp[did_t].to_numpy(np.int64)
         if len(dvals) > 1 and (dvals[1:] < dvals[:-1]).any():
@@ -765,132 +773,180 @@ def _ngram_pairs_prefix(
     csr_ref = ray.put((dkeys, off, gv, szv))
     _mark("csr")
 
-    # 4. candidates: prefix posting rows bucketed by gram rank; each bucket
-    #    enumerates co-occurring pairs surviving positional + length bounds
-    posting = kept.filter(expr="pref == 1")
-    tagged = posting.map_batches(_tag_bucket64("gr"), batch_format="pyarrow")
-
-    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
-        empty_df = pd.DataFrame(
-            {"pk": pd.Series(dtype=np.int64), "cnt": pd.Series(dtype=np.int64)}
-        )
-        if len(g) == 0 or "gr" not in g.columns:
-            return empty_df
-        gh = g["gr"].to_numpy()
-        did = g[did_t].to_numpy()
-        rk = g["rank"].to_numpy()
-        kk = g["k"].to_numpy()
-        ss = g["sz"].to_numpy()
-        order = np.lexsort((did, gh))
-        gh, did, rk, kk, ss = (x[order] for x in (gh, did, rk, kk, ss))
-        gnew = np.empty(len(gh), dtype=bool)
-        gnew[0] = True
-        gnew[1:] = gh[1:] != gh[:-1]
-        starts = np.flatnonzero(gnew)
-        counts = np.diff(np.append(starts, len(gh)))
-        keys = []
-        for s in np.unique(counts):
-            if s < 2:
-                continue
-            gs = starts[counts == s]
-            if not len(gs):
-                continue
-            idx = gs[:, None] + np.arange(s)[None, :]
-            m, r, kv, sv = did[idx], rk[idx], kk[idx], ss[idx]
-            ii, jj = np.triu_indices(s, k=1)
-            a = m[:, ii].ravel()
-            b_ = m[:, jj].ravel()
-            ra, rb = r[:, ii].ravel(), r[:, jj].ravel()
-            ka, kb = kv[:, ii].ravel(), kv[:, jj].ravel()
-            sa, sb = sv[:, ii].ravel(), sv[:, jj].ravel()
-            alpha_pair = np.ceil(tf / (1.0 + tf) * (sa + sb) - 1e-9)
-            # positional bound relaxed by one: the SECOND witness of a
-            # qualifying pair only guarantees min(k - i, k - j) >= alpha - 1
-            ok = (np.minimum(sa, sb) + 1e-9 >= tf * np.maximum(sa, sb)) & (
-                np.minimum(ka - ra, kb - rb) >= np.maximum(alpha_pair - 1, 1)
-            )
-            if ok.any():
-                keys.append((a[ok] << 32) | b_[ok])
-        if not keys:
-            return empty_df
-        pk, cnt = np.unique(np.concatenate(keys), return_counts=True)
-        return pd.DataFrame({"pk": pk, "cnt": cnt.astype(np.int64)})
-
-    # global witness counts: one narrow {pk, cnt} groupby; a pair needing
-    # intersection >= 2 must collect >= 2 witnesses across buckets, so the
-    # verify stage can drop ~all one-witness candidates before gathering
-    cands = bucketed_agg(
-        grouped_map(tagged, "bucket", bucket_cands, num_partitions=fan),
-        "pk",
-        {"cnt": ("cnt", "sum")},
+    # 5. posting broadcast: the prefix rows are gate-bounded like the CSR,
+    #    so instead of exchanging them (the old route's grouped_map by gram
+    #    bucket plus a 12M-row witness-count groupby were the two dominant
+    #    operators at 10x bench scale, ~4 s each; even an 8k-row blob
+    #    shuffle pays Ray's multi-second sort-shuffle session floor), gather
+    #    them ONCE, sort by (gr, did) on the driver, and ship ONE zero-copy
+    #    object-store ref.  Enumeration is then DOC-MAJOR (Bayardo et al.'s
+    #    All-Pairs probe order): the task owning doc ``a`` walks a's prefix
+    #    rows; because each gram run is did-sorted, a's partners ``b < a``
+    #    are exactly the run rows BEFORE a's own row — one vectorized
+    #    gather, and every co-occurrence of a pair lands in the one task
+    #    that owns its larger doc, so witness counts are GLOBAL with no
+    #    exchange and no dedup pass anywhere.
+    pp = kp_full[kp_full["pref"].to_numpy() == 1]
+    _PAIRS_EMPTY = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jac_u": pa.array([], pa.int64()),
+        }
     )
-
-    # 5. verify: true intersection per candidate from the CSR — SORT-FREE.
-    #    The witness prefilter first drops every candidate whose global
-    #    witness count can't reach min(2, alpha_pair) (~97% of candidates
-    #    on low-duplication corpora share exactly one gram).  Survivors
-    #    pack (pair_idx << 32 | gram_rank) into one int64 per gathered row:
-    #    the b-side's packed keys come out ALREADY sorted (pair index
-    #    ascending, CSR slices sorted by rank), so intersection is one
-    #    binary-search membership pass of the a-side — no per-pair Python,
-    #    no lexsort (the lexsort variant measured 74s at 10x bench scale).
-    #    The witness groupby made pairs globally distinct, so the threshold
-    #    filter's output is final — no dedup pass follows.
-    def verify(b: pd.DataFrame, ref=csr_ref) -> pa.Table:
-        out_empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jac_u": pa.array([], pa.int64()),
-            }
+    if len(pp):
+        did_all = pp[did_t].to_numpy(np.int64)
+        gr_all = pp["gr"].to_numpy(np.int32)
+        o = np.lexsort((did_all, gr_all))
+        pdid = did_all[o]
+        prank = pp["rank"].to_numpy(np.int64)[o]
+        pkk = pp["k"].to_numpy(np.int64)[o]
+        psz = pp["sz"].to_numpy(np.int64)[o]
+        gr_s = gr_all[o]
+        run_starts = np.flatnonzero(np.r_[True, gr_s[1:] != gr_s[:-1]])
+        run_lens = np.diff(np.append(run_starts, len(gr_s)))
+        # per-row partner count = rows before this one in its run (its doc's
+        # co-occurrences with every smaller doc sharing the gram)
+        rs = np.repeat(run_starts, run_lens)
+        plen = np.arange(len(gr_s), dtype=np.int64) - rs
+        # work-balanced DOC cuts: each task owns a doc-id range; its work is
+        # the total partner volume of its docs' rows.  Uncut hot docs are
+        # impossible (per-row partner count < the per-gram df cap), so
+        # equal-work ranges bound the straggler.
+        docs_u = np.unique(pdid)
+        wd = np.bincount(
+            np.searchsorted(docs_u, pdid), weights=plen.astype(np.float64) + 0.25
         )
-        if len(b) == 0 or "pk" not in b.columns:
-            return out_empty
-        dk, off_, gv_, szv_ = ray.get(ref)
-        pk = b["pk"].to_numpy()
-        cnt = b["cnt"].to_numpy()
-        ia = (pk >> 32).astype(np.int64)
-        ib = (pk & 0xFFFFFFFF).astype(np.int64)
-        pa_ = np.searchsorted(dk, ia)
-        pb_ = np.searchsorted(dk, ib)
-        alpha_pair = np.ceil(
-            tf / (1.0 + tf) * (szv_[pa_] + szv_[pb_]) - 1e-9
+        cwd = np.cumsum(wd)
+        nb = max(1, min(8 * int(fan), len(docs_u)))
+        qs = (np.arange(1, nb, dtype=np.float64) * cwd[-1]) / nb
+        di = np.minimum(np.searchsorted(cwd, qs), max(len(docs_u) - 2, 0))
+        dcuts = np.unique(
+            np.r_[docs_u[0], docs_u[di + 1] if len(di) else [], docs_u[-1] + 1]
+        ).astype(np.int64)
+        nb = len(dcuts) - 1
+    else:
+        pdid = prank = pkk = psz = rs = np.array([], np.int64)
+        dcuts = np.array([0, 0], np.int64)
+        nb = 1
+    post_ref = ray.put((pdid, prank, pkk, psz, rs, dcuts))
+    _mark("posting")
+
+    if not len(pp):
+        rep_pairs = from_pandas_clean(_PAIRS_EMPTY.to_pandas())
+        _mark("cands+verify wired (lazy)")
+    else:
+        # 6. fused probe + witness-count + verify, one task per doc range:
+        #    - probe: for each owned prefix row, gather its run-prefix
+        #      partners; a pair survives the positional bound
+        #      ``min(k_a - i, k_b - j) >= alpha_pair - 1`` (relaxed by one so
+        #      a qualifying pair's SECOND witness also survives — the
+        #      witness filter demands two) and the length bound
+        #      ``min(sz) >= t*max(sz)``,
+        #    - witness count: per-pair surviving co-occurrences via one
+        #      np.unique — GLOBAL by construction (all witnesses of a pair
+        #      live in its owner task); a pair needing intersection >= 2
+        #      must collect >= 2 witnesses (q=2 prefix theorem), which kills
+        #      the ~98% of candidates sharing exactly one gram before any
+        #      full intersection is paid,
+        #    - verify: TRUE intersection for survivors from the broadcast
+        #      kept-gram CSR.  Packing (pair_idx << 32 | gram_rank) keeps
+        #      the b-side keys pre-sorted (pair asc, CSR slices rank-asc),
+        #      so intersection is one binary-search membership pass — no
+        #      per-pair Python; chunked to bound the gather's peak heap.
+        def probe_verify(batch: pa.Table, pref_ref=post_ref, ref=csr_ref) -> pa.Table:
+            pdid_, prank_, pkk_, psz_, rs_, dcuts_ = ray.get(pref_ref)
+            dk, off_, gv_, szv_ = ray.get(ref)
+            outs = [_PAIRS_EMPTY]
+            for bi in batch["id"].to_numpy(zero_copy_only=False):
+                dlo, dhi = int(dcuts_[bi]), int(dcuts_[bi + 1])
+                own = np.flatnonzero((pdid_ >= dlo) & (pdid_ < dhi))
+                if not len(own):
+                    continue
+                L = own - rs_[own]
+                own = own[L > 0]
+                if not len(own):
+                    continue
+                L = own - rs_[own]
+                tot = int(L.sum())
+                cum = np.concatenate(([0], np.cumsum(L)[:-1]))
+                pidx = np.repeat(rs_[own] - cum, L) + np.arange(tot)
+                a = np.repeat(pdid_[own], L)
+                ra = np.repeat(prank_[own], L)
+                ka = np.repeat(pkk_[own], L)
+                sa = np.repeat(psz_[own], L)
+                b_ = pdid_[pidx]
+                rb = prank_[pidx]
+                kb = pkk_[pidx]
+                sb = psz_[pidx]
+                alpha_pair = np.ceil(tf / (1.0 + tf) * (sa + sb) - 1e-9)
+                # positional bound relaxed by one: the SECOND witness of a
+                # qualifying pair only guarantees min(k - i, k - j) >= alpha - 1
+                ok = (np.minimum(sa, sb) + 1e-9 >= tf * np.maximum(sa, sb)) & (
+                    np.minimum(ka - ra, kb - rb) >= np.maximum(alpha_pair - 1, 1)
+                )
+                if not ok.any():
+                    continue
+                # run rows are did-sorted, so every partner b_ < a: the pack
+                # is already canonical (id_a = smaller doc)
+                pk, cnt = np.unique((b_[ok] << 32) | a[ok], return_counts=True)
+                for c0 in range(0, len(pk), 131072):
+                    pkc = pk[c0 : c0 + 131072]
+                    cc = cnt[c0 : c0 + 131072]
+                    ia = (pkc >> 32).astype(np.int64)
+                    ib = (pkc & 0xFFFFFFFF).astype(np.int64)
+                    pa_ = np.searchsorted(dk, ia)
+                    pb_ = np.searchsorted(dk, ib)
+                    ap = np.ceil(tf / (1.0 + tf) * (szv_[pa_] + szv_[pb_]) - 1e-9)
+                    w = cc >= np.minimum(2, np.maximum(ap, 1))
+                    if not w.any():
+                        continue
+                    ia, ib, pa_, pb_ = ia[w], ib[w], pa_[w], pb_[w]
+                    la = off_[pa_ + 1] - off_[pa_]
+                    lb = off_[pb_ + 1] - off_[pb_]
+                    pidx2 = np.arange(len(ia), dtype=np.int64) << 32
+
+                    def gather_packed(pos, lens):
+                        t_ = int(lens.sum())
+                        c_ = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                        ix = np.repeat(off_[pos] - c_, lens) + np.arange(t_)
+                        return np.repeat(pidx2, lens) | gv_[ix].astype(np.int64)
+
+                    akeys = gather_packed(pa_, la)
+                    bkeys = gather_packed(pb_, lb)  # pair asc, rank asc
+                    if len(bkeys):
+                        hit = np.minimum(
+                            np.searchsorted(bkeys, akeys), len(bkeys) - 1
+                        )
+                        found = bkeys[hit] == akeys
+                        inter = np.bincount(
+                            akeys[found] >> 32, minlength=len(ia)
+                        ).astype(np.int64)
+                    else:
+                        inter = np.zeros(len(ia), np.int64)
+                    union = szv_[pa_] + szv_[pb_] - inter
+                    jac = inter / np.maximum(union, 1)
+                    keep = jac >= thr
+                    if keep.any():
+                        outs.append(
+                            pa.table(
+                                {
+                                    "id_a": pa.array(ia[keep]),
+                                    "id_b": pa.array(ib[keep]),
+                                    "jac_u": pa.array(
+                                        np.floor(jac[keep] * 1e6 + 0.5).astype(
+                                            np.int64
+                                        )
+                                    ),
+                                }
+                            )
+                        )
+            return pa.concat_tables(outs, promote_options="default")
+
+        rep_pairs = rd.range(nb, override_num_blocks=nb).map_batches(
+            probe_verify, batch_format="pyarrow", batch_size=None
         )
-        w = cnt >= np.minimum(2, np.maximum(alpha_pair, 1))
-        pk, ia, ib, pa_, pb_ = pk[w], ia[w], ib[w], pa_[w], pb_[w]
-        if not len(pk):
-            return out_empty
-        la = off_[pa_ + 1] - off_[pa_]
-        lb = off_[pb_ + 1] - off_[pb_]
-        pidx = np.arange(len(pk), dtype=np.int64) << 32
-
-        def gather_packed(pos, lens):
-            tot = int(lens.sum())
-            cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            idx = np.repeat(off_[pos] - cum, lens) + np.arange(tot)
-            return np.repeat(pidx, lens) | gv_[idx].astype(np.int64)
-
-        akeys = gather_packed(pa_, la)
-        bkeys = gather_packed(pb_, lb)  # sorted: pair asc, rank asc per pair
-        if len(bkeys):
-            hit = np.minimum(np.searchsorted(bkeys, akeys), len(bkeys) - 1)
-            found = bkeys[hit] == akeys
-            inter = np.bincount(akeys[found] >> 32, minlength=len(pk)).astype(np.int64)
-        else:
-            inter = np.zeros(len(pk), np.int64)
-        union = szv_[pa_] + szv_[pb_] - inter
-        jac = inter / np.maximum(union, 1)
-        keep = jac >= thr
-        return pa.table(
-            {
-                "id_a": pa.array(ia[keep]),
-                "id_b": pa.array(ib[keep]),
-                "jac_u": pa.array(np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64)),
-            }
-        )
-
-    rep_pairs = cands.map_batches(verify, batch_format="pandas", batch_size=65536)
-    _mark("cands+verify wired (lazy)")
+        _mark("cands+verify wired (lazy)")
 
     # 6. intra-group pairs for duplicated groups: kept = per-rep kept-gram
     #    count (k), identical to the counting index's sz - npruned.  Per-doc

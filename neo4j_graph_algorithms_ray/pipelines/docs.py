@@ -574,6 +574,14 @@ def minhash_dedup_pairs(
 # gram-group shuffle) is the scale path.
 NGRAM_PREFIX_MAX_GRAM_ROWS = 20_000_000
 
+# fused-decision gather cap: below this many docs, ONE streaming pass + one
+# ~80 B/doc driver gather (sha256 hex + token count) decides the collapse
+# route, the prefix/count gate, AND builds the dup map — replacing three
+# full text scans (exact_dedup, exact_rep_map's membership, tok_ub).  Above
+# it the gather would be driver-unbounded; the aggregate path is the scale
+# route.
+NGRAM_DECISION_MAX_GATHER_DOCS = 1_000_000
+
 
 def _ngram_pairs_prefix(
     rep_docs: rd.Dataset,
@@ -627,15 +635,14 @@ def _ngram_pairs_prefix(
             print(f"[ngram-prefix] {label}: {now - _t[0]:.1f}s", flush=True)
             _t[0] = now
 
-    # 1. ONE shingle+hash pass: the distinct (doc, gram) rows are
-    #    materialized and feed BOTH the df aggregate and the kept-rows
-    #    stage (the counting index re-shingles per consumer; here the rows
-    #    fit the route gate, so paying ~24 B/gram of object store once
-    #    beats a second md5 pass over the corpus)
-    grams = rep_docs.map_batches(
-        gram_rows_fn, batch_format="pandas", batch_size=512
-    ).materialize()
-    _mark("grams")
+    # 1. shingle+hash pass feeding the df aggregate — streamed, not
+    #    materialized: the kept-rows stage re-tokenizes instead (step 3),
+    #    which buys per-doc integrity with NO exchange (vs. the previous
+    #    shape: materialize grams + a grouped_map shuffle to re-unite each
+    #    doc's rows — the exchange alone measured 3.0 s at 10x bench scale,
+    #    more than a second distributed md5 pass costs)
+    grams = rep_docs.map_batches(gram_rows_fn, batch_format="pandas", batch_size=512)
+    _mark("grams wired (lazy)")
 
     # 2. weighted gram document frequency (identical to the counting
     #    kernel's in-bucket W): one small groupby — the route gate bounds
@@ -652,18 +659,19 @@ def _ngram_pairs_prefix(
         df_ref = ray.put((np.array([], np.int64), np.array([], np.int64)))
     _mark("df table")
 
-    # 3. kept-gram rows with canonical rank, computed per doc-keyed GROUP
-    #    (grouped_map on a did-derived bucket): every row of a doc is
-    #    guaranteed to arrive in one kernel call by construction.  A plain
-    #    per-block map relied on "block == gram_rows output batch", which
-    #    Ray Data's dynamic block splitting breaks — BlockOutputBuffer
-    #    slices a buffered block at an arbitrary row offset past 1.5x
-    #    target_max_block_size, so one long doc's rows could land in two
-    #    blocks and each half would pass an in-block check with a too-small
-    #    sz/k (silently wrong pairs).  Grams are dictionary-encoded to their
-    #    dense rank in the sorted df table ("gr", int32 — the route gate
-    #    bounds distinct grams < 2^31): half the CSR/shuffle bytes, and the
-    #    verify kernel can pack (pair, gram) into ONE int64.
+    # 3. kept-gram rows with canonical rank, computed by RE-TOKENIZING the
+    #    rep docs against the broadcast df table: each doc's text is one row
+    #    of the input batch, so every gram of a doc reaches one kernel call
+    #    by construction — no exchange, and none of the block-split hazards
+    #    a map over the materialized gram rows had (Ray Data's
+    #    BlockOutputBuffer slices a buffered block at an arbitrary row
+    #    offset past 1.5x target_max_block_size, so one long doc's rows
+    #    could land in two blocks and each half would pass an in-block
+    #    check with a too-small sz/k — silently wrong pairs).  Grams are
+    #    dictionary-encoded to their dense rank in the sorted df table
+    #    ("gr", int32 — the route gate bounds distinct grams < 2^31): half
+    #    the CSR/broadcast bytes, and the verify kernel can pack
+    #    (pair, gram) into ONE int64.
     _KEPT_EMPTY = pd.DataFrame(
         {
             did_t: pd.Series(dtype=np.int64),
@@ -675,7 +683,10 @@ def _ngram_pairs_prefix(
         }
     )
 
-    def kept_rows(b: pd.DataFrame, ref=df_ref) -> pd.DataFrame:
+    def kept_rows(docs_b: pd.DataFrame, ref=df_ref) -> pd.DataFrame:
+        if len(docs_b) == 0 or "text" not in docs_b.columns:
+            return _KEPT_EMPTY
+        b = gram_rows_fn(docs_b)
         if len(b) == 0 or "gh" not in b.columns:
             return _KEPT_EMPTY
         gh_s, df_s = ray.get(ref)
@@ -736,11 +747,8 @@ def _ngram_pairs_prefix(
             }
         )
 
-    kept = grouped_map(
-        grams.map_batches(_tag_bucket64(did_t), batch_format="pyarrow"),
-        "bucket",
-        kept_rows,
-        num_partitions=fan,
+    kept = rep_docs.map_batches(
+        kept_rows, batch_format="pandas", batch_size=512
     ).materialize()
     _mark("kept")
 
@@ -1063,6 +1071,75 @@ def ngram_jaccard_pairs(
     # that already know their corpus' duplication (e.g. ran exact_dedup
     # upstream) can pass collapse=True/False and skip the decision aggregate.
     dupd = None
+    dups_pre = None  # dup map built by the fused decision gather (below)
+    ub_pre = None  # route-gate gram upper bound from the same pass
+    if collapse is None and method == "auto":
+        n_docs = docs.count()
+        if n_docs <= NGRAM_DECISION_MAX_GATHER_DOCS:
+            # fused decision: ONE streaming pass emits per doc the sha256
+            # hex digest (exact_dedup's identity — grouping is bit-identical
+            # to the aggregate path, nulls fold to one group like SQL GROUP
+            # BY) and the tokenize-only gram upper bound; one ~80 B/doc
+            # gather then yields (a) the dup share for the collapse
+            # decision, (b) the dup map itself when collapsing — replacing
+            # exact_rep_map's aggregate + membership scans — and (c) the
+            # prefix/count gate's tok_ub total (identical texts have
+            # identical token counts, so one-per-distinct-digest IS the
+            # rep-level sum).  Three full text scans become one.
+            def _decision_rows(t: pa.Table) -> pa.Table:
+                hx = T.hash_strings_hex(t["text"], "sha256")
+                txt = t["text"].to_pandas()
+                cnt = (
+                    txt.str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
+                ).to_numpy()
+                ub = np.where(cnt >= k, cnt - k + 1, (cnt > 0).astype(np.int64))
+                return pa.table(
+                    {
+                        did_t: t[did_t],
+                        "h": pa.array(
+                            [h if h is not None else "" for h in hx], pa.string()
+                        ),
+                        "ub": pa.array(ub),
+                    }
+                )
+
+            dec = (
+                docs.select_columns([did_t, "text"])
+                .map_batches(_decision_rows, batch_format="pyarrow")
+                .to_pandas()
+            )
+            if len(dec) and "h" in dec.columns:
+                hs = np.asarray(dec["h"], dtype="S64")
+                dvals = dec[did_t].to_numpy(np.int64)
+                ubv = dec["ub"].to_numpy(np.int64)
+                o = np.argsort(hs, kind="stable")
+                hs, dvals, ubv = hs[o], dvals[o], ubv[o]
+                firsts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+                runlen = np.diff(np.append(firsts, len(hs)))
+                n_dup_rows = int(runlen[runlen >= 2].sum())
+                collapse = n_dup_rows >= max(64, n_docs // 20)
+                if collapse:
+                    # gate over reps: one ub per distinct digest
+                    ub_pre = int(ubv[firsts].sum())
+                    gid = np.repeat(np.arange(len(firsts), dtype=np.int64), runlen)
+                    rep_per = np.minimum.reduceat(dvals, firsts)
+                    memb = runlen[gid] >= 2
+                    dups_pre = rd.from_arrow(
+                        pa.table(
+                            {
+                                "doc_id": pa.array(dvals[memb]),
+                                "rep": pa.array(rep_per[gid][memb]),
+                                "m": pa.array(runlen[gid][memb].astype(np.int64)),
+                            }
+                        )
+                    )
+                else:
+                    # uncollapsed: every doc is its own rep — sum over ALL
+                    # rows, exactly the tok_ub the gate otherwise scans for
+                    ub_pre = int(ubv.sum())
+            else:
+                collapse = False
+                ub_pre = 0
     if collapse is None:
         dupd = exact_dedup(docs).filter(expr="n >= 2").materialize()
         n_dup_rows = int(dupd.sum("n") or 0)
@@ -1070,7 +1147,8 @@ def ngram_jaccard_pairs(
         collapse = n_dup_rows >= max(64, n_docs // 20)  # >=5% dup'd (or tiny corpus armor)
 
     if collapse:
-        dups = exact_rep_map(docs, dedup=dupd).materialize()  # {doc_id, rep, m} m>=2 only
+        # {doc_id, rep, m} m>=2 only
+        dups = dups_pre if dups_pre is not None else exact_rep_map(docs, dedup=dupd).materialize()
         # one signed lookup classifies every doc: miss -> singleton rep
         # (m=1), m>=2 -> duplicated group's rep, -1 -> non-rep member (drop)
         dsz = dups.map_batches(
@@ -1148,19 +1226,22 @@ def ngram_jaccard_pairs(
     if method not in ("auto", "prefix", "count"):
         raise ValueError(f"ngram_jaccard_pairs: unknown method {method!r}")
     if method == "auto":
-        # cheap tokenize-only UPPER bound on gram rows (distinct grams per
-        # doc <= shingles = ntok - k + 1) — no hashing, no shuffle; a safe
-        # over-estimate only ever demotes to the scale path
-        def tok_ub(b: pd.DataFrame) -> pd.DataFrame:
-            cnt = (
-                b["text"].str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
-            ).to_numpy()
-            ub = np.where(cnt >= k, cnt - k + 1, (cnt > 0).astype(np.int64))
-            return pd.DataFrame({"ub": ub})
+        if ub_pre is not None:
+            ub_total = ub_pre  # from the fused decision gather — same value
+        else:
+            # cheap tokenize-only UPPER bound on gram rows (distinct grams
+            # per doc <= shingles = ntok - k + 1) — no hashing, no shuffle;
+            # a safe over-estimate only ever demotes to the scale path
+            def tok_ub(b: pd.DataFrame) -> pd.DataFrame:
+                cnt = (
+                    b["text"].str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
+                ).to_numpy()
+                ub = np.where(cnt >= k, cnt - k + 1, (cnt > 0).astype(np.int64))
+                return pd.DataFrame({"ub": ub})
 
-        ub_total = int(
-            rep_docs.map_batches(tok_ub, batch_format="pandas").sum("ub") or 0
-        )
+            ub_total = int(
+                rep_docs.map_batches(tok_ub, batch_format="pandas").sum("ub") or 0
+            )
         use_prefix = 0 < ub_total <= NGRAM_PREFIX_MAX_GRAM_ROWS
     else:
         use_prefix = method == "prefix"

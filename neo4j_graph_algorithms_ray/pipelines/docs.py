@@ -84,6 +84,12 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+# one-pass fast-path gather cap for exact_rep_map: below this many docs the
+# digest column (~80 B/doc) fits one driver gather; above it the two-pass
+# aggregate + membership shape is the scale route
+REP_MAP_MAX_GATHER_DOCS = 1_000_000
+
+
 def exact_rep_map(
     docs: rd.Dataset,
     *,
@@ -114,6 +120,13 @@ def exact_rep_map(
 
     ``dedup``: a caller-precomputed, MATERIALIZED pass-1 aggregate (already
     filtered to ``n >= 2``) — skips recomputing it here.
+
+    Fast path: when neither ``dedup`` nor ``cap`` is pinned and the corpus
+    is under ``REP_MAP_MAX_GATHER_DOCS``, ONE streaming digest pass + one
+    ~80 B/doc driver gather resolves the groups in-process (same sha256
+    identity, nulls fold to one group exactly like the aggregate path) —
+    both scans collapse to one.  Above the cap the two-pass shape is the
+    scale route.
     """
     import ray
 
@@ -121,6 +134,52 @@ def exact_rep_map(
 
     if not compact:
         raise ValueError("exact_rep_map: only the compact (dup-only) form is supported")
+
+    if dedup is None and cap is None and docs.count() <= REP_MAP_MAX_GATHER_DOCS:
+        def _digest_rows(t: pa.Table) -> pa.Table:
+            hx = T.hash_strings_hex(t["text"], "sha256")
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "h": pa.array([h if h is not None else "" for h in hx], pa.string()),
+                }
+            )
+
+        dec = (
+            docs.select_columns(["doc_id", "text"])
+            .map_batches(_digest_rows, batch_format="pyarrow")
+            .to_pandas()
+        )
+        empty_fast = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "rep": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+            }
+        )
+        if not len(dec) or "h" not in dec.columns:
+            return rd.from_arrow(empty_fast)
+        hs = np.asarray(dec["h"], dtype="S64")
+        dvals = dec["doc_id"].to_numpy(np.int64)
+        o = np.argsort(hs, kind="stable")
+        hs, dvals = hs[o], dvals[o]
+        firsts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        runlen = np.diff(np.append(firsts, len(hs)))
+        gid = np.repeat(np.arange(len(firsts), dtype=np.int64), runlen)
+        rep_per = np.minimum.reduceat(dvals, firsts)
+        memb = runlen[gid] >= 2
+        if not memb.any():
+            return rd.from_arrow(empty_fast)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(dvals[memb]),
+                    "rep": pa.array(rep_per[gid][memb]),
+                    "m": pa.array(runlen[gid][memb].astype(np.int64)),
+                }
+            )
+        )
+
     cap = BROADCAST_MAX_ROWS if cap is None else int(cap)
 
     empty = pa.table(

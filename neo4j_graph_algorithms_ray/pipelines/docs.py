@@ -641,6 +641,92 @@ NGRAM_PREFIX_MAX_GRAM_ROWS = 20_000_000
 # route.
 NGRAM_DECISION_MAX_GATHER_DOCS = 1_000_000
 
+_NGRAM_KEPT_EMPTY = {
+    "did": np.zeros(0, np.int64),
+    "gr": np.zeros(0, np.int32),
+    "rank": np.zeros(0, np.int64),
+    "k": np.zeros(0, np.int64),
+    "sz": np.zeros(0, np.int64),
+    "pref": np.zeros(0, bool),
+}
+
+
+def _ngram_kept_kernel(dids, h, df_tbl, mdf: int, tf: float) -> dict:
+    """Kept-gram rows for one doc-aligned shard of the prefix route, as
+    (doc asc, gram-rank asc)-ordered numpy arrays.
+
+    ``dids``/``h`` are the shard's (doc, gram-hash) rows, ALREADY sorted by
+    doc with every row of a doc present (the caller cuts on doc
+    boundaries); ``df_tbl = (gh_sorted, weighted_df)`` is the global gram
+    table (one ``ray.put``, zero-copy in workers).  The two multi-key sorts
+    pack their keys into ONE uint64 and take a single unstable argsort when
+    the component widths fit (keys are unique per row, so stability is
+    irrelevant) — about half the wall of a np.lexsort; np.lexsort remains
+    the fallback for out-of-range components (huge max_doc_freq etc.).
+
+    Output columns: doc id, dense gram rank ("gr", position in the
+    gh-sorted df table), prefix position ("rank", the row's index in its
+    doc's (df, gr)-canonical order), kept count ("k"), unpruned distinct
+    size ("sz"), and the q=2 extended-prefix flag ("pref" — Xiao et al.'s
+    generalization of Bayardo's All-Pairs prefix: a pair with intersection
+    >= alpha shares >= 2 grams within each side's first k - alpha + 2
+    positions, so the probe's witness filter can demand two hits before
+    paying for full verification)."""
+    gh_s, df_s = df_tbl
+    if not len(dids):
+        return dict(_NGRAM_KEPT_EMPTY)
+    neq = dids[1:] != dids[:-1]
+    seg_start = np.flatnonzero(np.r_[True, neq])
+    seg = np.empty(len(dids), np.int64)
+    seg[0] = 0
+    np.cumsum(neq, dtype=np.int64, out=seg[1:])
+    nseg = len(seg_start)
+    sz = np.bincount(seg, minlength=nseg).astype(np.int64)
+    if len(gh_s):
+        gr = np.searchsorted(gh_s, h).astype(np.int32)  # dense gram rank
+        dfv = df_s[gr]
+    else:
+        gr = np.zeros(len(h), np.int32)
+        dfv = np.zeros(len(h), np.int64)
+    keep = dfv <= mdf
+    r2, g2, df2 = seg[keep], gr[keep], dfv[keep]
+    kcnt = np.bincount(r2, minlength=nseg).astype(np.int64)
+    ngr = len(gh_s)
+    # per-doc canonical (df, gh-rank) order
+    if nseg < 2**25 and ngr < 2**25 and mdf < 2**14:
+        o = np.argsort(
+            (r2.astype(np.uint64) << np.uint64(39))
+            | (df2.astype(np.uint64) << np.uint64(25))
+            | g2.astype(np.uint64)
+        )
+    else:
+        o = np.lexsort((g2, df2, r2))
+    r3, g3 = r2[o], g2[o]
+    if len(r3):
+        startd = np.flatnonzero(np.r_[True, r3[1:] != r3[:-1]])
+        runlen = np.diff(np.append(startd, len(r3)))
+        rank = np.arange(len(r3), dtype=np.int64) - np.repeat(startd, runlen)
+    else:
+        rank = np.zeros(0, dtype=np.int64)
+    # re-emit in (doc, gram-rank) order so the CSR build needs no sort
+    if nseg < 2**25 and ngr < 2**25:
+        o2 = np.argsort((r3.astype(np.uint64) << np.uint64(25)) | g3.astype(np.uint64))
+    else:
+        o2 = np.lexsort((g3, r3))
+    r4 = r3[o2]
+    k4 = kcnt[r4]
+    sz4 = sz[r4]
+    rank4 = rank[o2]
+    alpha4 = np.maximum(1, np.floor(tf * sz4).astype(np.int64))
+    return {
+        "did": dids[seg_start][r4].astype(np.int64, copy=False),
+        "gr": g3[o2],
+        "rank": rank4,
+        "k": k4,
+        "sz": sz4,
+        "pref": rank4 < (k4 - alpha4 + 2),
+    }
+
 
 def _ngram_pairs_prefix(
     rep_docs: rd.Dataset,
@@ -694,144 +780,97 @@ def _ngram_pairs_prefix(
             print(f"[ngram-prefix] {label}: {now - _t[0]:.1f}s", flush=True)
             _t[0] = now
 
-    # 1. shingle+hash pass feeding the df aggregate — streamed, not
-    #    materialized: the kept-rows stage re-tokenizes instead (step 3),
-    #    which buys per-doc integrity with NO exchange (vs. the previous
-    #    shape: materialize grams + a grouped_map shuffle to re-unite each
-    #    doc's rows — the exchange alone measured 3.0 s at 10x bench scale,
-    #    more than a second distributed md5 pass costs)
-    grams = rep_docs.map_batches(gram_rows_fn, batch_format="pandas", batch_size=512)
-    _mark("grams wired (lazy)")
-
-    # 2. weighted gram document frequency (identical to the counting
-    #    kernel's in-bucket W): one small groupby — the route gate bounds
-    #    distinct grams <= total gram rows <= broadcast cap
-    dfp = bucketed_agg(
-        grams, "gh", {"df": ("m", "sum")}, small_fold_rows=2_000_000
-    ).to_pandas()
-    if len(dfp):
-        dfp = dfp.sort_values("gh")
-        df_ref = ray.put(
-            (dfp["gh"].to_numpy(np.int64), dfp["df"].to_numpy(np.int64))
+    # 1. ONE distributed shingle+hash pass, ONE gate-bounded gather: the
+    #    route only runs when total gram rows fit a broadcast (the gate), so
+    #    the distinct (doc, gram, m) rows can come straight to the driver —
+    #    every later structure (df table, kept ranks, CSR, posting) is a
+    #    vectorized kernel over this one table.  Previous shapes paid a
+    #    bucketed_agg shuffle for df, a SECOND tokenize pass (or a
+    #    grouped_map exchange) for the kept ranks, and a separate kept
+    #    gather — each a multi-second Ray stage floor at 10x bench scale
+    #    for data that was driver-bounded all along.
+    gp_blocks = [
+        t
+        for t in ray.get(
+            rep_docs.map_batches(
+                gram_rows_fn, batch_format="pandas", batch_size=512
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if gp_blocks:
+        gp_t = pa.concat_tables(gp_blocks, promote_options="default")
+        gh_all = gp_t["gh"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        m_all = gp_t["m"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        did_arr = (
+            gp_t[did_t].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         )
     else:
-        df_ref = ray.put((np.array([], np.int64), np.array([], np.int64)))
+        gh_all = m_all = did_arr = np.zeros(0, np.int64)
+    _mark("gram gather")
+
+    # 2. weighted gram document frequency (identical to the counting
+    #    kernel's in-bucket W), driver-side: one argsort + reduceat
+    o_gh = np.argsort(gh_all, kind="stable")
+    ghs, ms = gh_all[o_gh], m_all[o_gh]
+    f_gh = np.flatnonzero(np.r_[True, ghs[1:] != ghs[:-1]]) if len(ghs) else np.zeros(0, np.int64)
+    gh_s = ghs[f_gh]
+    df_s = np.add.reduceat(ms, f_gh) if len(f_gh) else np.zeros(0, np.int64)
     _mark("df table")
 
-    # 3. kept-gram rows with canonical rank, computed by RE-TOKENIZING the
-    #    rep docs against the broadcast df table: each doc's text is one row
-    #    of the input batch, so every gram of a doc reaches one kernel call
-    #    by construction — no exchange, and none of the block-split hazards
-    #    a map over the materialized gram rows had (Ray Data's
-    #    BlockOutputBuffer slices a buffered block at an arbitrary row
-    #    offset past 1.5x target_max_block_size, so one long doc's rows
-    #    could land in two blocks and each half would pass an in-block
-    #    check with a too-small sz/k — silently wrong pairs).  Grams are
-    #    dictionary-encoded to their dense rank in the sorted df table
-    #    ("gr", int32 — the route gate bounds distinct grams < 2^31): half
-    #    the CSR/broadcast bytes, and the verify kernel can pack
-    #    (pair, gram) into ONE int64.
-    _KEPT_EMPTY = pd.DataFrame(
-        {
-            did_t: pd.Series(dtype=np.int64),
-            "gr": pd.Series(dtype=np.int32),
-            "rank": pd.Series(dtype=np.int64),
-            "k": pd.Series(dtype=np.int64),
-            "sz": pd.Series(dtype=np.int64),
-            "pref": pd.Series(dtype=np.int8),
-        }
-    )
+    # (kept-row schema; grams are dictionary-encoded to their dense rank in
+    # the gh-sorted df table — "gr", int32, the route gate bounds distinct
+    # grams < 2^31 — so the CSR halves its bytes and the verify kernel can
+    # pack (pair, gram) into ONE int64)
 
-    def kept_rows(docs_b: pd.DataFrame, ref=df_ref) -> pd.DataFrame:
-        if len(docs_b) == 0 or "text" not in docs_b.columns:
-            return _KEPT_EMPTY
-        b = gram_rows_fn(docs_b)
-        if len(b) == 0 or "gh" not in b.columns:
-            return _KEPT_EMPTY
-        gh_s, df_s = ray.get(ref)
-        dids = b[did_t].to_numpy()
-        h = b["gh"].to_numpy()
-        if len(dids) and (int(dids.max()) >= 2**31 or int(dids.min()) < 0):
-            raise ValueError(
-                "ngram_jaccard_pairs requires 0 <= doc_id < 2^31 (packed pair keys)"
-            )
-        # group rows arrive in arbitrary doc order — sort so each doc is one
-        # contiguous run (whole docs are in this group by bucket keying)
-        if len(dids):
-            o0 = np.argsort(dids, kind="stable")
-            dids, h = dids[o0], h[o0]
-            seg_start = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1]])
-        else:
-            seg_start = np.zeros(0, np.int64)
-        seg = np.cumsum(np.r_[False, dids[1:] != dids[:-1]]) if len(dids) else dids
-        nseg = len(seg_start)
-        sz = np.bincount(seg, minlength=nseg).astype(np.int64)
-        if len(gh_s):
-            gr = np.searchsorted(gh_s, h).astype(np.int32)  # dense gram rank
-            dfv = df_s[gr]
-        else:
-            gr = np.zeros(len(h), np.int32)
-            dfv = np.zeros(len(h), np.int64)
-        keep = dfv <= mdf
-        r2, g2, df2 = seg[keep], gr[keep], dfv[keep]
-        kcnt = np.bincount(r2, minlength=nseg).astype(np.int64)
-        o = np.lexsort((g2, df2, r2))  # per-doc canonical (df, gh-rank) order
-        r3, g3 = r2[o], g2[o]
-        if len(r3):
-            startd = np.flatnonzero(np.r_[True, r3[1:] != r3[:-1]])
-            runlen = np.diff(np.append(startd, len(r3)))
-            rank = np.arange(len(r3), dtype=np.int64) - np.repeat(startd, runlen)
-        else:
-            rank = np.zeros(0, dtype=np.int64)
-        szr = sz[r3]
-        alpha = np.maximum(1, np.floor(tf * szr).astype(np.int64))
-        # q=2 extended prefix (Xiao et al.'s generalization of Bayardo's
-        # All-Pairs prefix): a pair with intersection >= alpha shares >= 2
-        # grams within each side's first k - alpha + 2 positions, so the
-        # in-kernel witness filter (shared-extended-prefix-gram count >= 2,
-        # counted against the broadcast prefix CSR) can demand two hits
-        # before paying for full verification
-        pref = rank < (kcnt[r3] - alpha + 2)
-        doc_of_seg = dids[seg_start]
-        # emit (doc, gram-rank)-sorted so the CSR build can skip its sort
-        o2 = np.lexsort((g3, r3))
-        return pd.DataFrame(
-            {
-                did_t: doc_of_seg[r3][o2],
-                "gr": g3[o2],
-                "rank": rank[o2],
-                "k": kcnt[r3][o2],
-                "sz": szr[o2],
-                "pref": pref[o2].astype(np.int8),
-            }
+    # 3. kept-gram rows with canonical rank — the kernel runs over
+    #    doc-aligned SHARDS of the gathered table as plain ray tasks (no
+    #    Dataset stage floors; ~30 s single-core at the 20M-row gate bound,
+    #    ~1 s/shard across a node).  Shards are doc-ranges of the did-sorted
+    #    rows, so per-doc stats are exact and concatenating shard outputs
+    #    in order IS the (doc, gram-rank) order the CSR needs.
+    h_arr = gh_all
+    if len(did_arr) and (int(did_arr.max()) >= 2**31 or int(did_arr.min()) < 0):
+        raise ValueError(
+            "ngram_jaccard_pairs requires 0 <= doc_id < 2^31 (packed pair keys)"
         )
-
-    kept = rep_docs.map_batches(
-        kept_rows, batch_format="pandas", batch_size=512
-    ).materialize()
+    o0 = np.argsort(did_arr, kind="stable")
+    did_srt, h_srt = did_arr[o0], h_arr[o0]
+    n_rows = len(did_srt)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    P = max(1, min(ncpu, n_rows // 131072))
+    if P > 1:
+        cuts = [0]
+        for i in range(1, P):
+            pos = min((n_rows * i) // P, n_rows - 1)
+            pos = int(np.searchsorted(did_srt, did_srt[pos], side="right"))
+            if cuts[-1] < pos < n_rows:
+                cuts.append(pos)
+        cuts.append(n_rows)
+        ref_tbl = ray.put((gh_s, df_s))
+        shard = ray.remote(num_cpus=1)(_ngram_kept_kernel)
+        parts = ray.get(
+            [
+                shard.remote(did_srt[a:b], h_srt[a:b], ref_tbl, mdf, tf)
+                for a, b in zip(cuts, cuts[1:])
+            ]
+        )
+        kp_full = {
+            key: np.concatenate([p[key] for p in parts])
+            for key in _NGRAM_KEPT_EMPTY
+        }
+    else:
+        kp_full = _ngram_kept_kernel(did_srt, h_srt, (gh_s, df_s), mdf, tf)
     _mark("kept")
 
-    # 4. verify CSR broadcast: every rep's kept gram ranks (sorted per doc)
-    #    + unpruned size.  ONE driver gather of the full kept table feeds
-    #    both this CSR and the prefix posting below (the route gate bounds
-    #    the rows; a second per-consumer gather measured ~0.7 s at 10x
-    #    bench scale for no benefit).
-    kp_full = kept.to_pandas()
-    if did_t not in kp_full.columns:
-        # an all-empty kept table can surface as a zero-column frame
-        kp_full = _KEPT_EMPTY.copy()
-    kp = kp_full[[did_t, "gr", "sz"]]
-    if len(kp):
-        dvals = kp[did_t].to_numpy(np.int64)
-        if len(dvals) > 1 and (dvals[1:] < dvals[:-1]).any():
-            # blocks out of doc order (rows within a doc are already
-            # gram-rank sorted by kept_rows)
-            kp = kp.sort_values([did_t, "gr"], kind="stable")
-            dvals = kp[did_t].to_numpy(np.int64)
+    # 4. verify CSR: every rep's kept gram ranks (sorted per doc) +
+    #    unpruned size — rows are (doc, gram-rank)-sorted by construction
+    dvals = kp_full["did"]
+    if len(dvals):
         dkeys, counts = np.unique(dvals, return_counts=True)
         off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
-        gv = kp["gr"].to_numpy(np.int32)
-        szv = kp["sz"].to_numpy(np.int64)[off[:-1]]
+        gv = kp_full["gr"]
+        szv = kp_full["sz"][off[:-1]]
     else:
         dkeys = np.array([], np.int64)
         off = np.zeros(1, np.int64)
@@ -853,7 +892,8 @@ def _ngram_pairs_prefix(
     #    gather, and every co-occurrence of a pair lands in the one task
     #    that owns its larger doc, so witness counts are GLOBAL with no
     #    exchange and no dedup pass anywhere.
-    pp = kp_full[kp_full["pref"].to_numpy() == 1]
+    pmask = kp_full["pref"]
+    npp = int(pmask.sum())
     _PAIRS_EMPTY = pa.table(
         {
             "id_a": pa.array([], pa.int64()),
@@ -861,14 +901,21 @@ def _ngram_pairs_prefix(
             "jac_u": pa.array([], pa.int64()),
         }
     )
-    if len(pp):
-        did_all = pp[did_t].to_numpy(np.int64)
-        gr_all = pp["gr"].to_numpy(np.int32)
-        o = np.lexsort((did_all, gr_all))
+    if npp:
+        did_all = kp_full["did"][pmask]
+        gr_all = kp_full["gr"][pmask]
+        # (gr, did) order via one packed-key argsort (gr < 2^25 under the
+        # gate, did < 2^31 by the kernel's check; unique per row)
+        if len(gh_s) < 2**25:
+            o = np.argsort(
+                (gr_all.astype(np.uint64) << np.uint64(31)) | did_all.astype(np.uint64)
+            )
+        else:
+            o = np.lexsort((did_all, gr_all))
         pdid = did_all[o]
-        prank = pp["rank"].to_numpy(np.int64)[o]
-        pkk = pp["k"].to_numpy(np.int64)[o]
-        psz = pp["sz"].to_numpy(np.int64)[o]
+        prank = kp_full["rank"][pmask][o]
+        pkk = kp_full["k"][pmask][o]
+        psz = kp_full["sz"][pmask][o]
         gr_s = gr_all[o]
         run_starts = np.flatnonzero(np.r_[True, gr_s[1:] != gr_s[:-1]])
         run_lens = np.diff(np.append(run_starts, len(gr_s)))
@@ -899,7 +946,7 @@ def _ngram_pairs_prefix(
     post_ref = ray.put((pdid, prank, pkk, psz, rs, dcuts))
     _mark("posting")
 
-    if not len(pp):
+    if not npp:
         rep_pairs = from_pandas_clean(_PAIRS_EMPTY.to_pandas())
         _mark("cands+verify wired (lazy)")
     else:
@@ -1023,18 +1070,16 @@ def _ngram_pairs_prefix(
     intra = None
     if msz is not None:
 
-        def per_doc_stats(b: pd.DataFrame) -> pd.DataFrame:
-            d = b[did_t].to_numpy()
-            du, idx = np.unique(d, return_index=True)
-            return pd.DataFrame(
+        du, idx = np.unique(kp_full["did"], return_index=True)
+        stats = from_pandas_clean(
+            pd.DataFrame(
                 {
                     did_t: du,
-                    "sz": b["sz"].to_numpy()[idx],
-                    "k": b["k"].to_numpy()[idx],
+                    "sz": kp_full["sz"][idx],
+                    "k": kp_full["k"][idx],
                 }
             )
-
-        stats = kept.map_batches(per_doc_stats, batch_format="pandas").materialize()
+        )
         base = lookup_join(msz, stats, did_t, "sz", default=0, num_partitions=fan)
         base = lookup_join(base, stats, did_t, "k", default=0, num_partitions=fan)
 

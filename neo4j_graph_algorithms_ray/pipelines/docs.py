@@ -2316,10 +2316,15 @@ def dedup_clusters(
         ),
         batch_format="pyarrow",
     )
-    rep_docs = lookup_join(
-        docs.select_columns(["doc_id", "text"]), rep_flag, "doc_id", "isrep",
-        default=1, num_partitions=k,
-    ).filter(expr="isrep == 1")
+    if dups.count() == 0:
+        # no exact duplicates at all: the signed lookup would keep every doc
+        # (every probe misses -> default 1) — skip the join pass outright
+        rep_docs = docs.select_columns(["doc_id", "text"])
+    else:
+        rep_docs = lookup_join(
+            docs.select_columns(["doc_id", "text"]), rep_flag, "doc_id", "isrep",
+            default=1, num_partitions=k,
+        ).filter(expr="isrep == 1")
 
     pairs = minhash_dedup_pairs(
         rep_docs, threshold=threshold, max_band_freq=max_band_freq

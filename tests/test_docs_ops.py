@@ -670,3 +670,65 @@ def test_minhash_mersenne_fold_equals_modulo():
     for i, n in enumerate(c):
         assert np.array_equal(sigs[i], mh.signature(Hh[off : off + n]))
         off += n
+
+
+def test_exact_rep_map_gather_fast_path_matches_aggregate():
+    """The one-pass digest-gather fast path (default, small corpora) agrees
+    with the aggregate+broadcast path (cap pinned high) and the digest
+    co-shuffle path (cap=0), including null texts folding to one group."""
+    df = _dup_heavy_docs(n_texts=6, copies=3)
+    # plant nulls (one dup group of two) and a unique doc
+    extra = pd.DataFrame(
+        {"doc_id": [900, 901, 902], "text": [None, None, "only once here"]}
+    )
+    df = pd.concat([df, extra], ignore_index=True)
+
+    def run(**kw):
+        return (
+            D.exact_rep_map(rd.from_pandas(df), **kw)
+            .to_pandas()
+            .sort_values(["rep", "doc_id"])
+            .reset_index(drop=True)
+        )
+
+    fast = run()  # gather fast path (no cap, no dedup)
+    agg = run(cap=10_000)  # aggregate pass + broadcast membership
+    cosh = run(cap=0)  # aggregate pass + digest co-shuffle membership
+    assert len(fast) == 6 * 3 + 2  # dup groups + the null pair
+    null_rows = fast[fast["rep"] == 900]
+    assert sorted(null_rows["doc_id"]) == [900, 901] and (null_rows["m"] == 2).all()
+    for other in (agg, cosh):
+        for c in ("doc_id", "rep", "m"):
+            assert (fast[c].to_numpy() == other[c].to_numpy()).all(), c
+
+
+def test_ngram_fused_decision_matches_forced_paths():
+    """collapse=None (fused decision gather) produces identical pairs to
+    explicitly forced collapse=True and collapse=False on a corpus where
+    the decision picks collapse, and on one where it does not."""
+    rng = np.random.default_rng(11)
+
+    def corpus(n_uniq, copies):
+        texts = [
+            " ".join(f"w{rng.integers(0, 10**9)}" for _ in range(10))
+            for _ in range(n_uniq)
+        ] * copies
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+    for df in (corpus(40, 3), corpus(120, 1)):
+        outs = {}
+        for mode in (None, True, False):
+            p = D.ngram_jaccard_pairs(
+                rd.from_pandas(df), threshold=0.5, collapse=mode
+            ).to_pandas()
+            if "id_a" not in p.columns:  # empty Dataset -> zero-column frame
+                p = pd.DataFrame(
+                    {"id_a": [], "id_b": [], "jac_u": []}, dtype=np.int64
+                )
+            outs[mode] = p.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        for mode in (True, False):
+            assert outs[None].shape == outs[mode].shape
+            for c in ("id_a", "id_b", "jac_u"):
+                assert (outs[None][c].to_numpy() == outs[mode][c].to_numpy()).all(), c

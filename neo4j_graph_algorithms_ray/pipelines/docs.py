@@ -84,10 +84,63 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
-# one-pass fast-path gather cap for exact_rep_map: below this many docs the
-# digest column (~80 B/doc) fits one driver gather; above it the two-pass
-# aggregate + membership shape is the scale route
-REP_MAP_MAX_GATHER_DOCS = 1_000_000
+# one-pass digest-gather cap (exact_rep_map fast path and ngram's fused
+# route decision): below this many docs the per-doc digest rows (~80 B/doc)
+# fit one driver gather; above it the aggregate shapes are the scale route
+DIGEST_GATHER_MAX_DOCS = 1_000_000
+
+
+def _sha256_rows_fn(did_col: str, ub_k: int | None = None):
+    """Batch fn: per-doc sha256 hex digest (exact_dedup's identity; null
+    text -> "" so the null group folds like SQL GROUP BY) and, when ``ub_k``
+    is set, the tokenize-only word-``ub_k``-gram upper bound."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        hx = T.hash_strings_hex(t["text"], "sha256")
+        cols = {
+            did_col: t[did_col],
+            "h": pa.array([h if h is not None else "" for h in hx], pa.string()),
+        }
+        if ub_k is not None:
+            txt = t["text"].to_pandas()
+            cnt = (
+                txt.str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
+            ).to_numpy()
+            cols["ub"] = pa.array(
+                np.where(cnt >= ub_k, cnt - ub_k + 1, (cnt > 0).astype(np.int64))
+            )
+        return pa.table(cols)
+
+    return fn
+
+
+def _digest_dup_fold(hs: np.ndarray, dids: np.ndarray):
+    """Fold gathered digests into exact-dup groups (shared by
+    ``exact_rep_map``'s fast path and ngram's fused decision so their
+    grouping can never drift apart).
+
+    Returns ``(order, dids_sorted, firsts, runlen, gid, rep_per)``: the
+    digest sort order, doc ids in that order, each group's first row index,
+    group sizes, per-row group index, and each group's min doc id."""
+    o = np.argsort(hs, kind="stable")
+    hs_s, dids_s = hs[o], dids[o]
+    firsts = np.flatnonzero(np.r_[True, hs_s[1:] != hs_s[:-1]])
+    runlen = np.diff(np.append(firsts, len(hs_s)))
+    gid = np.repeat(np.arange(len(firsts), dtype=np.int64), runlen)
+    rep_per = np.minimum.reduceat(dids_s, firsts)
+    return o, dids_s, firsts, runlen, gid, rep_per
+
+
+def _dup_map_table(dids_s, runlen, gid, rep_per) -> pa.Table:
+    """{doc_id, rep, m} member rows for duplicated (m >= 2) groups only."""
+    memb = runlen[gid] >= 2
+    return pa.table(
+        {
+            "doc_id": pa.array(dids_s[memb].astype(np.int64, copy=False)),
+            "rep": pa.array(rep_per[gid][memb].astype(np.int64, copy=False)),
+            "m": pa.array(runlen[gid][memb].astype(np.int64)),
+        }
+    )
 
 
 def exact_rep_map(
@@ -96,6 +149,7 @@ def exact_rep_map(
     compact: bool = True,
     cap: int | None = None,
     dedup: rd.Dataset | None = None,
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """Exact-duplicate group map ``{doc_id, rep, m}`` — DUPLICATED groups only
     (``m >= 2``, one row per member, ``rep`` = the group's min doc_id).  A doc
@@ -122,11 +176,12 @@ def exact_rep_map(
     filtered to ``n >= 2``) — skips recomputing it here.
 
     Fast path: when neither ``dedup`` nor ``cap`` is pinned and the corpus
-    is under ``REP_MAP_MAX_GATHER_DOCS``, ONE streaming digest pass + one
+    is under ``DIGEST_GATHER_MAX_DOCS``, ONE streaming digest pass + one
     ~80 B/doc driver gather resolves the groups in-process (same sha256
     identity, nulls fold to one group exactly like the aggregate path) —
     both scans collapse to one.  Above the cap the two-pass shape is the
-    scale route.
+    scale route.  ``n_docs``: pass the known row count to skip the route
+    probe's ``docs.count()`` (which executes a lazy upstream pipeline).
     """
     import ray
 
@@ -135,50 +190,24 @@ def exact_rep_map(
     if not compact:
         raise ValueError("exact_rep_map: only the compact (dup-only) form is supported")
 
-    if dedup is None and cap is None and docs.count() <= REP_MAP_MAX_GATHER_DOCS:
-        def _digest_rows(t: pa.Table) -> pa.Table:
-            hx = T.hash_strings_hex(t["text"], "sha256")
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "h": pa.array([h if h is not None else "" for h in hx], pa.string()),
-                }
+    if dedup is None and cap is None:
+        if n_docs is None:
+            # NOTE: on a lazy derived Dataset this executes the upstream
+            # pipeline once just for the route choice — callers that
+            # already know the count should pass ``n_docs``
+            n_docs = docs.count()
+        if n_docs <= DIGEST_GATHER_MAX_DOCS:
+            dec = (
+                docs.select_columns(["doc_id", "text"])
+                .map_batches(_sha256_rows_fn("doc_id"), batch_format="pyarrow")
+                .to_pandas()
             )
-
-        dec = (
-            docs.select_columns(["doc_id", "text"])
-            .map_batches(_digest_rows, batch_format="pyarrow")
-            .to_pandas()
-        )
-        empty_fast = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "rep": pa.array([], pa.int64()),
-                "m": pa.array([], pa.int64()),
-            }
-        )
-        if not len(dec) or "h" not in dec.columns:
-            return rd.from_arrow(empty_fast)
-        hs = np.asarray(dec["h"], dtype="S64")
-        dvals = dec["doc_id"].to_numpy(np.int64)
-        o = np.argsort(hs, kind="stable")
-        hs, dvals = hs[o], dvals[o]
-        firsts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
-        runlen = np.diff(np.append(firsts, len(hs)))
-        gid = np.repeat(np.arange(len(firsts), dtype=np.int64), runlen)
-        rep_per = np.minimum.reduceat(dvals, firsts)
-        memb = runlen[gid] >= 2
-        if not memb.any():
-            return rd.from_arrow(empty_fast)
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array(dvals[memb]),
-                    "rep": pa.array(rep_per[gid][memb]),
-                    "m": pa.array(runlen[gid][memb].astype(np.int64)),
-                }
-            )
-        )
+            if not len(dec) or "h" not in dec.columns:
+                return rd.from_arrow(_dup_map_table(*(np.zeros(0, np.int64),) * 4))
+            hs = np.asarray(dec["h"], dtype="S64")
+            dvals = dec["doc_id"].to_numpy(np.int64)
+            _, dids_s, firsts, runlen, gid, rep_per = _digest_dup_fold(hs, dvals)
+            return rd.from_arrow(_dup_map_table(dids_s, runlen, gid, rep_per))
 
     cap = BROADCAST_MAX_ROWS if cap is None else int(cap)
 
@@ -633,13 +662,9 @@ def minhash_dedup_pairs(
 # gram-group shuffle) is the scale path.
 NGRAM_PREFIX_MAX_GRAM_ROWS = 20_000_000
 
-# fused-decision gather cap: below this many docs, ONE streaming pass + one
-# ~80 B/doc driver gather (sha256 hex + token count) decides the collapse
-# route, the prefix/count gate, AND builds the dup map — replacing three
-# full text scans (exact_dedup, exact_rep_map's membership, tok_ub).  Above
-# it the gather would be driver-unbounded; the aggregate path is the scale
-# route.
-NGRAM_DECISION_MAX_GATHER_DOCS = 1_000_000
+# minimum gram rows per kept-kernel shard task (monkeypatchable in tests to
+# force the P > 1 sharded path on small corpora)
+NGRAM_SHARD_MIN_ROWS = 131_072
 
 _NGRAM_KEPT_EMPTY = {
     "did": np.zeros(0, np.int64),
@@ -807,6 +832,9 @@ def _ngram_pairs_prefix(
         )
     else:
         gh_all = m_all = did_arr = np.zeros(0, np.int64)
+    # release the gathered blocks + concat table: at the 20M-row gate bound
+    # they are ~0.5 GB each and everything below works from the numpy copies
+    gp_blocks = gp_t = None
     _mark("gram gather")
 
     # 2. weighted gram document frequency (identical to the counting
@@ -816,6 +844,7 @@ def _ngram_pairs_prefix(
     f_gh = np.flatnonzero(np.r_[True, ghs[1:] != ghs[:-1]]) if len(ghs) else np.zeros(0, np.int64)
     gh_s = ghs[f_gh]
     df_s = np.add.reduceat(ms, f_gh) if len(f_gh) else np.zeros(0, np.int64)
+    del o_gh, ghs, ms, m_all
     _mark("df table")
 
     # (kept-row schema; grams are dictionary-encoded to their dense rank in
@@ -836,9 +865,10 @@ def _ngram_pairs_prefix(
         )
     o0 = np.argsort(did_arr, kind="stable")
     did_srt, h_srt = did_arr[o0], h_arr[o0]
+    del o0, did_arr, h_arr, gh_all
     n_rows = len(did_srt)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    P = max(1, min(ncpu, n_rows // 131072))
+    P = max(1, min(ncpu, n_rows // NGRAM_SHARD_MIN_ROWS))
     if P > 1:
         cuts = [0]
         for i in range(1, P):
@@ -861,6 +891,7 @@ def _ngram_pairs_prefix(
         }
     else:
         kp_full = _ngram_kept_kernel(did_srt, h_srt, (gh_s, df_s), mdf, tf)
+    del did_srt, h_srt
     _mark("kept")
 
     # 4. verify CSR: every rep's kept gram ranks (sorted per doc) +
@@ -1177,73 +1208,43 @@ def ngram_jaccard_pairs(
     dupd = None
     dups_pre = None  # dup map built by the fused decision gather (below)
     ub_pre = None  # route-gate gram upper bound from the same pass
-    if collapse is None and method == "auto":
+    if collapse is None and docs.count() <= DIGEST_GATHER_MAX_DOCS:
+        # fused decision: ONE streaming pass emits per doc the sha256 hex
+        # digest (exact_dedup's identity — the fold is the SAME helper
+        # exact_rep_map's fast path uses, so grouping can never drift) and
+        # the tokenize-only gram upper bound; one ~80 B/doc gather then
+        # yields (a) the dup share for the collapse decision, (b) the dup
+        # map itself when collapsing — replacing exact_rep_map's aggregate
+        # + membership scans — and (c) the prefix/count gate's tok_ub
+        # total (identical texts have identical token counts, so
+        # one-per-distinct-digest IS the rep-level sum).  Three full text
+        # scans become one.
         n_docs = docs.count()
-        if n_docs <= NGRAM_DECISION_MAX_GATHER_DOCS:
-            # fused decision: ONE streaming pass emits per doc the sha256
-            # hex digest (exact_dedup's identity — grouping is bit-identical
-            # to the aggregate path, nulls fold to one group like SQL GROUP
-            # BY) and the tokenize-only gram upper bound; one ~80 B/doc
-            # gather then yields (a) the dup share for the collapse
-            # decision, (b) the dup map itself when collapsing — replacing
-            # exact_rep_map's aggregate + membership scans — and (c) the
-            # prefix/count gate's tok_ub total (identical texts have
-            # identical token counts, so one-per-distinct-digest IS the
-            # rep-level sum).  Three full text scans become one.
-            def _decision_rows(t: pa.Table) -> pa.Table:
-                hx = T.hash_strings_hex(t["text"], "sha256")
-                txt = t["text"].to_pandas()
-                cnt = (
-                    txt.str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
-                ).to_numpy()
-                ub = np.where(cnt >= k, cnt - k + 1, (cnt > 0).astype(np.int64))
-                return pa.table(
-                    {
-                        did_t: t[did_t],
-                        "h": pa.array(
-                            [h if h is not None else "" for h in hx], pa.string()
-                        ),
-                        "ub": pa.array(ub),
-                    }
+        dec = (
+            docs.select_columns([did_t, "text"])
+            .map_batches(_sha256_rows_fn(did_t, ub_k=k), batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(dec) and "h" in dec.columns:
+            hs = np.asarray(dec["h"], dtype="S64")
+            dvals = dec[did_t].to_numpy(np.int64)
+            o, dids_s, firsts, runlen, gid, rep_per = _digest_dup_fold(hs, dvals)
+            ubv = dec["ub"].to_numpy(np.int64)[o]
+            n_dup_rows = int(runlen[runlen >= 2].sum())
+            collapse = n_dup_rows >= max(64, n_docs // 20)
+            if collapse:
+                # gate over reps: one ub per distinct digest
+                ub_pre = int(ubv[firsts].sum())
+                dups_pre = rd.from_arrow(
+                    _dup_map_table(dids_s, runlen, gid, rep_per)
                 )
-
-            dec = (
-                docs.select_columns([did_t, "text"])
-                .map_batches(_decision_rows, batch_format="pyarrow")
-                .to_pandas()
-            )
-            if len(dec) and "h" in dec.columns:
-                hs = np.asarray(dec["h"], dtype="S64")
-                dvals = dec[did_t].to_numpy(np.int64)
-                ubv = dec["ub"].to_numpy(np.int64)
-                o = np.argsort(hs, kind="stable")
-                hs, dvals, ubv = hs[o], dvals[o], ubv[o]
-                firsts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
-                runlen = np.diff(np.append(firsts, len(hs)))
-                n_dup_rows = int(runlen[runlen >= 2].sum())
-                collapse = n_dup_rows >= max(64, n_docs // 20)
-                if collapse:
-                    # gate over reps: one ub per distinct digest
-                    ub_pre = int(ubv[firsts].sum())
-                    gid = np.repeat(np.arange(len(firsts), dtype=np.int64), runlen)
-                    rep_per = np.minimum.reduceat(dvals, firsts)
-                    memb = runlen[gid] >= 2
-                    dups_pre = rd.from_arrow(
-                        pa.table(
-                            {
-                                "doc_id": pa.array(dvals[memb]),
-                                "rep": pa.array(rep_per[gid][memb]),
-                                "m": pa.array(runlen[gid][memb].astype(np.int64)),
-                            }
-                        )
-                    )
-                else:
-                    # uncollapsed: every doc is its own rep — sum over ALL
-                    # rows, exactly the tok_ub the gate otherwise scans for
-                    ub_pre = int(ubv.sum())
             else:
-                collapse = False
-                ub_pre = 0
+                # uncollapsed: every doc is its own rep — sum over ALL
+                # rows, exactly the tok_ub the gate otherwise scans for
+                ub_pre = int(ubv.sum())
+        else:
+            collapse = False
+            ub_pre = 0
     if collapse is None:
         dupd = exact_dedup(docs).filter(expr="n >= 2").materialize()
         n_dup_rows = int(dupd.sum("n") or 0)
@@ -2288,7 +2289,7 @@ def dedup_clusters(
     # doc -> exact-dup group map, DUPLICATED groups only (absence ==
     # singleton): ONE groupby shuffle whose output scales with duplication.
     k = _shuffle_fan()
-    dups = exact_rep_map(docs, compact=True).materialize()  # {doc_id, rep, m} m>=2
+    dups = exact_rep_map(docs, compact=True, n_docs=n).materialize()  # {doc_id, rep, m} m>=2
 
     star = dups.map_batches(
         lambda t: pa.table(

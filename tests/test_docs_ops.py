@@ -732,3 +732,29 @@ def test_ngram_fused_decision_matches_forced_paths():
             assert outs[None].shape == outs[mode].shape
             for c in ("id_a", "id_b", "jac_u"):
                 assert (outs[None][c].to_numpy() == outs[mode][c].to_numpy()).all(), c
+
+
+def test_ngram_sharded_kept_kernel_matches_inline(monkeypatch):
+    """Forcing the P > 1 doc-sharded kept-kernel path (shard threshold
+    monkeypatched down) yields pairs identical to the inline P == 1 path."""
+    rng = np.random.default_rng(23)
+    seq = [f"tok{int(v)}" for v in rng.integers(0, 10**6, 400)]
+    # overlapping 14-token windows: consecutive docs share 12 tokens -> the
+    # corpus has plenty of qualifying pairs at threshold 0.3
+    texts = [" ".join(seq[i * 2 : i * 2 + 14]) for i in range(150)]
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64), "text": texts})
+
+    def run():
+        p = D.ngram_jaccard_pairs(
+            rd.from_pandas(df), threshold=0.3, collapse=False, method="prefix"
+        ).to_pandas()
+        if "id_a" not in p.columns:
+            p = pd.DataFrame({"id_a": [], "id_b": [], "jac_u": []}, dtype=np.int64)
+        return p.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    inline = run()
+    monkeypatch.setattr(D, "NGRAM_SHARD_MIN_ROWS", 64)  # ~1.9k gram rows -> many shards
+    sharded = run()
+    assert inline.shape == sharded.shape and len(inline) > 0
+    for c in ("id_a", "id_b", "jac_u"):
+        assert (inline[c].to_numpy() == sharded[c].to_numpy()).all(), c

@@ -109,7 +109,7 @@ def betweenness_centrality(
 
     Checkpointing is per completed source batch (exact mode over a large
     graph is a long accumulation; a killed job resumes at the next batch)."""
-    from ..state.checkpoint import CheckpointManager
+    from ..state.checkpoint import CheckpointManager, files_by_part
     from ..state.progress import make_reporter
 
     prog = make_reporter(on_progress, progress_interval_s, "betweenness", progress_logger)
@@ -132,7 +132,7 @@ def betweenness_centrality(
         m = ckpt.latest()
         if m is not None:
             ckpt.validate_resume(m, algo="betweenness", bounds=graph.bounds)
-            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            files = files_by_part(m["files"])
             ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
             start_batch = m["iteration"] + 1
 

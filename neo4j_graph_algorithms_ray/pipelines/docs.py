@@ -90,6 +90,18 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 DIGEST_GATHER_MAX_DOCS = 1_000_000
 
 
+def _gram_upper_bound(texts, k: int) -> np.ndarray:
+    """Tokenize-only UPPER bound on distinct word-``k``-grams per doc
+    (shingles = ntok - k + 1; short non-empty docs shingle to 1; null/empty
+    to 0).  ONE definition shared by the fused decision pass and the route
+    gate's fallback scan — it must stay consistent with
+    ``batch_shingle_hashes``'s count semantics, so don't inline copies."""
+    cnt = (
+        texts.str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
+    ).to_numpy()
+    return np.where(cnt >= k, cnt - k + 1, (cnt > 0).astype(np.int64))
+
+
 def _sha256_rows_fn(did_col: str, ub_k: int | None = None):
     """Batch fn: per-doc sha256 hex digest (exact_dedup's identity; null
     text -> "" so the null group folds like SQL GROUP BY) and, when ``ub_k``
@@ -102,13 +114,7 @@ def _sha256_rows_fn(did_col: str, ub_k: int | None = None):
             "h": pa.array([h if h is not None else "" for h in hx], pa.string()),
         }
         if ub_k is not None:
-            txt = t["text"].to_pandas()
-            cnt = (
-                txt.str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
-            ).to_numpy()
-            cols["ub"] = pa.array(
-                np.where(cnt >= ub_k, cnt - ub_k + 1, (cnt > 0).astype(np.int64))
-            )
+            cols["ub"] = pa.array(_gram_upper_bound(t["text"].to_pandas(), ub_k))
         return pa.table(cols)
 
     return fn
@@ -762,7 +768,6 @@ def _ngram_pairs_prefix(
     thr: float,
     mdf: int,
     fan: int,
-    shingle_k: int,
 ):
     """Prefix-filtered exact n-gram Jaccard (the broadcast-scale route of
     ``ngram_jaccard_pairs`` — see its route comment for the algorithm cite
@@ -1139,6 +1144,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 256,
     collapse: bool | None = None,
     method: str = "auto",
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """Exact word-``k``-gram Jaccard near-dup pairs ``{id_a, id_b, jac_u}``
     (``jac_u = floor(jaccard * 1e6 + 0.5)``, pairs with jaccard >= threshold).
@@ -1208,7 +1214,11 @@ def ngram_jaccard_pairs(
     dupd = None
     dups_pre = None  # dup map built by the fused decision gather (below)
     ub_pre = None  # route-gate gram upper bound from the same pass
-    if collapse is None and docs.count() <= DIGEST_GATHER_MAX_DOCS:
+    if collapse is None and n_docs is None:
+        # counted ONCE for both the gate and the dup-share decision — a
+        # lazy upstream would otherwise execute per count()
+        n_docs = docs.count()
+    if collapse is None and n_docs <= DIGEST_GATHER_MAX_DOCS:
         # fused decision: ONE streaming pass emits per doc the sha256 hex
         # digest (exact_dedup's identity — the fold is the SAME helper
         # exact_rep_map's fast path uses, so grouping can never drift) and
@@ -1219,7 +1229,6 @@ def ngram_jaccard_pairs(
         # total (identical texts have identical token counts, so
         # one-per-distinct-digest IS the rep-level sum).  Three full text
         # scans become one.
-        n_docs = docs.count()
         dec = (
             docs.select_columns([did_t, "text"])
             .map_batches(_sha256_rows_fn(did_t, ub_k=k), batch_format="pyarrow")
@@ -1248,7 +1257,6 @@ def ngram_jaccard_pairs(
     if collapse is None:
         dupd = exact_dedup(docs).filter(expr="n >= 2").materialize()
         n_dup_rows = int(dupd.sum("n") or 0)
-        n_docs = docs.count()
         collapse = n_dup_rows >= max(64, n_docs // 20)  # >=5% dup'd (or tiny corpus armor)
 
     if collapse:
@@ -1338,11 +1346,7 @@ def ngram_jaccard_pairs(
             # per doc <= shingles = ntok - k + 1) — no hashing, no shuffle;
             # a safe over-estimate only ever demotes to the scale path
             def tok_ub(b: pd.DataFrame) -> pd.DataFrame:
-                cnt = (
-                    b["text"].str.count(T.WS_TOKEN_RE.pattern).fillna(0).astype(np.int64)
-                ).to_numpy()
-                ub = np.where(cnt >= k, cnt - k + 1, (cnt > 0).astype(np.int64))
-                return pd.DataFrame({"ub": ub})
+                return pd.DataFrame({"ub": _gram_upper_bound(b["text"], k)})
 
             ub_total = int(
                 rep_docs.map_batches(tok_ub, batch_format="pandas").sum("ub") or 0
@@ -1359,7 +1363,6 @@ def ngram_jaccard_pairs(
             thr=thr,
             mdf=mdf,
             fan=fan,
-            shingle_k=k,
         )
         if not collapse:
             return rep_pairs

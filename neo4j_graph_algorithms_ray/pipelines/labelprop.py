@@ -119,7 +119,7 @@ def label_propagation(
     progress_interval_s: float = 10.0,
     progress_logger=None,
 ) -> LabelPropResult:
-    from ..state.checkpoint import CheckpointManager
+    from ..state.checkpoint import CheckpointManager, files_by_part
     from ..state.progress import make_reporter
 
     prog = make_reporter(on_progress, progress_interval_s, "labelPropagation", progress_logger)
@@ -160,7 +160,7 @@ def label_propagation(
         m = ckpt.latest()
         if m is not None:
             ckpt.validate_resume(m, algo="labelprop", bounds=graph.bounds)
-            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            files = files_by_part(m["files"])
             ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
             start_iter = m["iteration"] + 1
 

@@ -49,7 +49,7 @@ def louvain(
     progress_interval_s: float = 10.0,
     progress_logger=None,
 ) -> LouvainResult:
-    from ..state.checkpoint import CheckpointManager
+    from ..state.checkpoint import CheckpointManager, files_by_part
     from ..state.progress import make_reporter
 
     prog = make_reporter(on_progress, progress_interval_s, "louvain", progress_logger)
@@ -86,7 +86,7 @@ def louvain(
                     "louvain resume: checkpoint was written with weighted="
                     f"{m.get('weighted', False)} but this run passed weighted={weighted}"
                 )
-            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            files = files_by_part(m["files"])
             ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
             start_iter = m["iteration"] + 1
     load_s = time.perf_counter() - t0

@@ -162,7 +162,7 @@ def _boruvka_actor(
     ``max_restarts`` revival and re-issues the same round — no rollback."""
     import ray
 
-    from ..state.checkpoint import CheckpointManager, atomic_save_table
+    from ..state.checkpoint import CheckpointManager, atomic_save_table, files_by_part
     from ..state.failover import FAILOVER_ERRORS, pool_incarnations
     from .components import local_components
 
@@ -172,91 +172,93 @@ def _boruvka_actor(
         ).remote(p, graph.bounds, graph.edges_dir)
         for p in range(graph.P)
     ]
-    ray.get([a.ready.remote() for a in actors])
-    ckpt = CheckpointManager(checkpoint_dir, "mst") if checkpoint_dir else None
-    if ckpt is not None and not resume:
-        ckpt.reset()  # fresh run: a stale manifest would be loaded by mid-run rollback
-    n = graph.n_vertices
-    comp = np.arange(n, dtype=np.int64)
-    sel_u, sel_v, sel_w = [], [], []
-    start_round = 1
-    failovers = 0
-    if resume and ckpt is not None:
-        m = ckpt.latest()
-        if m is not None:
-            ckpt.validate_resume(m, algo="mst", bounds=graph.bounds)
-            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
-            comp = pq.read_table(files[0])["comp"].to_numpy().astype(np.int64, copy=True)
-            sel = pq.read_table(files[1])
-            sel_u = [sel["u"].to_numpy().astype(np.int64, copy=True)]
-            sel_v = [sel["v"].to_numpy().astype(np.int64, copy=True)]
-            sel_w = [sel["weight"].to_numpy().astype(np.float64, copy=True)]
-            start_round = int(m["iteration"]) + 1
+    try:
+        ray.get([a.ready.remote() for a in actors])
+        ckpt = CheckpointManager(checkpoint_dir, "mst") if checkpoint_dir else None
+        if ckpt is not None and not resume:
+            ckpt.reset()  # fresh run: a stale manifest would be loaded by mid-run rollback
+        n = graph.n_vertices
+        comp = np.arange(n, dtype=np.int64)
+        sel_u, sel_v, sel_w = [], [], []
+        start_round = 1
+        failovers = 0
+        if resume and ckpt is not None:
+            m = ckpt.latest()
+            if m is not None:
+                ckpt.validate_resume(m, algo="mst", bounds=graph.bounds)
+                files = files_by_part(m["files"])
+                comp = pq.read_table(files[0])["comp"].to_numpy().astype(np.int64, copy=True)
+                sel = pq.read_table(files[1])
+                sel_u = [sel["u"].to_numpy().astype(np.int64, copy=True)]
+                sel_v = [sel["v"].to_numpy().astype(np.int64, copy=True)]
+                sel_w = [sel["weight"].to_numpy().astype(np.float64, copy=True)]
+                start_round = int(m["iteration"]) + 1
 
-    def _commit(rnd):
-        f0 = atomic_save_table(pa.table({"comp": pa.array(comp)}), ckpt.state_dir(), rnd, 0)
-        f1 = atomic_save_table(
-            pa.table(
-                {
-                    "u": pa.array(np.concatenate(sel_u) if sel_u else np.array([], np.int64)),
-                    "v": pa.array(np.concatenate(sel_v) if sel_v else np.array([], np.int64)),
-                    "weight": pa.array(
-                        np.concatenate(sel_w) if sel_w else np.array([], np.float64)
-                    ),
-                }
-            ),
-            ckpt.state_dir(), rnd, 1,
-        )
-        ckpt.commit_iteration(
-            rnd, [f0, f1], {"bounds": [int(b) for b in graph.bounds], "algo": "mst"}
-        )
+        def _commit(rnd):
+            f0 = atomic_save_table(pa.table({"comp": pa.array(comp)}), ckpt.state_dir(), rnd, 0)
+            f1 = atomic_save_table(
+                pa.table(
+                    {
+                        "u": pa.array(np.concatenate(sel_u) if sel_u else np.array([], np.int64)),
+                        "v": pa.array(np.concatenate(sel_v) if sel_v else np.array([], np.int64)),
+                        "weight": pa.array(
+                            np.concatenate(sel_w) if sel_w else np.array([], np.float64)
+                        ),
+                    }
+                ),
+                ckpt.state_dir(), rnd, 1,
+            )
+            ckpt.commit_iteration(
+                rnd, [f0, f1], {"bounds": [int(b) for b in graph.bounds], "algo": "mst"}
+            )
 
-    rounds = start_round - 1
-    for rounds in range(start_round, max_rounds + 1):
-        if chaos_hook is not None:  # fault-injection point (tests)
-            chaos_hook(rounds, actors)
-        cref = ray.put(comp)
-        while True:
-            try:
-                parts = ray.get([a.round_mins.remote(cref) for a in actors])
+        rounds = start_round - 1
+        for rounds in range(start_round, max_rounds + 1):
+            if chaos_hook is not None:  # fault-injection point (tests)
+                chaos_hook(rounds, actors)
+            cref = ray.put(comp)
+            while True:
+                try:
+                    parts = ray.get([a.round_mins.remote(cref) for a in actors])
+                    break
+                except FAILOVER_ERRORS:
+                    if ckpt is None or failovers >= max_failovers:
+                        raise
+                    failovers += 1
+                    pool_incarnations(actors)  # waits out the restart window
+            parts = [p for p in parts if p is not None]
+            if not parts:
+                rounds -= 1
                 break
-            except FAILOVER_ERRORS:
-                if ckpt is None or failovers >= max_failovers:
-                    for a in actors:
-                        ray.kill(a, no_restart=True)
-                    raise
-                failovers += 1
-                pool_incarnations(actors)  # waits out the restart window
-        parts = [p for p in parts if p is not None]
-        if not parts:
-            rounds -= 1
-            break
-        ck = np.concatenate([p[0] for p in parts])
-        ww = np.concatenate([p[1] for p in parts])
-        uu = np.concatenate([p[2] for p in parts])
-        vv = np.concatenate([p[3] for p in parts])
-        order = np.lexsort((vv, uu, ww, ck))
-        ck, ww, uu, vv = ck[order], ww[order], uu[order], vv[order]
-        first = np.unique(ck, return_index=True)[1]
-        uu, vv, ww = uu[first], vv[first], ww[first]
-        # an edge may win for both of its components: dedup by packed key
-        key = uu * (n + 1) + vv
-        korder = np.argsort(key, kind="stable")
-        kfirst = korder[np.unique(key[korder], return_index=True)[1]]
-        uu, vv, ww = uu[kfirst], vv[kfirst], ww[kfirst]
-        sel_u.append(uu)
-        sel_v.append(vv)
-        sel_w.append(ww)
-        if prog is not None:  # unit = Boruvka round
-            prog.report(rounds, edges_added=int(len(uu)))
-        verts, roots = local_components(comp[uu], comp[vv])
-        mapping = np.arange(n, dtype=np.int64)
-        mapping[verts] = roots
-        comp = mapping[comp]
-        if ckpt is not None and rounds % checkpoint_every == 0:
-            _commit(rounds)
-    for a in actors:
-        ray.kill(a, no_restart=True)
+            ck = np.concatenate([p[0] for p in parts])
+            ww = np.concatenate([p[1] for p in parts])
+            uu = np.concatenate([p[2] for p in parts])
+            vv = np.concatenate([p[3] for p in parts])
+            order = np.lexsort((vv, uu, ww, ck))
+            ck, ww, uu, vv = ck[order], ww[order], uu[order], vv[order]
+            first = np.unique(ck, return_index=True)[1]
+            uu, vv, ww = uu[first], vv[first], ww[first]
+            # an edge may win for both of its components: dedup by packed key
+            key = uu * (n + 1) + vv
+            korder = np.argsort(key, kind="stable")
+            kfirst = korder[np.unique(key[korder], return_index=True)[1]]
+            uu, vv, ww = uu[kfirst], vv[kfirst], ww[kfirst]
+            sel_u.append(uu)
+            sel_v.append(vv)
+            sel_w.append(ww)
+            if prog is not None:  # unit = Boruvka round
+                prog.report(rounds, edges_added=int(len(uu)))
+            verts, roots = local_components(comp[uu], comp[vv])
+            mapping = np.arange(n, dtype=np.int64)
+            mapping[verts] = roots
+            comp = mapping[comp]
+            if ckpt is not None and rounds % checkpoint_every == 0:
+                _commit(rounds)
+    finally:
+        # any exit — normal, failover exhaustion, validate_resume mismatch,
+        # chaos/cancel — must not leak the auto-restart pool reservations
+        for a in actors:
+            ray.kill(a, no_restart=True)
 
     if sel_u:
         u = np.concatenate(sel_u)

@@ -41,7 +41,7 @@ import ray
 import ray.data as rd
 
 from ..pipelines.graph_build import BuiltGraph
-from ..state.checkpoint import CheckpointManager
+from ..state.checkpoint import CheckpointManager, files_by_part
 from ..state.shards import PageRankShard, make_shard_actors
 
 
@@ -292,7 +292,7 @@ def pagerank(
         m = ckpt.latest()
         if m is not None:
             ckpt.validate_resume(m, algo="pagerank", bounds=graph.bounds)
-            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            files = files_by_part(m["files"])
             ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
             start_iter = m["iteration"] + 1
     load_s = time.perf_counter() - t0

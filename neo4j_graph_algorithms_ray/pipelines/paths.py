@@ -54,7 +54,7 @@ def shortest_path(
     try:
         ray.get([a.ready.remote() for a in actors])
         ray.get([a.start.remote(int(source)) for a in actors])
-        rounds = run_fused_rounds(actors, "step", max_rounds)
+        rounds = run_fused_rounds(actors, "step", max_rounds, on_cap="shortestPath relaxation")
 
         bounds = graph.bounds
 

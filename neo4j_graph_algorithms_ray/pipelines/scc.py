@@ -95,7 +95,7 @@ def strongly_connected_components(
     With a ``checkpoint_dir``, a shard death mid-run rolls the pool back to
     the last committed round and continues (state/failover.py)."""
     t0 = time.perf_counter()
-    from ..state.checkpoint import CheckpointManager
+    from ..state.checkpoint import CheckpointManager, files_by_part
     from ..state.progress import make_reporter
 
     prog = make_reporter(on_progress, progress_interval_s, "scc", progress_logger)
@@ -126,7 +126,7 @@ def strongly_connected_components(
         m = ckpt.latest()
         if m is not None:
             ckpt.validate_resume(m, algo="scc", bounds=graph.bounds)
-            files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+            files = files_by_part(m["files"])
             ray.get([actors[p].load_state.remote(files[p]) for p in range(graph.P)])
             start_outer = int(m["iteration"]) + 1
     baseline = pool_incarnations(actors) if ckpt is not None else None

@@ -433,7 +433,7 @@ def _count_actor_exchange(
     build phases are cross-actor: a revived shard cannot self-heal, so a
     rollback resets EVERY shard, re-runs the deterministic build waves, and
     reloads the last committed wedge round's counting state."""
-    from ..state.checkpoint import CheckpointManager
+    from ..state.checkpoint import CheckpointManager, files_by_part
     from ..state.failover import (
         FAILOVER_ERRORS,
         ShardRestartDetected,
@@ -500,7 +500,7 @@ def _count_actor_exchange(
             m = ckpt.latest()
             if m is not None:
                 ckpt.validate_resume(m, algo="triangles", bounds=graph.bounds)
-                files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+                files = files_by_part(m["files"])
                 ray.get([actors[p].load_state.remote(files[p]) for p in range(P)])
                 k0 = int(m["iteration"]) + 1
                 mK = int(m["K"])

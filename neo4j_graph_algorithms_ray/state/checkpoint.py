@@ -35,6 +35,18 @@ def atomic_save_table(table: pa.Table, ckpt_dir: str, iteration: int, part: int)
     return final
 
 
+def part_of(path: str) -> int:
+    """Partition number encoded in a state file's NAME (``iter=..part=<p>..``).
+    Parses the basename only — a checkpoint *directory* containing ``part=``
+    (e.g. a Hive-partitioned data tree) must not confuse the parse."""
+    return int(os.path.basename(path).split("part=")[1].split(".")[0])
+
+
+def files_by_part(files) -> dict[int, str]:
+    """Map partition number -> state file for one manifest's file list."""
+    return {part_of(f): f for f in files}
+
+
 def rehydrate_shard(shard, ckpt_dir: str | None, algo: str) -> int:
     """Post-restart warm start: load ``shard.part``'s state file from the
     latest committed manifest under ``ckpt_dir`` (if any, and only if its
@@ -51,7 +63,7 @@ def rehydrate_shard(shard, ckpt_dir: str | None, algo: str) -> int:
     if [int(b) for b in m.get("bounds", [])] != [int(b) for b in shard.bounds]:
         return -1
     for f in m["files"]:
-        if int(f.split("part=")[1].split(".")[0]) == shard.part and os.path.exists(f):
+        if part_of(f) == shard.part and os.path.exists(f):
             shard.load_state(f)
             return int(m["iteration"])
     return -1

@@ -39,7 +39,7 @@ import time
 
 import ray
 
-from .checkpoint import CheckpointManager
+from .checkpoint import CheckpointManager, files_by_part
 
 # ActorDiedError / ActorUnavailableError both subclass RayActorError; a task
 # whose *dependency* carried one re-raises the stored error at ray.get.
@@ -95,6 +95,6 @@ def rollback_pool(
         ray.get([a.reset.remote() for a in actors])
         return 0, baseline
     ckpt.validate_resume(m, algo=algo, bounds=bounds)
-    files = {int(f.split("part=")[1].split(".")[0]): f for f in m["files"]}
+    files = files_by_part(m["files"])
     ray.get([actors[p].load_state.remote(files[p]) for p in range(len(actors))])
     return int(m["iteration"]) + 1, baseline

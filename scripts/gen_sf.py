@@ -43,8 +43,9 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     # split into >= 32 row groups: Ray's read_parquet parallelizes at row
     # group granularity, and a single-row-group file serializes every read
     # behind one decode task (measured ~2 s per pass on the sf1 documents
-    # table — the dominant cost of an otherwise sub-second pipeline)
-    rgs = max(8192, table.num_rows // 64)
+    # table — the dominant cost of an otherwise sub-second pipeline).
+    # 1024-row floor keeps tiny tables from degenerating to 1-row groups.
+    rgs = max(1024, table.num_rows // 32)
     pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=rgs)
     print(name, table.num_rows)
 

@@ -109,3 +109,38 @@ def test_checkpoint_reset_clears_manifest(tmp_path):
     cm.reset()
     assert cm.latest() is None
     assert not os.path.exists(f)
+
+
+def test_part_parse_survives_partlike_checkpoint_dir(tmp_workdir, tmp_path):
+    """Session-3 review finding: the state-file part-number parse split the
+    FULL path on 'part=', so a checkpoint dir whose own path contains
+    'part=' (e.g. a Hive-partitioned data tree) crashed every resume and
+    rehydrate.  part_of() must parse the basename only — and an end-to-end
+    checkpoint+resume into such a directory must work."""
+    from neo4j_graph_algorithms_ray.state.checkpoint import files_by_part, part_of
+
+    hostile = "/data/part=3/ckpt/scc/iter=000001.part=00002.parquet"
+    assert part_of(hostile) == 2
+    assert files_by_part([hostile]) == {2: hostile}
+
+    # end-to-end: checkpoint + resume under a part= directory
+    g = _build(tmp_workdir, "pr-wiki", 3)
+    ckpt = str(tmp_path / "part=3" / "ckpt")
+    clean = pagerank(g, iterations=12)
+    pagerank(g, iterations=12, checkpoint_dir=ckpt, checkpoint_every=3)
+    resumed = pagerank(g, iterations=12, checkpoint_dir=ckpt, resume=True)
+    np.testing.assert_allclose(_scores(resumed), _scores(clean), rtol=0, atol=1e-12)
+
+
+def test_shortest_path_raises_at_round_cap(tmp_workdir):
+    """shortest_path must raise (not silently truncate) when the relaxation
+    is still progressing at max_rounds — same contract as the other fused
+    BSP call sites."""
+    from neo4j_graph_algorithms_ray.pipelines.paths import shortest_path
+
+    g = _build(tmp_workdir, "uf-lines", 2)  # 10-node directed line from vid 0
+    with pytest.raises(RuntimeError, match="still progressing"):
+        shortest_path(g, 0, max_rounds=2)
+    # same call with room converges fine
+    res = shortest_path(g, 0, max_rounds=100)
+    assert res.node_count >= 2

@@ -32,19 +32,16 @@ from neo4j_graph_algorithms_ray.sources.readers import (  # noqa: E402
     read_parquet_clean as _rpc,
 )
 
-# Ray workers resolve this package through the driver's cwd; when the driver
-# runs from elsewhere, fall back to shipping the code by value.
-if os.getcwd() != _REPO:
-    try:
-        import neo4j_graph_algorithms_ray  # noqa: F401
-        from ray import cloudpickle
+# Ray workers resolve this package through exactly one propagated path
+# entry: the driver's cwd.  When the driver runs from elsewhere, ship
+# PYTHONPATH to every UDF stage / shard actor via per-task runtime_env
+# (see portability.py — code-by-value cannot cover module-alias globals,
+# which always pickle by reference).  No-op when cwd == repo.
+from neo4j_graph_algorithms_ray.portability import (  # noqa: E402
+    install_dataset_portability as _install_portability,
+)
 
-        cloudpickle.register_pickle_by_value(sys.modules["neo4j_graph_algorithms_ray"])
-        for _name, _mod in list(sys.modules.items()):
-            if _name.startswith("neo4j_graph_algorithms_ray."):
-                cloudpickle.register_pickle_by_value(_mod)
-    except Exception:
-        pass
+_install_portability()
 
 # correctness tier the driver compares at; oracle SQL embeds this tier's corpus
 _ORACLE_SF = "/root/testdata/sf0.01"
@@ -79,7 +76,11 @@ def _dedup_clusters_memo(sf):
         from neo4j_graph_algorithms_ray.pipelines import docs as D
 
         _DEDUP_MEMO[sf] = D.dedup_clusters(D.read_documents(sf)).to_pandas()
-    return _DEDUP_MEMO[sf]
+    # copy: the caller owns the returned frame (the driver may post-process
+    # in place), and _dedup_keepers re-reads the cached one later — handing
+    # out the memoized object would let a caller mutation corrupt the
+    # prepared_corpus keep-list
+    return _DEDUP_MEMO[sf].copy()
 
 
 def _dedup_keepers(sf):

@@ -754,6 +754,24 @@ reps AS (SELECT doc_id, text FROM (
   WHERE doc_id = rep)"""
 
 
+def _label_closure_ctes(pairs: str) -> str:
+    """p/e/r CTE chain shared by ``dedup_clusters_sql`` and
+    ``prepared_corpus_sql``: LSH pair edges + star edges member<->rep, then
+    recursive min-label propagation to fixpoint.  ONE definition — the
+    cluster semantics of the two oracle-checked queries must never drift."""
+    return f"""p AS (
+  SELECT id_a, id_b FROM ({pairs})
+),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p
+      UNION ALL SELECT doc_id, rep FROM dmap WHERE doc_id != rep
+      UNION ALL SELECT rep, doc_id FROM dmap WHERE doc_id != rep),
+r AS (
+  SELECT doc_id AS v, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v
+)"""
+
+
 def dedup_clusters_sql(threshold: float = 0.7, max_band_freq: int = 256) -> str:
     """Transitive closure over the SQL-replayed MinHash pair graph
     (pipelines/docs.dedup_clusters): exact duplicates collapse to their
@@ -765,17 +783,7 @@ def dedup_clusters_sql(threshold: float = 0.7, max_band_freq: int = 256) -> str:
     pairs = minhash_pairs_sql(threshold=threshold, max_band_freq=max_band_freq, src="reps")
     return f"""
 WITH RECURSIVE {_REP_CTES},
-p AS (
-  SELECT id_a, id_b FROM ({pairs})
-),
-e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p
-      UNION ALL SELECT doc_id, rep FROM dmap WHERE doc_id != rep
-      UNION ALL SELECT rep, doc_id FROM dmap WHERE doc_id != rep),
-r AS (
-  SELECT doc_id AS v, doc_id AS lbl FROM documents
-  UNION
-  SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v
-)
+{_label_closure_ctes(pairs)}
 SELECT v AS doc_id, min(lbl) AS cluster, CAST(min(lbl) = v AS BIGINT) AS keep
 FROM r GROUP BY v"""
 
@@ -792,15 +800,7 @@ def prepared_corpus_sql(min_quality: int = 2, threshold: float = 0.7) -> str:
             '[ \t\n\r]+', ' ', 'g'))"""
     return f"""
 WITH RECURSIVE {_REP_CTES},
-p AS (SELECT id_a, id_b FROM ({pairs})),
-e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p
-      UNION ALL SELECT doc_id, rep FROM dmap WHERE doc_id != rep
-      UNION ALL SELECT rep, doc_id FROM dmap WHERE doc_id != rep),
-r AS (
-  SELECT doc_id AS v, doc_id AS lbl FROM documents
-  UNION
-  SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v
-),
+{_label_closure_ctes(pairs)},
 keepers AS (SELECT v AS doc_id FROM r GROUP BY v HAVING min(lbl) = v),
 qm AS (
   SELECT doc_id,

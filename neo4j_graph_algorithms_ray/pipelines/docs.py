@@ -883,7 +883,9 @@ def _ngram_pairs_prefix(
                 cuts.append(pos)
         cuts.append(n_rows)
         ref_tbl = ray.put((gh_s, df_s))
-        shard = ray.remote(num_cpus=1)(_ngram_kept_kernel)
+        from ..portability import remote_args as _remote_args
+
+        shard = ray.remote(num_cpus=1, **_remote_args())(_ngram_kept_kernel)
         parts = ray.get(
             [
                 shard.remote(did_srt[a:b], h_srt[a:b], ref_tbl, mdf, tf)

@@ -328,9 +328,7 @@ def q_betweenness(sf_dir: str) -> pd.DataFrame:
 
     g = graph_for_sf(sf_dir)
     res = betweenness_centrality(g, direction="OUTGOING")
-    df = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
-    df["cent_u"] = np.floor(df["centrality"].to_numpy() * 1e6 + 0.5).astype("int64")
-    return df[["vid", "cent_u"]]
+    return _quantize_centrality(res)
 
 
 def q_betweenness_sampled(sf_dir: str) -> pd.DataFrame:
@@ -340,9 +338,7 @@ def q_betweenness_sampled(sf_dir: str) -> pd.DataFrame:
 
     g = graph_for_sf(sf_dir)
     res = betweenness_centrality(g, direction="OUTGOING", sample_sources=64)
-    df = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
-    df["cent_u"] = np.floor(df["centrality"].to_numpy() * 1e6 + 0.5).astype("int64")
-    return df[["vid", "cent_u"]]
+    return _quantize_centrality(res)
 
 
 def q_triangle_stream(sf_dir: str) -> pd.DataFrame:
@@ -426,9 +422,7 @@ def q_betweenness_sampled_merged(sf_dir: str) -> pd.DataFrame:
     g = graph_for_sf(sf_dir)
     srcs = pick_sources_degree(graph_out_degrees(g), seed=7)
     res = betweenness_centrality(g, direction="OUTGOING", sources=srcs)
-    b = res.scores.to_pandas().sort_values("vid").reset_index(drop=True)
-    b["cent_u"] = np.floor(b["centrality"].to_numpy() * 1e6 + 0.5).astype("int64")
-    b = b[["vid", "cent_u"]].assign(strategy="degree")
+    b = _quantize_centrality(res).assign(strategy="degree")
     return pd.concat([a, b], ignore_index=True)
 
 

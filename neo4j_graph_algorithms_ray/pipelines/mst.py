@@ -162,12 +162,13 @@ def _boruvka_actor(
     ``max_restarts`` revival and re-issues the same round — no rollback."""
     import ray
 
+    from ..portability import remote_args as _remote_args
     from ..state.checkpoint import CheckpointManager, atomic_save_table, files_by_part
     from ..state.failover import FAILOVER_ERRORS, pool_incarnations
     from .components import local_components
 
     actors = [
-        ray.remote(num_cpus=0.25, max_restarts=3 if checkpoint_dir else 0)(
+        ray.remote(num_cpus=0.25, max_restarts=3 if checkpoint_dir else 0, **_remote_args())(
             _MstShard
         ).remote(p, graph.bounds, graph.edges_dir)
         for p in range(graph.P)

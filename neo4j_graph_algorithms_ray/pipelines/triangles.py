@@ -433,6 +433,7 @@ def _count_actor_exchange(
     build phases are cross-actor: a revived shard cannot self-heal, so a
     rollback resets EVERY shard, re-runs the deterministic build waves, and
     reloads the last committed wedge round's counting state."""
+    from ..portability import remote_args as _remote_args
     from ..state.checkpoint import CheckpointManager, files_by_part
     from ..state.failover import (
         FAILOVER_ERRORS,
@@ -444,7 +445,7 @@ def _count_actor_exchange(
 
     P = graph.P
     actors = [
-        ray.remote(num_cpus=0.25, max_restarts=3 if checkpoint_dir else 0)(
+        ray.remote(num_cpus=0.25, max_restarts=3 if checkpoint_dir else 0, **_remote_args())(
             TriangleShard
         ).remote(p, graph.bounds, raw_dir)
         for p in range(P)

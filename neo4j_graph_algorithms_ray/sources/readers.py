@@ -152,9 +152,24 @@ def read_corpus(path: str, *, format: str | None = None, columns: list[str] | No
     fmt = format or _infer_format(path)
     cols = columns or CORPUS_COLUMNS
     if fmt == "parquet":
-        return read_parquet_clean(path, columns=cols)
-    if fmt == "csv":
-        ds = rd.read_csv(path)
+        # same normalize as the text formats: the canonical all-string
+        # contract must not depend on the on-disk format (a parquet corpus
+        # with e.g. an int64 commit column gets the same cast + missing-
+        # column validation CSV/JSON get)
+        ds = read_parquet_clean(path, columns=cols)
+    elif fmt == "csv":
+        # force the corpus columns to string AT PARSE: type inference would
+        # read a numeric-looking commit/content value ('123e45', '000123',
+        # '2.0') as a number and the cast back to string would reformat it
+        # ('1.23e+47', '123', '2') — silent corruption of hashes and text
+        from pyarrow import csv as _pacsv
+
+        ds = rd.read_csv(
+            path,
+            convert_options=_pacsv.ConvertOptions(
+                column_types={c: pa.string() for c in CORPUS_COLUMNS}
+            ),
+        )
     elif fmt == "jsonl":
         ds = rd.read_json(path)
     elif fmt == "json_array":

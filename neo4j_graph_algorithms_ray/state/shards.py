@@ -747,7 +747,9 @@ def make_shard_actors(cls, graph, *, actor_kwargs=None, num_cpus: float = 0.25, 
     total_cpus = float(ray.cluster_resources().get("CPU", 1.0))
     if graph.P * num_cpus > max(0.0, total_cpus - 1.0):
         num_cpus = max(0.05, (total_cpus - 1.0) / graph.P)
-    remote_cls = ray.remote(num_cpus=num_cpus, max_restarts=max_restarts)(cls)
+    from ..portability import remote_args
+
+    remote_cls = ray.remote(num_cpus=num_cpus, max_restarts=max_restarts, **remote_args())(cls)
     return [
         remote_cls.remote(p, graph.bounds, graph.edges_dir, **actor_kwargs)
         for p in range(graph.P)

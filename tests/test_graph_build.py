@@ -176,3 +176,38 @@ def test_read_corpus_json_array_vs_jsonl_sniffed(tmp_path):
     pd.testing.assert_frame_equal(rows(read_corpus(arr_path)), expected)
     pd.testing.assert_frame_equal(rows(read_corpus(jl_path)), expected)
     assert len(expected) == len(pdf)
+
+
+def test_read_corpus_preserves_numeric_looking_text(tmp_path):
+    """CSV type inference must not corrupt numeric-looking values: a commit
+    '123e45' read as a double round-trips as '1.23e+47', '000123' loses its
+    zeros, '2.0' reformats — the corpus columns are forced to string at
+    parse.  The parquet path must apply the same all-string normalization
+    (an int64 commit column arrives as canonical string)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo4j_graph_algorithms_ray.sources.readers import read_corpus
+
+    rows = {
+        "repo": ["r", "r", "r"],
+        "path": ["a.py", "b.py", "c.py"],
+        "commit": ["123e45", "000123", "2.0"],
+        "lang": ["py", "py", "py"],
+        "content": ["1.50", "007", "plain text"],
+    }
+    csv_path = str(tmp_path / "corpus.csv")
+    with open(csv_path, "w") as f:
+        f.write(",".join(rows) + "\n")
+        for i in range(3):
+            f.write(",".join(rows[c][i] for c in rows) + "\n")
+    got = read_corpus(csv_path).to_pandas().sort_values("path").reset_index(drop=True)
+    assert list(got["commit"]) == ["123e45", "000123", "2.0"]
+    assert list(got["content"]) == ["1.50", "007", "plain text"]
+
+    # parquet with a non-string column: normalized to string, not passed through
+    pq_path = str(tmp_path / "corpus.parquet")
+    t = pa.table({**{k: v for k, v in rows.items() if k != "commit"}, "commit": pa.array([123, 456, 789], pa.int64())})
+    pq.write_table(t, pq_path)
+    got = read_corpus(pq_path).to_pandas()
+    assert got["commit"].dtype == object and set(got["commit"]) == {"123", "456", "789"}

@@ -325,6 +325,8 @@ _SF_PARAMS = {
     # 10x bench tier; tables synthesised by scripts/gen_sf.py (the driver
     # ships read-only parquet only up to sf0.1)
     "sf1": (200000, 600, 8.0),
+    # 100x bench tier (2M vertices, ~16M edges)
+    "sf10": (2_000_000, 2000, 8.0),
 }
 _CORPUS_SEED = 1001
 CORPUS_CACHE_ROOT = "/tmp/graft_corpus"

@@ -98,6 +98,14 @@ def coarse_centroids(
         if lo is None:
             raise ValueError("coarse_centroids: empty embedding table")
         samp = _filter_below(emb, int(lo) + int(sample)).to_pandas()
+        if len(samp) < int(n_centroids):
+            # ids sparser than the shifted window too (stride > sample):
+            # take the first ``sample`` rows positionally — deterministic
+            # for a parquet read, and any deterministic sample trains a
+            # valid quantizer.  Without this, a near-empty sample would
+            # silently train ~1 centroid and collapse every vector into one
+            # bucket — the corpus-wide O(n^2) blow-up IVF exists to prevent.
+            samp = emb.limit(int(sample)).to_pandas()
     samp = samp.sort_values("vec_id")
     E = _batch_matrix(samp)  # raw (S, d)
     En = _normalize(E)
@@ -247,11 +255,16 @@ def embedding_near_dup_pairs(
     # pair cardinality scales with the corpus -> bucketed aggregate).
     # Ids that don't fit 31 bits take the two-key aggregate — packing would
     # silently collide (same contract as minhash_dedup_pairs)
+    from ray.data.aggregate import Max, Min
+
     from ..stages.agg import bucketed_agg
 
-    if bool(pairs.count()) and (
-        max(pairs.max("id_a"), pairs.max("id_b")) >= 2**31
-        or min(pairs.min("id_a"), pairs.min("id_b")) < 0
+    # one pass over the materialized pairs for the id range (was five
+    # back-to-back driver actions: count + 4 extrema scans)
+    ext = pairs.aggregate(Min("id_a"), Max("id_a"), Min("id_b"), Max("id_b"))
+    if ext and ext["max(id_a)"] is not None and (
+        max(ext["max(id_a)"], ext["max(id_b)"]) >= 2**31
+        or min(ext["min(id_a)"], ext["min(id_b)"]) < 0
     ):
         return bucketed_agg(pairs, ["id_a", "id_b"], {"cos_u": ("cos_u", "min")})
     return bucketed_agg(

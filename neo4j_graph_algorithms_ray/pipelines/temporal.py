@@ -109,11 +109,9 @@ def suggest_time_chunk(
     def tag(b: pa.Table) -> pa.Table:
         k = _no_nulls(b[key], key, "suggest_time_chunk").cast(pa.int64()).to_numpy()
         t = _ts_us_arrow(_no_nulls(b[ts], ts, "suggest_time_chunk"))
-        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
-            t.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-        )
-        h *= np.uint64(0x9E3779B97F4A7C15)
-        keep = ((h >> np.uint64(33)) % np.uint64(mod)) == 0
+        # sample via the SAME (key, ts) mix the hot-key split buckets with
+        # (bucket 0 of `mod` == a 1/mod sample) — one definition, no drift
+        keep = _bucket_of_kc(k, t, mod) == 0
         return pa.table({"k": pa.array(k[keep]), "t": pa.array(t[keep])})
 
     per_key = bucketed_agg(
@@ -896,6 +894,15 @@ def range_join(
     # output column names (settable so a self-join's two id columns differ)
     left_out = left_out or left_id
     right_out = right_out or right_id
+    if left_out == right_out:
+        # the output table is keyed by column NAME: identical names would
+        # silently collapse the two id columns into one (a self-join with
+        # default names) — the misuse the names exist to prevent
+        raise ValueError(
+            f"range_join: left_out and right_out are both {left_out!r}; a "
+            "self-join must set distinct output names (e.g. left_out='a_id', "
+            "right_out='b_id')"
+        )
     chunk = int(time_chunk_us) if time_chunk_us is not None else None
     if chunk is not None and chunk < lookback_us:
         raise ValueError(

@@ -111,14 +111,16 @@ def _int_lookup_batch(t: pa.Table, ref, key, value, default) -> pa.Table:
     vals = df[value].to_numpy() if value in df.columns else np.array([], dtype=np.int64)
     # the output rides the VALUE column's dtype — a blanket int64 cast used
     # to floor-truncate float payloads (clustering coefficients came back
-    # as 0/1)
-    out_dtype = vals.dtype if vals.dtype.kind in "fiu" else np.dtype(np.int64)
+    # as 0/1).  Non-numeric payloads (strings) flow as object arrays, same
+    # as the >cap coshuffle path — the two routes must not be a behavior
+    # cliff at the row cap.
+    numeric = vals.dtype.kind in "fiu"
+    out_dtype = vals.dtype if numeric else np.dtype(object)
     k = t[key].to_numpy()
-    fill = (
-        k.astype(out_dtype, copy=False)
-        if default == "key"
-        else np.full(len(k), default, dtype=out_dtype)
-    )
+    if default == "key":
+        fill = k.astype(out_dtype, copy=False) if numeric else k.astype(object)
+    else:
+        fill = np.full(len(k), default, dtype=out_dtype)
     if len(keys):
         pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
         hit = keys[pos] == k
@@ -126,7 +128,7 @@ def _int_lookup_batch(t: pa.Table, ref, key, value, default) -> pa.Table:
     else:
         out = fill
     cols = {c: t[c] for c in t.column_names if c != value}
-    cols[value] = pa.array(out.astype(out_dtype, copy=False))
+    cols[value] = pa.array(out.astype(out_dtype, copy=False)) if numeric else pa.array(out)
     return pa.table(cols)
 
 
@@ -309,7 +311,12 @@ def coshuffle_lookup(
     salt_fan = max(1, int(salt_fan))
 
     def _base(k: np.ndarray) -> np.ndarray:
-        return (k.astype(np.uint64) % np.uint64(nb)).astype(np.int64)
+        # golden-ratio multiply-shift mix (same as stages/agg._bucket_ids):
+        # a raw `% nb` piles keys sharing a residue class (all-even ids,
+        # strided packed keys) into a fraction of the buckets — a hot-bucket
+        # single-task straggler the mix removes
+        h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)
 
     def tag_big(t: pa.Table) -> pa.Table:
         n = t.num_rows

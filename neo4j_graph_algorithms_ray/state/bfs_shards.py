@@ -280,8 +280,15 @@ class SsspShard(EdgeShardBase):
                     continue
                 fold(dst[a:b] - self.lo, t["d"].to_numpy()[a:b], t["pred"].to_numpy()[a:b])
         improved = cand < self.dist
+        # the min-vid tie-break must hold ACROSS rounds too: an equal-cost
+        # path can arrive a round later than the first one (weighted
+        # relaxation), and the documented convention is smallest pred vid
+        # among ALL equal-distance parents.  Pred-only updates don't
+        # propagate (messages carry distance, not pred), so they neither
+        # reactivate the vertex nor count as progress.
+        tie = (cand == self.dist) & (cpred >= 0) & (cpred < self.pred)
         self.dist = np.where(improved, cand, self.dist)
-        self.pred = np.where(improved, cpred, self.pred)
+        self.pred = np.where(improved | tie, cpred, self.pred)
         self.active = improved
         return int(np.count_nonzero(improved))
 

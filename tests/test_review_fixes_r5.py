@@ -144,3 +144,93 @@ def test_shortest_path_raises_at_round_cap(tmp_workdir):
     # same call with room converges fine
     res = shortest_path(g, 0, max_rounds=100)
     assert res.node_count >= 2
+
+
+def _mini_corpus(files: dict) -> "object":
+    """files: name -> [(target, weight)] import list; returns a corpus table."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.sources.corpus import CORPUS_SCHEMA
+
+    names = sorted(files)
+    rows = {c: [] for c in ("repo", "path", "commit", "lang", "content")}
+    for n in names:
+        lines = [f'"""module {n}"""']
+        lines += [f"import {m}  # w={w}" for m, w in files[n]]
+        lines.append(f"X_{n} = 1")
+        rows["repo"].append("r")
+        rows["path"].append(f"{n}.py")
+        rows["commit"].append("0" * 40)
+        rows["lang"].append("py")
+        rows["content"].append("\n".join(lines) + "\n")
+    return pa.table(rows, schema=CORPUS_SCHEMA)
+
+
+def test_sssp_pred_tie_break_across_rounds(tmp_workdir):
+    """Two equal-cost paths into b (cost 2.0): direct from c (pred vid 2,
+    arrives round 1) and via a (pred vid 0, arrives round 2).  The documented
+    convention — smallest pred vid among equal distances — must hold ACROSS
+    rounds, not just within one fold."""
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.paths import shortest_path
+
+    corpus = _mini_corpus(
+        {"a": [("b", 1.0)], "b": [], "c": [("b", 2.0), ("a", 1.0)]}
+    )  # vids: a=0 b=1 c=2
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=2)
+    res = shortest_path(g, source=2, target=1, weighted=True)
+    assert res.total_cost == pytest.approx(2.0)
+    assert list(res.path["vid"]) == [2, 0, 1]  # walks the min-pred parent (a)
+
+
+def test_range_join_selfjoin_requires_distinct_out_names():
+    from neo4j_graph_algorithms_ray.pipelines.temporal import range_join
+
+    ev = rd.from_pandas(
+        __import__("pandas").DataFrame(
+            {"k": [1], "ts": [__import__("pandas").Timestamp("2024-01-01")], "eid": [1]}
+        )
+    )
+    with pytest.raises(ValueError, match="distinct output names"):
+        range_join(
+            ev, ev, left_key="k", left_ts="ts", right_key="k", right_ts="ts",
+            left_id="eid", right_id="eid", lookback_us=10,
+        )
+
+
+def test_lookup_join_broadcast_string_payload():
+    """The broadcast (<= cap) route must carry string payloads like the
+    coshuffle (> cap) route — no behavior cliff at the row cap."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.stages.joins import lookup_join
+
+    big = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3]}))
+    small = pd.DataFrame({"doc_id": [1, 3], "text": ["one", "three"]})
+    out = (
+        lookup_join(big, small, "doc_id", "text", default=None)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert list(out["text"]) == ["one", None, "three"]
+
+
+def test_coarse_centroids_sparse_ids_train_full_codebook():
+    """vec_ids sparser than the sample window (stride > sample) used to
+    silently train ~1 centroid (every vector -> one bucket -> corpus-wide
+    O(n^2) verify); the positional fallback must yield the full codebook."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.pipelines.similarity import coarse_centroids
+
+    rng = np.random.default_rng(3)
+    n, dim = 32, 8
+    emb = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": (np.arange(n, dtype=np.int64) + 1) * 10**9,
+                "embedding": list(rng.standard_normal((n, dim)).astype(np.float32)),
+            }
+        )
+    )
+    C = coarse_centroids(emb, n_centroids=4, iters=1, sample=16)
+    assert C.shape == (4, dim)

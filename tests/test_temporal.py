@@ -225,7 +225,8 @@ def test_temporal_empty_inputs(ray_session):
     assert len(a) == 1 and a.iloc[0]["rv"] == 0.0
     r = range_join(
         one, ev, left_key="k", left_ts="ts", right_key="k", right_ts="ts",
-        left_id="eid", right_id="eid", lookback_us=10,
+        left_id="eid", right_id="eid", left_out="l_eid", right_out="r_eid",
+        lookback_us=10,
     )
     assert r.count() == 0
     assert topk_per_group(ev, "k", "v", 3, id_col="eid").count() == 0

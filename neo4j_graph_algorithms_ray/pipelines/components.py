@@ -202,6 +202,7 @@ def _star_contraction(
         ).materialize()
 
     prev = _checksum(cur)
+    converged = False
     for _round in range(max_rounds):
         cur = _star_round(cur, large=True)
         cur = _star_round(cur, large=False)
@@ -209,20 +210,31 @@ def _star_contraction(
         if prog is not None:  # unit = large+small star round pair
             prog.report(_round, edge_rows=int(now[0]))
         if now == prev:
+            converged = True
             break
         prev = now
+    if not converged:
+        # same contract as scc.py's outer loop: an exhausted cap would
+        # silently FRAGMENT components (labels assembled from a non-star
+        # edge set) — fail loud instead (Kiveris bound is O(log^2 n) rounds)
+        raise RuntimeError(
+            f"star-contraction still contracting at max_rounds={max_rounds}; "
+            "raise max_rounds — truncating here would return fragmented "
+            "component labels"
+        )
 
-    # final edge set is (root, child) star pointers with root = min vid
+    # final edge set is (root, child) star pointers with root = min vid;
+    # lookup_join (not Dataset.join): a sparse label set can leave a hash
+    # partition with zero left rows, which Ray's join crashes on
+    # (stages/joins.py CAUTION) — default='key' IS the coalesce(label, vid)
+    from ..stages.joins import lookup_join
+
     verts = graph.vertices_ds().select_columns(["vid"])
     star = cur.map_batches(
         lambda t: pa.table({"vid": t["v"], "label": t["u"]}), batch_format="pyarrow"
     )
-    joined = verts.join(star, "left_outer", max(1, graph.P), on=("vid",))
-    return joined.map_batches(
-        lambda t: pa.table(
-            {"vid": t["vid"], "label": pc.coalesce(t["label"], t["vid"]).cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
+    return lookup_join(
+        verts, star, "vid", "label", default="key", num_partitions=max(1, graph.P)
     )
 
 
@@ -249,7 +261,12 @@ class ComponentsResult:
     metrics: dict = field(default_factory=dict)
 
     def set_count(self) -> int:
-        return len(self.labels.unique("label"))
+        """Distinct-label count WITHOUT shipping the label list to the
+        driver: ``unique()`` materializes O(#components) Python values —
+        gigabytes in the mostly-disconnected starcontract regime — where
+        counting the rows of the same bucketed aggregate ``set_sizes``
+        uses is one small scalar per bucket."""
+        return int(self.set_sizes().count())
 
     def set_sizes(self) -> rd.Dataset:
         """{label, size} — mirrors DisjointSetStruct.getSetSize (dss/DisjointSetStruct.java:238-244).
@@ -326,6 +343,14 @@ def connected_components(
         rounds += 1
         if prog is not None:  # unit = tree-reduce level
             prog.report(rounds - 1, blocks=int(star.num_blocks()))
+    if star.num_blocks() > 1:
+        # cap exhausted mid-reduce: per-block partial stars would assemble
+        # into FRAGMENTED labels — fail loud (same contract as the
+        # star-contraction loop above and scc.py's outer loop)
+        raise RuntimeError(
+            f"unionFind tree-reduce still at {star.num_blocks()} blocks after "
+            f"max_rounds={max_rounds} levels; raise max_rounds or fanin"
+        )
 
     # assembly: all vertices; isolated -> own vid.  The star side holds only
     # non-isolated vertices — broadcast-lookup under the cap, shuffle join

@@ -27,7 +27,15 @@ _MARKER = "_DONE"
 
 
 def _part_dir(path: str, partition_col: str, value) -> str:
-    return os.path.join(path, f"{partition_col}={value}")
+    """The hive directory ``write_parquet`` will actually create: Ray
+    URI-encodes partition VALUES (``'a b'`` -> ``a%20b``, probed identical
+    to ``quote(v, safe='')``), so the marker/cleanup dirs must encode the
+    same way — a raw f-string diverges on any special character, and then
+    clean-then-rewrite removes the WRONG directory and a crash-resume
+    appends duplicate rows."""
+    from urllib.parse import quote
+
+    return os.path.join(path, f"{partition_col}={quote(str(value), safe='')}")
 
 
 def resumable_write(

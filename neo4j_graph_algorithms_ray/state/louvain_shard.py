@@ -154,8 +154,13 @@ class LouvainShard:
         return self.part
 
     def needed_comms(self):
-        """Community ids whose sTot this shard needs, split by owner."""
-        cands = np.unique(np.concatenate([self.voter_comm, self.comm]))
+        """Community ids whose sTot this shard needs, split by owner.
+
+        Only CANDIDATE communities (``voter_comm``) are needed: ``step``'s
+        sole sTot lookup indexes by ``voter_comm[t_idx]``.  Own communities
+        that are nobody's candidate were previously requested, served, and
+        shipped every phase without any reader."""
+        cands = np.unique(self.voter_comm)
         self._need = cands
         cuts = np.searchsorted(cands, self.bounds[1:-1])
         chunks = np.split(cands, cuts)
@@ -233,17 +238,12 @@ class LouvainShard:
         return np.unique(self.comm)
 
     def save_state(self, ckpt_dir: str, iteration: int) -> str:
-        """Atomic per-partition community checkpoint (PageRank protocol)."""
-        import os
+        """Atomic per-partition community checkpoint (PageRank protocol —
+        the shared helper owns the filename format the manifest pruning and
+        ``part_of`` parse depend on)."""
+        from .checkpoint import atomic_save_table
 
-        import pyarrow.parquet as pq
-
-        os.makedirs(ckpt_dir, exist_ok=True)
-        final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={self.part:05d}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(self.comm_table(), tmp)
-        os.replace(tmp, final)
-        return final
+        return atomic_save_table(self.comm_table(), ckpt_dir, iteration, self.part)
 
     def load_state(self, path: str):
         import pyarrow.parquet as pq

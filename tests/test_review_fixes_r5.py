@@ -234,3 +234,46 @@ def test_coarse_centroids_sparse_ids_train_full_codebook():
     )
     C = coarse_centroids(emb, n_centroids=4, iters=1, sample=16)
     assert C.shape == (4, dim)
+
+
+def test_star_contraction_raises_at_round_cap(tmp_workdir):
+    """An exhausted star-contraction cap must raise, not silently assemble
+    fragmented labels from a non-star edge set (verified: max_rounds=1 on a
+    path graph used to return ~n/2 labels for ONE component)."""
+    from neo4j_graph_algorithms_ray.pipelines.components import connected_components
+
+    g = _build(tmp_workdir, "uf-lines", 2)  # 16 ten-vertex paths
+    with pytest.raises(RuntimeError, match="star-contraction"):
+        connected_components(g, mode="starcontract", max_rounds=1)
+    ok = connected_components(g, mode="starcontract", max_rounds=64)
+    assert ok.set_count() == 16  # one component per line
+
+
+def test_resumable_write_string_partitions_no_duplication(tmp_path):
+    """Marker/cleanup dirs must use Ray's URI-encoded hive names: with a raw
+    f-string, a crash-resume on a value like 'a b' rmtree'd the wrong dir
+    and appended duplicate rows."""
+    import os
+
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.stages.sink import (
+        read_partitioned,
+        resumable_write,
+    )
+
+    df = pd.DataFrame({"grp": ["a b", "a b", "plain"], "x": [1, 2, 3]})
+    out = str(tmp_path / "sink")
+    wrote = resumable_write(rd.from_pandas(df), out, partition_col="grp")
+    assert sorted(wrote) == ["a b", "plain"]
+    # the marker must live in the SAME dir write_parquet created
+    assert os.path.exists(os.path.join(out, "grp=a%20b", "_DONE"))
+    # simulate a crash before the marker: delete it, resume — the half
+    # partition must be cleaned and rewritten whole, not appended to
+    os.remove(os.path.join(out, "grp=a%20b", "_DONE"))
+    wrote2 = resumable_write(rd.from_pandas(df), out, partition_col="grp")
+    assert wrote2 == ["a b"]
+    back = read_partitioned(out).to_pandas()
+    assert len(back) == 3  # no duplicated rows
+    done = resumable_write(rd.from_pandas(df), out, partition_col="grp")
+    assert done == []  # everything marked

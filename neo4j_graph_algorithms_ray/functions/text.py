@@ -105,13 +105,20 @@ def _string_table(values):
 
 
 def hash_strings(values) -> np.ndarray:
-    """Deterministic 64-bit hashes (low 64 bits of md5, little-endian)."""
+    """Deterministic 64-bit hashes (low 64 bits of md5, little-endian).
+
+    Nulls hash as the empty string in BOTH paths: without the coalesce,
+    DuckDB's ``md5_number_lower(NULL)`` is NULL and the uint64 cast turned
+    it into undefined garbage, while the hashlib fallback raised — two
+    different silent behaviors for the same input."""
     n = len(values)
     if n == 0:
         return np.array([], dtype=np.uint64)
     try:
         _t = _string_table(values)
-        out = _duck().execute("SELECT md5_number_lower(s) AS h FROM _t").fetch_arrow_table()
+        out = _duck().execute(
+            "SELECT md5_number_lower(coalesce(s, '')) AS h FROM _t"
+        ).fetch_arrow_table()
         return out["h"].to_numpy().astype(np.uint64, copy=False)
     except Exception:  # no duckdb / exotic input: slow exact fallback
         import hashlib
@@ -119,7 +126,8 @@ def hash_strings(values) -> np.ndarray:
         vals = values.tolist() if hasattr(values, "tolist") else values
         out = np.empty(n, dtype=np.uint64)
         for i, v in enumerate(vals):
-            out[i] = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:16], "little")
+            s = v if isinstance(v, str) else ""
+            out[i] = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
         return out
 
 
@@ -234,6 +242,13 @@ def band_keys(sig_matrix: np.ndarray, bands: int) -> list[list[str]]:
     """Per-doc LSH band keys: '|'-joined signature rows (SQL: string_agg)."""
     n, num_perm = sig_matrix.shape
     rows = num_perm // bands
+    if rows < 1:
+        # bands > num_perm would make every band key the empty string:
+        # all docs in ONE LSH bucket, O(n^2) candidates, no error — refuse
+        raise ValueError(
+            f"band_keys: bands={bands} exceeds num_perm={num_perm}; every "
+            "key would be empty and LSH would degenerate to one bucket"
+        )
     view = sig_matrix[:, : bands * rows].reshape(n, bands, rows)
     return [["|".join(map(str, view[i, bnd])) for bnd in range(bands)] for i in range(n)]
 
@@ -254,13 +269,17 @@ def batch_simhash64(texts) -> np.ndarray:
     out = np.zeros(len(counts), dtype=np.uint64)
     if toks_all:
         hv = hash_strings(toks_all)
-        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int32
-        )
-        signed = 2 * bits - 1  # (total_tokens, 64)
+        # uint8 bit matrix via unpackbits (64 B/token transient) — the
+        # previous uint64 shift matrix + int32 signed copy was ~768 B/token,
+        # a worker-OOM risk on wide-document corpora.  bitorder='little' on
+        # the little-endian uint64 bytes gives column k == bit k, identical
+        # to the old (hv >> k) & 1; the signed sum 2*ones - n is the same
+        # ±1 vote total (reduceat upcasts to int64, no uint8 overflow).
+        bits = np.unpackbits(hv[:, None].view(np.uint8), axis=1, bitorder="little")
         starts = np.cumsum(counts) - counts
         nz = counts > 0
-        acc = np.add.reduceat(signed, starts[nz], axis=0)
+        ones = np.add.reduceat(bits, starts[nz], axis=0, dtype=np.int64)
+        acc = 2 * ones - counts[nz][:, None]  # (docs, 64) signed vote sums
         out[nz] = (
             (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
         ).sum(axis=1, dtype=np.uint64)

@@ -112,6 +112,14 @@ def betweenness_centrality(
     from ..state.checkpoint import CheckpointManager, files_by_part
     from ..state.progress import make_reporter
 
+    if max_depth > 2**15 - 1:
+        # BrandesShard.dist is int16 (per-source depth matrix, S*2 bytes per
+        # vertex); a deeper cap would silently wrap the depths it stores —
+        # the same clamp centrality.py applies for the MS-BFS int16 lanes
+        raise ValueError(
+            f"maxDepth={max_depth} exceeds the Brandes int16 depth limit of "
+            f"{2**15 - 1}; any real-world graph diameter fits well below it"
+        )
     prog = make_reporter(on_progress, progress_interval_s, "betweenness", progress_logger)
     t0 = time.perf_counter()
     # the backward dependency push runs over the reverse adjacency, so every

@@ -45,6 +45,16 @@ class _RouteSeeds:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vid = batch["vid"].to_numpy()
+        if len(vid) and (vid.min() < self.bounds[0] or vid.max() >= self.bounds[-1]):
+            # out-of-range seeds are caller error (stale/foreign vid table):
+            # one past the last bound used to IndexError inside the actor
+            # call, and a too-small vid wrapped to the LAST shard where the
+            # bounds mask silently dropped it — the seed never applied
+            raise ValueError(
+                f"label propagation seeds: vid outside the graph's range "
+                f"[{int(self.bounds[0])}, {int(self.bounds[-1])}) — the seed "
+                "table does not match this graph"
+            )
         part = np.searchsorted(self.bounds, vid, side="right") - 1
         order = np.argsort(part, kind="stable")
         t = batch.take(pa.array(order))
@@ -222,12 +232,16 @@ def label_propagation(
     if prog is not None:
         prog.report(max(0, ran - 1), final=True, converged=bool(converged))
 
-    label_refs = [a.labels_table.remote() for a in actors]
-    ray.wait(label_refs, num_returns=len(label_refs), fetch_local=False)
-    # release the pool eagerly — reservations must not linger for the
-    # lifetime of the (lazy) result Dataset in long multi-query sessions
-    for a in actors:
-        ray.kill(a, no_restart=True)
+    try:
+        label_refs = [a.labels_table.remote() for a in actors]
+        ray.wait(label_refs, num_returns=len(label_refs), fetch_local=False)
+    finally:
+        # release the pool eagerly — reservations must not linger for the
+        # lifetime of the (lazy) result Dataset in long multi-query
+        # sessions; a fetch failure (actor's node died post-loop) must not
+        # leak them either
+        for a in actors:
+            ray.kill(a, no_restart=True)
     labels = rd.from_arrow_refs(label_refs)
     return LabelPropResult(
         labels=labels,

@@ -194,11 +194,14 @@ def louvain(
     # protocol) — the O(V) community table never lands on the driver; the
     # global community count folds per-shard DISTINCT sets (O(#communities
     # x P), not O(V))
-    comm_refs = [a.comm_table.remote() for a in actors]
-    distinct = ray.get([a.comm_distinct.remote() for a in actors])
-    ray.wait(comm_refs, num_returns=len(comm_refs), fetch_local=False)
-    for a in actors:
-        ray.kill(a, no_restart=True)
+    try:
+        comm_refs = [a.comm_table.remote() for a in actors]
+        distinct = ray.get([a.comm_distinct.remote() for a in actors])
+        ray.wait(comm_refs, num_returns=len(comm_refs), fetch_local=False)
+    finally:
+        # a fetch failure post-loop must not leak the pool reservations
+        for a in actors:
+            ray.kill(a, no_restart=True)
     n_comm = len(np.unique(np.concatenate(distinct))) if distinct else 0
     return LouvainResult(
         communities=rd.from_arrow_refs(comm_refs),

@@ -35,6 +35,18 @@ BINARY_SCHEMA = pa.schema(
 )
 
 
+
+def _seg_positions(lens: np.ndarray):
+    """``(row_id, rel)`` for the concatenation of per-row segments of the
+    given lengths: the owning row of each flat element and its offset WITHIN
+    its segment.  One definition of the flat-buffer expansion math shared by
+    the encode / decode / feature byte gathers (each adds its own base via
+    ``rel + np.repeat(base, lens)``)."""
+    row_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    csum = np.cumsum(lens) - lens
+    rel = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(csum, lens)
+    return row_id, rel
+
 def attach_binary_payload(docs: rd.Dataset) -> rd.Dataset:
     """documents -> {doc_id, payload: binary, media_type} (fake encode).
 
@@ -58,9 +70,7 @@ def attach_binary_payload(docs: rd.Dataset) -> rd.Dataset:
             out[starts + i] = ch
         for i, shift in enumerate((24, 16, 8, 0)):  # big-endian uint32 length
             out[starts + 4 + i] = (lens >> shift) & 0xFF
-        nbody = int(lens.sum())
-        csum = np.cumsum(lens) - lens
-        rel = np.arange(nbody, dtype=np.int64) - np.repeat(csum, lens)
+        _, rel = _seg_positions(lens)
         out[rel + np.repeat(starts + 8, lens)] = data[rel + np.repeat(off[:-1], lens)]
         new_off = np.concatenate([[0], np.cumsum(out_lens)])
         # py_buffer wraps the ndarrays via the buffer protocol (and keeps
@@ -79,7 +89,7 @@ def attach_binary_payload(docs: rd.Dataset) -> rd.Dataset:
             {
                 "doc_id": t["doc_id"],
                 "payload": payload,
-                "media_type": pa.array(["image/fake"] * n),
+                "media_type": pa.array(["image/fake"] * n, pa.string()),
             }
         )
 
@@ -169,11 +179,8 @@ class DecodeStage:
         d = self.feature_dim
         n = len(starts)
         body_len = ln
-        row_id = np.repeat(np.arange(n, dtype=np.int64), body_len)
-        csum = np.cumsum(body_len) - body_len
-        pos = np.arange(int(body_len.sum()), dtype=np.int64) - np.repeat(csum, body_len) + np.repeat(
-            starts + 8, body_len
-        )
+        row_id, rel = _seg_positions(body_len)
+        pos = rel + np.repeat(starts + 8, body_len)
         cls = data[pos].astype(np.int64) % d
         counts = np.bincount(row_id * d + cls, minlength=n * d).reshape(n, d).astype(np.float32)
         feats = counts / np.maximum(1.0, counts.sum(axis=1, keepdims=True))
@@ -301,7 +308,7 @@ def frames_and_features(decoded: rd.Dataset, binary_ds: rd.Dataset, *, every: in
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"],
-                "kind": pa.array(["frame"] * t.num_rows),
+                "kind": pa.array(["frame"] * t.num_rows, pa.string()),
                 "idx": t["frame"],
                 "n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
                 "feat_u": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
@@ -313,7 +320,7 @@ def frames_and_features(decoded: rd.Dataset, binary_ds: rd.Dataset, *, every: in
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"],
-                "kind": pa.array(["feat"] * t.num_rows),
+                "kind": pa.array(["feat"] * t.num_rows, pa.string()),
                 "idx": t["dim"],
                 "n": t["n"],
                 "feat_u": t["feat_u"],
@@ -381,11 +388,8 @@ class FeatureStage:
         starts = off[:-1]
         ln = off[1:] - starts - 8  # body length (skip the 8-byte fake header)
         n = len(starts)
-        row_id = np.repeat(np.arange(n, dtype=np.int64), ln)
-        csum = np.cumsum(ln) - ln
-        pos = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(csum, ln) + np.repeat(
-            starts + 8, ln
-        )
+        row_id, rel = _seg_positions(ln)
+        pos = rel + np.repeat(starts + 8, ln)
         cls = self.lut[data[pos]]
         counts = np.bincount(row_id * _N_CLASSES + cls, minlength=n * _N_CLASSES).reshape(
             n, _N_CLASSES

@@ -231,17 +231,11 @@ class BrandesShard:
 
     def save_state(self, ckpt_dir: str, iteration: int) -> str:
         """Atomic per-partition centrality checkpoint after a source batch
-        (``iteration`` = completed batch index)."""
-        import os
+        (``iteration`` = completed batch index; the shared helper owns the
+        filename format the manifest pruning and ``part_of`` parse rely on)."""
+        from .checkpoint import atomic_save_table
 
-        import pyarrow.parquet as pq
-
-        os.makedirs(ckpt_dir, exist_ok=True)
-        final = os.path.join(ckpt_dir, f"iter={iteration:06d}.part={self.part:05d}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(self.centrality_table(), tmp)
-        os.replace(tmp, final)
-        return final
+        return atomic_save_table(self.centrality_table(), ckpt_dir, iteration, self.part)
 
     def load_state(self, path: str):
         import pyarrow.parquet as pq

@@ -277,3 +277,89 @@ def test_resumable_write_string_partitions_no_duplication(tmp_path):
     assert len(back) == 3  # no duplicated rows
     done = resumable_write(rd.from_pandas(df), out, partition_col="grp")
     assert done == []  # everything marked
+
+
+def test_betweenness_rejects_int16_overflow_depth(tmp_workdir):
+    from neo4j_graph_algorithms_ray.pipelines.betweenness import betweenness_centrality
+
+    g = _build(tmp_workdir, "pr1", 2)
+    with pytest.raises(ValueError, match="int16 depth"):
+        betweenness_centrality(g, max_depth=50_000)
+
+
+def test_labelprop_rejects_out_of_range_seeds(tmp_workdir):
+    """A foreign/stale seed vid used to IndexError (one past the bound) or be
+    SILENTLY dropped (below it); both now raise with a clear message."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.pipelines.labelprop import label_propagation
+
+    g = _build(tmp_workdir, "lp420", 2)
+    bad = rd.from_pandas(pd.DataFrame({"vid": [g.n_vertices], "seed": [7]}))
+    with pytest.raises(Exception, match="outside the graph's range"):
+        label_propagation(g, seeds=bad, max_iterations=2)
+
+
+def test_simhash_memory_kernel_matches_bit_formula():
+    """The unpackbits kernel must be bit-identical to the definitional
+    (hv >> k) & 1 vote sum (the SQL oracle replays the same rule)."""
+    from neo4j_graph_algorithms_ray.functions import text as T
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "ee", "ff"]
+    texts = [" ".join(rng.choice(words, size=int(k))) if k else ""
+             for k in rng.integers(0, 300, size=100)] + [None, "", "one"]
+    got = T.batch_simhash64(texts)
+    toks_all, counts = [], []
+    for t in texts:
+        toks = T.WS_TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
+        toks_all.extend(toks)
+        counts.append(len(toks))
+    counts = np.array(counts, dtype=np.int64)
+    exp = np.zeros(len(counts), dtype=np.uint64)
+    if toks_all:
+        hv = T.hash_strings(toks_all)
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+        signed = 2 * bits - 1
+        starts = np.cumsum(counts) - counts
+        nz = counts > 0
+        acc = np.add.reduceat(signed, starts[nz], axis=0)
+        exp[nz] = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_band_keys_rejects_bands_over_num_perm():
+    from neo4j_graph_algorithms_ray.functions import text as T
+
+    with pytest.raises(ValueError, match="exceeds num_perm"):
+        T.band_keys(np.zeros((2, 64), dtype=np.uint64), bands=128)
+
+
+def test_hash_strings_null_deterministic():
+    """Nulls hash as the empty string in both the DuckDB and hashlib paths
+    (md5_number_lower(NULL) used to flow out as NaN->uint64 garbage)."""
+    import hashlib
+
+    from neo4j_graph_algorithms_ray.functions import text as T
+
+    h = T.hash_strings(["a", None, ""])
+    exp = int.from_bytes(hashlib.md5(b"").digest()[8:16], "little")
+    assert h[1] == h[2] == exp
+
+
+def test_multimodal_empty_batch_keeps_string_schema():
+    """A zero-row block must keep media_type/kind typed string — untyped
+    pa.array([]) infers null and breaks block-schema unification."""
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.pipelines.multimodal import attach_binary_payload
+
+    pa = __import__("pyarrow")
+    t_empty = pa.table({"doc_id": pa.array([], "int64"), "text": pa.array([], "string")})
+    t_full = pa.table({"doc_id": pa.array([1], "int64"), "text": pa.array(["hello world"], "string")})
+    # an empty block next to a full one: untyped pa.array([]) made the empty
+    # block's media_type null and block-schema unification degraded/crashed
+    out = attach_binary_payload(rd.from_arrow(t_empty).union(rd.from_arrow(t_full))).materialize()
+    sch = out.schema()
+    assert str(dict(zip(sch.names, sch.types))["media_type"]) == "string"
+    assert out.count() == 1

@@ -645,7 +645,7 @@ WITH spend AS (SELECT o_custkey, sum(o_totalprice) AS total_spend, count(*) AS n
                FROM orders GROUP BY o_custkey)
 SELECT o_custkey, c_name, CAST(floor(total_spend * 1000 + 0.5) AS BIGINT) AS total_spend, n_orders
 FROM spend JOIN customer ON c_custkey = o_custkey
-ORDER BY spend.total_spend DESC, o_custkey ASC LIMIT 10""",
+ORDER BY CAST(floor(spend.total_spend * 1000 + 0.5) AS BIGINT) DESC, o_custkey ASC LIMIT 10""",
         "events_hourly": """
 SELECT event_type,
        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -64,11 +64,15 @@ def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
         types={"total_spend": pa.float64()},
     )
     joined = spend.join(cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
-    # deterministic order: spend desc, custkey asc
+    # deterministic order: spend desc, custkey asc — ranked on the
+    # 1e-3-QUANTIZED spend (the compare grid): ranking raw floats lets
+    # summation-order drift vs the oracle flip which customer survives the
+    # LIMIT when two totals are ulps apart (the oracle sorts the same
+    # quantized integers)
     def keyed(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.append_column("neg_spend", pc.negate(t["total_spend"]))
+        s = t["total_spend"].to_numpy(zero_copy_only=False)
+        su = np.floor(s * 1000 + 0.5).astype(np.int64)
+        return t.append_column("neg_spend", pa.array(-su))
 
     top = (
         joined.map_batches(keyed, batch_format="pyarrow")
@@ -118,10 +122,11 @@ def profile_numeric(ds: rd.Dataset, cols: "list[str]") -> rd.Dataset:
     (vectorized nan-aware reductions), then a tiny fold combines partials —
     the shuffle carries #cols x #blocks rows, never data rows.  The standard
     pre-training sanity gate (row counts, null rates, value ranges) as a
-    first-class operator."""
-    import numpy as np
+    first-class operator.
 
-    from ..stages.agg import bucketed_agg
+    Known deviation from SQL: the float64 projection folds real NaN values
+    into ``n_null`` (SQL's count() treats NaN as non-null) — after
+    ``na_value=nan`` the two are indistinguishable."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -153,16 +158,22 @@ def profile_numeric(ds: rd.Dataset, cols: "list[str]") -> rd.Dataset:
         types={"vmin": pa.float64(), "vmax": pa.float64(), "vsum": pa.float64()},
     )
     name_map = {i: c for i, c in enumerate(cols)}
-    return agg.map_batches(
-        lambda b: pd.DataFrame(
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # all-null columns fold to the ±inf identity sentinels — emit SQL's
+        # NULL instead (min/max over zero non-null values).  Gated on the
+        # null COUNT, not isfinite, so a column legitimately containing
+        # ±inf values keeps them.
+        allnull = b["n_null"] >= b["n"]
+        return pd.DataFrame(
             {
                 "col": b["cid"].map(name_map),
                 "n": b["n"],
                 "n_null": b["n_null"],
-                "vmin": b["vmin"],
-                "vmax": b["vmax"],
+                "vmin": b["vmin"].where(~allnull, other=np.nan),
+                "vmax": b["vmax"].where(~allnull, other=np.nan),
                 "vsum": b["vsum"],
             }
-        ),
-        batch_format="pandas",
-    )
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -274,6 +274,13 @@ class RenderFiles:
         for fid in fids:
             fid = int(fid)
             repo_id, local = divmod(fid, self.fpr)
+            if repo_id >= self.n_repos:
+                # non-divisible n_files/n_repos: fold the remainder files
+                # into the LAST repo instead of minting an extra runt repo
+                # whose imports (drawn from range(fpr)) mostly resolve to
+                # nothing — exactly n_repos repos, all import targets valid
+                local += (repo_id - self.n_repos + 1) * self.fpr
+                repo_id = self.n_repos - 1
             rng = np.random.Generator(np.random.Philox(key=[self.seed, fid]))
             k = 1 + int(rng.pareto(2.0) * max(0.0, self.avg_out - 1))
             k = min(k, self.fpr - 1)
@@ -350,25 +357,31 @@ def corpus_path_for(sf_dir: str) -> str:
         # build into a fresh temp dir and rename atomically: write_parquet
         # APPENDS uniquely-named files, so rebuilding into a half-written
         # dir (crash before the marker, or an engine/oracle race) would
-        # silently duplicate every (repo, path) row
+        # silently duplicate every (repo, path) row.  The whole
+        # check+cleanup+build+publish runs under a per-tier flock: without
+        # it, builder A's stale-dir rmtree could race builder B's publish
+        # and delete a corpus B's caller is already reading (TOCTOU).
+        import fcntl
         import shutil
         import tempfile
 
         os.makedirs(CORPUS_CACHE_ROOT, exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix=f".{base}_build_", dir=CORPUS_CACHE_ROOT)
-        try:
-            write_powerlaw_corpus(tmp, n_files, n_repos, avg_out, _CORPUS_SEED)
-            with open(os.path.join(tmp, "_DONE"), "w") as f:
-                f.write("ok")
-            if os.path.isdir(out) and not os.path.exists(marker):
-                shutil.rmtree(out)  # stale half-write from an old crash
+        with open(os.path.join(CORPUS_CACHE_ROOT, f".{base}.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
             try:
-                os.rename(tmp, out)  # atomic publish; loser of a race cleans up
-            except OSError:
-                if not os.path.exists(marker):
+                if os.path.exists(marker):
+                    return out  # another builder published while we waited
+                tmp = tempfile.mkdtemp(prefix=f".{base}_build_", dir=CORPUS_CACHE_ROOT)
+                try:
+                    write_powerlaw_corpus(tmp, n_files, n_repos, avg_out, _CORPUS_SEED)
+                    with open(os.path.join(tmp, "_DONE"), "w") as f:
+                        f.write("ok")
+                    if os.path.isdir(out):
+                        shutil.rmtree(out)  # stale half-write from an old crash
+                    os.rename(tmp, out)  # atomic publish
+                except BaseException:
+                    shutil.rmtree(tmp, ignore_errors=True)
                     raise
-                shutil.rmtree(tmp, ignore_errors=True)
-        except BaseException:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
     return out

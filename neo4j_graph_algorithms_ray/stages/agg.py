@@ -263,7 +263,15 @@ def grouped_map(
                 newg[0] = True
                 for c in keys:
                     a = t[c].to_numpy(zero_copy_only=False)
-                    newg[1:] |= a[1:] != a[:-1]
+                    diff = a[1:] != a[:-1]
+                    if a.dtype.kind == "f":
+                        # NaN != NaN is elementwise True, so adjacent
+                        # NaN/null keys (nulls become NaN in the numpy
+                        # conversion) would split into one group PER ROW —
+                        # the pandas path's dropna=False makes them ONE
+                        # group, and sort_by placed them adjacent
+                        diff &= ~(np.isnan(a[1:]) & np.isnan(a[:-1]))
+                    newg[1:] |= diff
                 starts = np.flatnonzero(newg)
                 ends = np.append(starts[1:], nrows)
                 outs = [fn(t.slice(s, e - s)) for s, e in zip(starts, ends)]
@@ -370,14 +378,20 @@ def topk_per_group(
                 )
             kv = t[key].to_numpy(zero_copy_only=False)
             iv = t[id_col].to_numpy(zero_copy_only=False)
+            # salt = key_bucket * salt_fan + id_salt: one key's rows land in
+            # EXACTLY salt_fan sub-buckets, so the final per-key fold sees
+            # <= salt_fan*k rows (the documented bound).  Hashing key and id
+            # jointly into salt_fan*fan buckets spread a hot key over up to
+            # salt_fan*fan groups — a bound ~fan times weaker.
             if kv.dtype.kind in "iu" and iv.dtype.kind in "iu":
-                h = kv.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                h ^= iv.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-                s = ((h >> np.uint64(33)) % np.uint64(salt_fan * fan)).astype(np.int64)
+                hb = kv.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                kb = ((hb >> np.uint64(33)) % np.uint64(fan)).astype(np.int64)
+                hi = iv.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                si = ((hi >> np.uint64(33)) % np.uint64(salt_fan)).astype(np.int64)
             else:  # string/other keys: keep the generic pandas hash
-                s = _bucket_ids(
-                    pd.DataFrame({key: kv, id_col: iv}), [key, id_col], salt_fan * fan
-                )
+                kb = _bucket_ids(pd.DataFrame({key: kv}), [key], fan)
+                si = _bucket_ids(pd.DataFrame({id_col: iv}), [id_col], salt_fan)
+            s = kb * int(salt_fan) + si
             return t.append_column("__s", pa.array(s))
 
         def mid_fold(g: pd.DataFrame) -> pa.Table:

@@ -363,3 +363,38 @@ def test_multimodal_empty_batch_keeps_string_schema():
     sch = out.schema()
     assert str(dict(zip(sch.names, sch.types))["media_type"]) == "string"
     assert out.count() == 1
+
+
+def test_grouped_map_arrow_null_keys_one_group():
+    """The Arrow small path must group adjacent NaN/null keys into ONE group
+    (pandas dropna=False semantics), not one group per row."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.stages.agg import grouped_map
+
+    t = pa.table({"k": pa.array([1.0, None, float("nan"), 1.0], pa.float64()),
+                  "v": pa.array([1, 2, 3, 4], pa.int64())})
+
+    def agg_one(g: pa.Table) -> pa.Table:
+        return pa.table({"k": g["k"].slice(0, 1),
+                         "n": pa.array([g.num_rows], pa.int64())})
+
+    out = grouped_map(rd.from_arrow(t), "k", agg_one, batch_format="pyarrow").to_pandas()
+    # two groups: k=1.0 (n=2) and the null/NaN group (n=2)
+    assert sorted(out["n"]) == [2, 2]
+
+
+def test_powerlaw_corpus_exact_repo_count_non_divisible():
+    """Non-divisible n_files/n_repos folds the remainder into the last repo:
+    exactly n_repos repos, every import target resolvable."""
+    from neo4j_graph_algorithms_ray.sources.corpus import powerlaw_corpus_table
+
+    t = powerlaw_corpus_table(n_files=110, n_repos=4, avg_out=3.0, seed=9)
+    repos = sorted(set(t["repo"].to_pylist()))
+    assert len(repos) == 4
+    # the last repo holds the remainder: 27 + (110 - 4*27) = 37? fpr=27 -> 3*27=81, last=29
+    import collections
+    cnt = collections.Counter(t["repo"].to_pylist())
+    fpr = 110 // 4
+    assert cnt[repos[-1]] == fpr + (110 - 4 * fpr)

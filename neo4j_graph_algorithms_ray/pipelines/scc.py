@@ -37,7 +37,9 @@ class SccResult:
         return bucketed_agg(self.labels, "label", {"size": (None, "count")})
 
 
-def _phase_to_fixpoint(actors, begin: str, step: str, begin_args=(), max_rounds=10_000) -> None:
+def _phase_to_fixpoint(
+    actors, begin: str, step: str, begin_args=(), max_rounds=10_000, termination=None
+) -> None:
     """Run one BSP phase with the fused run-ahead exchange.
 
     ``begin`` seeds the phase (returns the seed-frontier size); ``step`` fuses
@@ -53,6 +55,10 @@ def _phase_to_fixpoint(actors, begin: str, step: str, begin_args=(), max_rounds=
     prev = [m[1] for m in msgs]
     converged = False
     for _ in range(max_rounds):
+        if termination is not None:
+            # the documented contract is a check between BSP rounds — a
+            # cancel/deadline must not wait out a 10k-wave flood phase
+            termination.assert_running("scc phase")
         packed = [m[0] for m in msgs]
         msgs = [getattr(a, step).options(num_returns=2).remote(*packed) for a in actors]
         if sum(ray.get(prev)) == 0:
@@ -146,7 +152,7 @@ def strongly_connected_components(
         # after outer round k's trim (so a resume at k+1 re-enters the loop
         # at the n_unassigned check with all phases quiesced)
         if so == 0:
-            _phase_to_fixpoint(actors, "trim_begin", "trim_step", (True,), max_bsp_rounds)
+            _phase_to_fixpoint(actors, "trim_begin", "trim_step", (True,), max_bsp_rounds, termination)
             if ckpt is not None:
                 _commit(0)
             so = 1
@@ -159,15 +165,28 @@ def strongly_connected_components(
             remaining = sum(ray.get([a.n_unassigned.remote() for a in actors]))
             if remaining == 0:
                 break
-            _phase_to_fixpoint(actors, "color_begin", "color_step", (), max_bsp_rounds)
-            _phase_to_fixpoint(actors, "bwd_begin", "bwd_step", (), max_bsp_rounds)
+            _phase_to_fixpoint(actors, "color_begin", "color_step", (), max_bsp_rounds, termination)
+            _phase_to_fixpoint(actors, "bwd_begin", "bwd_step", (), max_bsp_rounds, termination)
             assigned = sum(ray.get([a.finalize_sccs.remote() for a in actors]))
-            assert assigned > 0, "SCC outer round made no progress"
+            if assigned <= 0:  # plain raise: asserts vanish under python -O
+                raise RuntimeError("SCC outer round made no progress")
             if prog is not None:  # unit = outer FW-BW round
                 prog.report(it, assigned=int(assigned), remaining=int(remaining - assigned))
-            _phase_to_fixpoint(actors, "trim_begin", "trim_step", (False,), max_bsp_rounds)
+            _phase_to_fixpoint(actors, "trim_begin", "trim_step", (False,), max_bsp_rounds, termination)
             if ckpt is not None and it % checkpoint_every == 0:
                 _commit(it)
+        else:
+            # range exhausted without the remaining==0 break — the last
+            # round may still have finished the job (the check runs at loop
+            # TOP), so gate on the actual count: publishing label=-1 rows
+            # as a bogus extra component must fail loud (an adversarial
+            # condensation chain can need one round per SCC)
+            rem = sum(ray.get([a.n_unassigned.remote() for a in actors]))
+            if rem > 0:
+                raise RuntimeError(
+                    f"SCC FW-BW still has {rem} unassigned vertices after "
+                    f"max_outer={max_outer} rounds; raise maxOuter"
+                )
         return it
 
     try:
@@ -192,13 +211,21 @@ def strongly_connected_components(
     # canonicalize shard-side: label -> min vid of the SCC (root ids are
     # max-vid colors; only multi-member SCCs travel, so the exchange is
     # O(#multi-member SCCs) — no Dataset shuffle join on the O(V) labels)
-    pushes = [a.canon_push.remote() for a in actors]
-    canons = [a.canon_reduce.remote(*pushes) for a in actors]
-    ray.get([a.canon_apply.remote(*canons) for a in actors])
-    label_refs = [a.labels_table.remote() for a in actors]
-    ray.wait(label_refs, num_returns=len(label_refs), fetch_local=False)
-    for a in actors:
-        ray.kill(a, no_restart=True)
+    try:
+        pushes = [a.canon_push.remote() for a in actors]
+        canons = [a.canon_reduce.remote(*pushes) for a in actors]
+        ray.get([a.canon_apply.remote(*canons) for a in actors])
+        label_refs = [a.labels_table.remote() for a in actors]
+        ray.wait(label_refs, num_returns=len(label_refs), fetch_local=False)
+        if baseline is not None:
+            # final gate (triangles.py's post-collection pattern): a silent
+            # restart during canonicalization rehydrates an OLDER committed
+            # round for that shard — its labels would be stale, undetected
+            verify_incarnations(actors, baseline)
+    finally:
+        # failure anywhere in the exchange/fetch must not leak the pool
+        for a in actors:
+            ray.kill(a, no_restart=True)
     labels = rd.from_arrow_refs(label_refs)
     if prog is not None:
         prog.report(outer, final=True)

@@ -398,3 +398,22 @@ def test_powerlaw_corpus_exact_repo_count_non_divisible():
     cnt = collections.Counter(t["repo"].to_pylist())
     fpr = 110 // 4
     assert cnt[repos[-1]] == fpr + (110 - 4 * fpr)
+
+
+def test_scc_raises_on_exhausted_outer_cap(tmp_workdir):
+    """Two 2-cycles in one weak component (the max-vid cycle peels first, the
+    other needs round 2): max_outer=1 must RAISE, not publish label=-1 rows
+    as a bogus extra component; enough rounds assigns everything."""
+    from neo4j_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.scc import strongly_connected_components as scc
+
+    corpus = _mini_corpus(
+        {"a": [("b", 1.0)], "b": [("a", 1.0)],
+         "c": [("d", 1.0), ("a", 1.0)], "d": [("c", 1.0)]}
+    )  # cycle {c,d} feeds cycle {a,b}: probed to need 2 working rounds
+    g = build_graph(rd.from_arrow(corpus), tmp_workdir, P=2)
+    with pytest.raises(RuntimeError, match="unassigned vertices"):
+        scc(g, max_outer=1)
+    res = scc(g)
+    sizes = res.labels.to_pandas().groupby("label").size().tolist()
+    assert sorted(sizes) == [2, 2]
